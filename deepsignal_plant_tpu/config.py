@@ -1,0 +1,83 @@
+"""Typed configuration objects.
+
+The reference spreads every hyperparameter across four argparse subparsers
+with duplicated defaults (deepsignal_plant.py:231-251, 338-354, 400-416).
+Here a single frozen dataclass is the source of truth; the CLI overlays it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+MODULE_TYPES = ("both_bilstm", "seq_bilstm", "signal_bilstm")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of ModelBiLSTM (reference ctor models.py:103-106)."""
+    seq_len: int = 13
+    signal_len: int = 16
+    num_layers_comb: int = 3      # reference --layernum1
+    num_layers_branch: int = 1    # reference --layernum2
+    num_classes: int = 2
+    dropout_rate: float = 0.5
+    hidden_size: int = 256
+    vocab_size: int = 16
+    embedding_size: int = 4
+    is_base: bool = True
+    is_signallen: bool = True
+    module: str = "both_bilstm"
+    compute_dtype: str = "float32"  # "float32" (parity) or "bfloat16" (fast)
+
+    def __post_init__(self):
+        if self.module not in MODULE_TYPES:
+            raise ValueError(f"module must be one of {MODULE_TYPES}")
+
+    @property
+    def nhid_seq(self) -> int:
+        if self.module == "seq_bilstm":
+            return self.hidden_size
+        return self.hidden_size // 2
+
+    @property
+    def nhid_signal(self) -> int:
+        if self.module == "signal_bilstm":
+            return self.hidden_size
+        return self.hidden_size - self.hidden_size // 2
+
+    @property
+    def sigfea_num(self) -> int:
+        return 3 if self.is_signallen else 2
+
+    @property
+    def seq_input_size(self) -> int:
+        base = self.embedding_size if self.is_base else 0
+        return base + self.sigfea_num
+
+    def with_(self, **kw) -> "ModelConfig":
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CallConfig:
+    """Inference-engine settings (reference CALL/PARALLEL arg groups)."""
+    batch_size: int = 512
+    device_batch: int = 4096      # per-step padded device batch (TPU-sized)
+    f5_batch_size: int = 30
+    use_pallas: bool = True
+    num_parse_workers: int = 2
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop settings (reference train.py main args)."""
+    batch_size: int = 512
+    lr: float = 0.001
+    lr_decay: float = 0.1
+    lr_decay_step: int = 2
+    max_epoch_num: int = 10
+    min_epoch_num: int = 5
+    step_interval: int = 100
+    pos_weight: float = 1.0
+    optim_type: str = "Adam"      # Adam | RMSprop | SGD | Ranger
+    clip_grad: float = 0.5
+    seed: int = 1234
