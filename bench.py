@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark: call_mods throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sites/s", "vs_baseline": N}
+
+- value: end-to-end sites/s of the call_mods engine on a features TSV
+  (parse -> pad/shard -> jitted BiLSTM forward -> format -> write), steady
+  state (first pass warms the compile cache, second pass is measured).
+- vs_baseline: ratio against the reference PyTorch model's forward-only
+  sites/s on this host's CPU (the reference's model-process hot loop,
+  call_modifications.py:130-192, batch 512). Forward-only for the baseline
+  vs end-to-end for us makes the ratio conservative. The baseline is
+  measured once and cached in .bench_baseline.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
+DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "8192"))
+
+
+def make_features_file(path: str, n_rows: int) -> None:
+    from make_synthetic import synth_feature_rows, write_feature_file
+    rng = np.random.default_rng(42)
+    sites_per_read = 256
+    n_reads = (n_rows + sites_per_read - 1) // sites_per_read
+    rows = synth_feature_rows(rng, n_reads, sites_per_read)
+    write_feature_file(path, rows[:n_rows])
+
+
+def measure_tpu(features_path: str, ckpt_path: str) -> float:
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+
+    engine = CallModsEngine(
+        ckpt_path, ModelConfig(dropout_rate=0.0),
+        CallConfig(device_batch=DEVICE_BATCH))
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out.tsv")
+        engine.run_features_file(features_path, out)     # warm compile
+        stats = engine.run_features_file(features_path, out)
+    return stats.sites_per_s
+
+
+def measure_torch_baseline(features_path: str) -> float:
+    """Reference torch model forward-only sites/s on host CPU."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            return json.load(fh)["torch_cpu_sites_per_s"]
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from deepsignal_plant.models import ModelBiLSTM as TorchModel
+
+    from deepsignal_plant_tpu.io.batching import batches_from_features_file
+    model = TorchModel(dropout_rate=0)
+    model.eval()
+    batches = []
+    for pb in batches_from_features_file(features_path, 512):
+        batches.append(pb.features)
+        if len(batches) >= 24:
+            break
+    tensors = [
+        (torch.tensor(fb.kmer), torch.tensor(fb.base_means),
+         torch.tensor(fb.base_stds), torch.tensor(fb.base_signal_lens),
+         torch.tensor(fb.signals)) for fb in batches]
+    with torch.no_grad():
+        model(*tensors[0])                                # warmup
+        t0 = time.time()
+        n = 0
+        for t in tensors[1:]:
+            model(*t)
+            n += t[0].shape[0]
+        dt = time.time() - t0
+    rate = n / dt
+    with open(BASELINE_CACHE, "w") as fh:
+        json.dump({"torch_cpu_sites_per_s": rate,
+                   "note": "reference ModelBiLSTM forward-only, batch 512, "
+                           "host CPU"}, fh)
+    return rate
+
+
+def main() -> None:
+    import jax
+
+    from deepsignal_plant_tpu.utils.jaxinit import setup_jax
+    setup_jax()
+
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+
+    with tempfile.TemporaryDirectory() as td:
+        features_path = os.path.join(td, "bench_features.tsv")
+        make_features_file(features_path, N_ROWS)
+        cfg = ModelConfig(dropout_rate=0.0)
+        ckpt = os.path.join(td, "bench.ckpt.npz")
+        save_checkpoint(ckpt, init_params(jax.random.PRNGKey(0), cfg), cfg)
+
+        tpu_rate = measure_tpu(features_path, ckpt)
+        try:
+            base_rate = measure_torch_baseline(features_path)
+        except Exception as exc:  # baseline is informative, not critical
+            print(f"# torch baseline failed: {exc}", file=sys.stderr)
+            base_rate = None
+
+    result = {
+        "metric": "call_mods sites/s/chip (features TSV end-to-end)",
+        "value": round(tpu_rate, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(tpu_rate / base_rate, 2) if base_rate else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Training dataset: features TSV parsed once into dense host arrays.
+
+The reference trains off linecache re-parsing every row every epoch
+(dataloader.py:34-56) — pure-Python parsing inside the training process is
+its throughput ceiling (SURVEY.md §3.4). Here the file is vector-parsed a
+single time into flat numpy arrays; epochs are permutations of an index
+vector and batches are contiguous gathers, so the host feed is minutes ->
+microseconds per step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..models.bilstm import Batch
+from ..utils.formats import parse_feature_lines
+from .batching import iter_line_blocks
+
+
+@dataclass
+class FeatureDataset:
+    kmer: np.ndarray              # (N, L) int32
+    base_means: np.ndarray        # (N, L) f32
+    base_stds: np.ndarray         # (N, L) f32
+    base_signal_lens: np.ndarray  # (N, L) f32
+    signals: np.ndarray           # (N, L, S) f32
+    labels: np.ndarray            # (N,) int32
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    @classmethod
+    def from_file(cls, path: str, kmer_len: int = 13, signal_len: int = 16,
+                  block_lines: int = 100_000) -> "FeatureDataset":
+        from ..utils.fastparse import native_available, parse_feature_bytes
+        if native_available():
+            from .batching import iter_byte_blocks
+            parts = [parse_feature_bytes(raw, kmer_len, signal_len)
+                     for raw in iter_byte_blocks(path)]
+        else:
+            parts = [parse_feature_lines(block, kmer_len, signal_len)
+                     for block in iter_line_blocks(path, block_lines)]
+        if not parts:
+            z = np.zeros
+            return cls(z((0, kmer_len), np.int32), z((0, kmer_len), np.float32),
+                       z((0, kmer_len), np.float32), z((0, kmer_len), np.float32),
+                       z((0, kmer_len, signal_len), np.float32),
+                       z((0,), np.int32))
+        return cls(
+            kmer=np.concatenate([p.kmer for p in parts]),
+            base_means=np.concatenate([p.base_means for p in parts]),
+            base_stds=np.concatenate([p.base_stds for p in parts]),
+            base_signal_lens=np.concatenate(
+                [p.base_signal_lens for p in parts]),
+            signals=np.concatenate([p.signals for p in parts]),
+            labels=np.concatenate([p.labels for p in parts]))
+
+    def take(self, idx: np.ndarray) -> "FeatureDataset":
+        return FeatureDataset(self.kmer[idx], self.base_means[idx],
+                              self.base_stds[idx],
+                              self.base_signal_lens[idx],
+                              self.signals[idx], self.labels[idx])
+
+    def batch_at(self, idx: np.ndarray) -> tuple[Batch, np.ndarray]:
+        return (Batch(self.kmer[idx], self.base_means[idx],
+                      self.base_stds[idx], self.base_signal_lens[idx],
+                      self.signals[idx]),
+                self.labels[idx])
+
+    def iter_batches(self, batch_size: int, shuffle: bool,
+                     rng: np.random.Generator | None = None,
+                     drop_last: bool = False,
+                     pad_to_batch: bool = False,
+                     ) -> Iterator[tuple[Batch, np.ndarray, int]]:
+        """Yield (batch, labels, n_valid). With ``pad_to_batch`` every batch
+        has exactly ``batch_size`` rows (tail repeated-zero padded) so one
+        compiled executable serves the whole epoch."""
+        n = len(self)
+        order = (rng or np.random.default_rng()).permutation(n) \
+            if shuffle else np.arange(n)
+        for s in range(0, n, batch_size):
+            idx = order[s:s + batch_size]
+            n_valid = len(idx)
+            if n_valid < batch_size:
+                if drop_last:
+                    return
+                if pad_to_batch:
+                    pad = np.zeros(batch_size - n_valid, dtype=idx.dtype)
+                    idx = np.concatenate([idx, pad])
+            batch, labels = self.batch_at(idx)
+            yield batch, labels, n_valid

@@ -1,0 +1,46 @@
+"""Native (C++) fast paths for host-side codecs; see featparse.cpp.
+Python fallbacks live in utils/formats.py — the loader here returns None
+when the shared library is unavailable."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_SO_PATH = os.path.join(os.path.dirname(__file__), "libdsp_native.so")
+_SRC_PATH = os.path.join(os.path.dirname(__file__), "featparse.cpp")
+_lib = None
+_tried = False
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile featparse.cpp -> libdsp_native.so with g++ -O3. Returns
+    success."""
+    if not os.path.exists(_SRC_PATH):
+        return False
+    if os.path.exists(_SO_PATH) and not force and \
+            os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC_PATH, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_native_lib():
+    """ctypes handle to the native library, building on first use; None if
+    unavailable (callers fall back to numpy paths)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if build_native():
+        try:
+            _lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _lib = None
+    return _lib

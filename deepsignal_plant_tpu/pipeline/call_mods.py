@@ -1,0 +1,169 @@
+"""call_mods — the flagship inference engine.
+
+Reference behavior (call_modifications.py:532-640): read features (from a
+TSV or straight from fast5s), run ModelBiLSTM, emit 10-column call rows.
+
+TPU-native pipeline (one process per host, no mp queues):
+
+    parse thread  ->  bounded prefetch  ->  jit step (batch sharded "dp")
+                                              |  (async dispatch: step k+1
+                                              v   launches while k computes)
+                                          format+write thread
+
+- Every step runs one compiled executable over a static
+  ``device_batch``-row batch sharded across all local devices (model
+  replicated). The final ragged batch is zero-padded and masked on output.
+- Multi-host scaling is file-sharded exactly like the reference's
+  multi-node story (SURVEY.md §5.8): each host calls its own shard of the
+  input; outputs are merged downstream by call_freq / combine tools.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CallConfig, ModelConfig
+from ..io.batching import (AsyncWriter, PrefetchIterator,
+                           batches_from_features_file)
+from ..models.bilstm import Batch, forward
+from ..models.convert import load_any_checkpoint
+from ..parallel.mesh import batch_sharding, local_batch_target, make_mesh
+from ..utils.bases import CODE2BASE_DNA
+from ..utils.formats import format_call_rows
+
+
+@dataclass
+class CallStats:
+    sites: int = 0
+    batches: int = 0
+    seconds: float = 0.0
+
+    @property
+    def sites_per_s(self) -> float:
+        return self.sites / self.seconds if self.seconds else 0.0
+
+
+class CallModsEngine:
+    """Loads a checkpoint once and serves jitted batch inference."""
+
+    def __init__(self, model_path: str, model_cfg: ModelConfig,
+                 call_cfg: CallConfig | None = None, mesh=None):
+        self.model_cfg = model_cfg.with_(dropout_rate=0.0)
+        self.call_cfg = call_cfg or CallConfig()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.device_batch = local_batch_target(self.call_cfg.device_batch,
+                                               self.mesh)
+        self.params = jax.device_put(
+            load_any_checkpoint(model_path, self.model_cfg))
+        # single-device meshes take the plain jit path: XLA's SPMD
+        # partitioner adds minutes of compile latency for zero benefit
+        self._single = self.mesh.devices.size == 1
+        self._sharding = None if self._single else batch_sharding(self.mesh)
+
+        cfg = self.model_cfg
+
+        def _step(params, batch: Batch):
+            logits, probs = forward(params, batch, cfg, train=False)
+            return probs
+
+        if self._single:
+            self._step = jax.jit(_step)
+        else:
+            self._step = jax.jit(
+                _step, in_shardings=(None, self._sharding),
+                out_shardings=self._sharding)
+
+    def predict_probs(self, fb) -> np.ndarray:
+        """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""
+        batch = Batch(kmer=fb.kmer, base_means=fb.base_means,
+                      base_stds=fb.base_stds,
+                      base_signal_lens=fb.base_signal_lens,
+                      signals=fb.signals)
+        if self._sharding is not None:
+            batch = jax.device_put(batch, self._sharding)
+        return self._step(self.params, batch)
+
+    def run_features_file(self, input_path: str, result_path: str,
+                          is_gzip: bool = False) -> CallStats:
+        """features TSV -> call_mods TSV (reference else-branch,
+        call_modifications.py:584-636)."""
+        cfg = self.model_cfg
+        stats = CallStats()
+        t0 = time.time()
+        batches = PrefetchIterator(
+            batches_from_features_file(input_path, self.device_batch,
+                                       cfg.seq_len, cfg.signal_len),
+            depth=4)
+        writer = AsyncWriter(result_path, is_gzip)
+
+        # software pipeline: keep several steps in flight so host->device
+        # transfers and formatting overlap device compute (jax dispatch is
+        # async; np.asarray blocks)
+        depth = 3
+        inflight: list[tuple] = []
+
+        def _drain(entry):
+            probs, fb, n_valid = entry
+            probs = np.asarray(probs)[:n_valid]
+            kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
+                         for row in fb.kmer[:n_valid]]
+            rows = format_call_rows(fb.sampleinfo, fb.kmer[:n_valid],
+                                    probs[:, 0], probs[:, 1], kmer_strs)
+            writer.write_rows(rows)
+            stats.sites += n_valid
+            stats.batches += 1
+
+        for pb in batches:
+            probs = self.predict_probs(pb.features)
+            inflight.append((probs, pb.features, pb.n_valid))
+            if len(inflight) > depth:
+                _drain(inflight.pop(0))
+        for entry in inflight:
+            _drain(entry)
+        writer.close()
+        stats.seconds = time.time() - t0
+        return stats
+
+
+def call_mods(args) -> CallStats:
+    """CLI entry: mirrors reference call_mods(args)
+    (call_modifications.py:532)."""
+    import os
+
+    from ..utils.bases import str2bool
+
+    model_cfg = ModelConfig(
+        seq_len=args.seq_len, signal_len=args.signal_len,
+        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
+        num_classes=args.class_num, dropout_rate=0.0,
+        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
+        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
+        is_signallen=str2bool(args.is_signallen), module=args.model_type)
+    call_cfg = CallConfig(batch_size=args.batch_size,
+                          device_batch=getattr(args, "device_batch", 4096),
+                          f5_batch_size=args.f5_batch_size)
+
+    input_path = os.path.abspath(args.input_path)
+    if not os.path.exists(input_path):
+        raise ValueError("--input_path does not exist!")
+    model_path = os.path.abspath(args.model_path)
+    if not os.path.exists(model_path):
+        raise ValueError("--model_path is not set right!")
+
+    print("[main] call_mods starts..")
+    t0 = time.time()
+    engine = CallModsEngine(model_path, model_cfg, call_cfg)
+    if os.path.isdir(input_path):
+        from .extract import extract_to_call_mods
+        stats = extract_to_call_mods(engine, input_path, args)
+    else:
+        stats = engine.run_features_file(input_path, args.result_file,
+                                         getattr(args, "gzip", False))
+    print("[main] call_mods costs %.2f seconds.. "
+          "(%d sites, %.0f sites/s)" % (time.time() - t0, stats.sites,
+                                        stats.sites_per_s))
+    return stats

@@ -1,0 +1,272 @@
+"""denoise — cross-rank filter-and-retrain label cleaning.
+
+Reference behavior (denoise.py:318-383): for up to ``--iterations``, run
+``--rounds`` of cross-rank (random-halve the train file; train a fresh
+small model on each half for ``--epoch_num`` epochs — stopping early once
+running train accuracy >= 0.95 — and score the held-out half), average each
+sample's positive-class probability over all scores, keep positives with
+mean >= score_cf (and optionally negatives < 1-score_cf), re-balance
+negatives to the positives' k-mer distribution, shuffle-concat into the
+next iteration's train file; stop when the kept ratio >= kept_ratio.
+
+TPU-native changes: each mini-training reuses one jitted train/eval step
+(same static batch shape => one compile serves all 2*rounds*iterations
+trainings), the file is vector-parsed once per iteration, and the halves
+are index splits of the in-memory dataset instead of temp half-files.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..io.dataset import FeatureDataset
+from ..models.bilstm import init_params
+from ..ops.optim import make_optimizer, step_decay_schedule
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..utils import metrics as M
+from ..utils.fileio import (count_lines, select_neg_rows_as_pos_kmer_dist,
+                            shuffle_concat)
+from .train import make_eval_step, make_train_step
+
+
+def get_model_type_str(model_type: str, is_base: bool,
+                       is_signallen: bool) -> str:
+    """File-tag string (process_utils.py:533-539)."""
+    if model_type != "signal_bilstm":
+        basestr = "with_base" if is_base else "no_base"
+        slenstr = "with_slen" if is_signallen else "no_slen"
+        return "_".join([model_type, basestr, slenstr])
+    return model_type
+
+
+class CrossRankTrainer:
+    """Train-on-half / score-other-half with jit reuse across rounds."""
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        mesh = make_mesh()
+        self.sharding = batch_sharding(mesh)
+        ndev = mesh.devices.size
+        self.batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
+        self.class_weights = np.array([1.0, train_cfg.pos_weight],
+                                      np.float32)
+        self._train_step_cache: dict[int, object] = {}
+        self.eval_step = make_eval_step(model_cfg, self.sharding)
+
+    def _train_step(self, steps_per_epoch: int, tx):
+        return make_train_step(self.model_cfg, tx, self.class_weights,
+                               self.train_cfg.clip_grad, self.sharding)
+
+    def train_then_score(self, train_ds: FeatureDataset,
+                         score_ds: FeatureDataset, seed: int,
+                         epoch_num: int, step_interval: int,
+                         verbose: bool = False) -> np.ndarray:
+        """Train a fresh model on train_ds, return prob_1 of every score_ds
+        row (reference train_1time, denoise.py:28-170)."""
+        cfg, tcfg = self.model_cfg, self.train_cfg
+        rng_np = np.random.default_rng(seed)
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        steps_per_epoch = max(1, int(np.ceil(len(train_ds) / self.batch_size)))
+        schedule = step_decay_schedule(tcfg.lr, steps_per_epoch, 2, 0.1)
+        tx = make_optimizer("Adam", schedule)
+        opt_state = tx.init(params)
+        train_step = self._train_step(steps_per_epoch, tx)
+        key = jax.random.PRNGKey(seed + 7)
+
+        gstep = 0
+        for epoch in range(epoch_num):
+            epoch_accs: list[float] = []
+            for i, (batch, labels, n_valid) in enumerate(
+                    train_ds.iter_batches(self.batch_size, shuffle=True,
+                                          rng=rng_np, pad_to_batch=True)):
+                mask = np.zeros(self.batch_size, np.float32)
+                mask[:n_valid] = 1.0
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch, jnp.asarray(labels), mask,
+                    jax.random.fold_in(key, gstep))
+                gstep += 1
+                if (i + 1) % step_interval == 0:
+                    pred, _, _ = self.eval_step(params, batch)
+                    acc = M.accuracy(labels[:n_valid],
+                                     np.asarray(pred)[:n_valid])
+                    epoch_accs.append(acc)
+                    if verbose:
+                        print("Epoch [{}/{}], Step [{}/{}], "
+                              "TrainLoss: {:.4f}, Accuracy: {:.4f}".format(
+                                  epoch + 1, epoch_num, i + 1,
+                                  steps_per_epoch, float(loss), acc))
+                        sys.stdout.flush()
+            # reference early break: running train accuracy >= .95
+            # (denoise.py:108)
+            if epoch_accs and np.mean(epoch_accs) >= 0.95:
+                break
+
+        probs1 = np.empty(len(score_ds), np.float32)
+        out = 0
+        for batch, _labels, n_valid in score_ds.iter_batches(
+                self.batch_size, shuffle=False, pad_to_batch=True):
+            _pred, probs, _logits = self.eval_step(params, batch)
+            probs1[out:out + n_valid] = np.asarray(probs)[:n_valid, 1]
+            out += n_valid
+        return probs1
+
+
+def denoise(args) -> str:
+    """CLI entry mirroring reference denoise(args) (denoise.py:318).
+    Returns the path of the final denoised training file."""
+    from ..utils.bases import str2bool
+
+    total_start = time.time()
+    model_cfg = ModelConfig(
+        seq_len=args.seq_len, signal_len=args.signal_len,
+        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
+        num_classes=args.class_num, dropout_rate=args.dropout_rate,
+        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
+        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
+        is_signallen=str2bool(args.is_signallen), module=args.model_type)
+    train_cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                            pos_weight=args.pos_weight,
+                            step_interval=args.step_interval)
+    modeltype_str = get_model_type_str(args.model_type,
+                                       str2bool(args.is_base),
+                                       str2bool(args.is_signallen))
+    is_filter_fn = str2bool(args.is_filter_fn)
+    rng = np.random.default_rng(getattr(args, "seed", None))
+
+    train_file = args.train_file
+    # all-negative pool for k-mer-balanced reselection (denoise.py:296)
+    fname, fext = os.path.splitext(train_file)
+    train_neg_file = fname + ".neg_all." + modeltype_str + fext
+    from ..utils.fileio import filter_rows_by_label
+    filter_rows_by_label(train_file, train_neg_file, 0)
+
+    trainer = CrossRankTrainer(model_cfg, train_cfg)
+    final_file = train_file
+    for iter_c in range(args.iterations):
+        print("\n###### cross rank to clean samples, Iter: {} ######".format(
+            iter_c + 1))
+        ds = FeatureDataset.from_file(train_file, model_cfg.seq_len,
+                                      model_cfg.signal_len)
+        n = len(ds)
+        half = n // 2
+        score_sum = np.zeros(n, np.float64)
+        score_cnt = np.zeros(n, np.int64)
+        for r in range(args.rounds):
+            print("##########Train Cross Rank, Iter {}, Round {}##########"
+                  .format(iter_c + 1, r + 1))
+            perm = rng.permutation(n)
+            idx1, idx2 = np.sort(perm[:half]), np.sort(perm[half:])
+            seed = int(rng.integers(1 << 30))
+            p2 = trainer.train_then_score(ds.take(idx1), ds.take(idx2),
+                                          seed, args.epoch_num,
+                                          args.step_interval)
+            p1 = trainer.train_then_score(ds.take(idx2), ds.take(idx1),
+                                          seed + 1, args.epoch_num,
+                                          args.step_interval)
+            score_sum[idx2] += p2
+            score_cnt[idx2] += 1
+            score_sum[idx1] += p1
+            score_cnt[idx1] += 1
+        mean_scores = score_sum / np.maximum(score_cnt, 1)
+
+        if iter_c == 0 and getattr(args, "fst_iter_prob", False):
+            with open(args.train_file + ".probs_1stiter.txt", "w") as wf:
+                for i in range(n):
+                    wf.write("\t".join([str(i), str(mean_scores[i])]) + "\n")
+
+        # ---- clean samples (denoise.py:216-293) ----
+        print("\n###### clean the samples ######")
+        labels = ds.labels
+        pos_mask = labels == 1
+        neg_mask = ~pos_mask
+        keep_pos = pos_mask & (mean_scores >= args.score_cf)
+        keep_neg = (neg_mask & (mean_scores < 1 - args.score_cf)
+                    if is_filter_fn else np.zeros(n, bool))
+        n_pos, n_neg = int(pos_mask.sum()), int(neg_mask.sum())
+        print("There are {} positive, {} negative samples in total;".format(
+            n_pos, n_neg))
+        left_ratio = float(keep_pos.sum()) / n_pos if n_pos else 0.0
+        left_ratio2 = float(keep_neg.sum()) / n_neg if n_neg else 0.0
+        print("{} ({}) high quality positive samples left, "
+              "{} ({}) high quality negative samples left".format(
+                  int(keep_pos.sum()), round(left_ratio, 6),
+                  int(keep_neg.sum()), round(left_ratio2, 6)))
+
+        if train_file == args.train_file:
+            stem = fname + "." + modeltype_str
+        else:
+            stem = os.path.splitext(train_file)[0]
+        pos_file = stem + ".pos.cf" + str(args.score_cf) + fext
+        neg_file = (stem + ".neg.cf" + str(args.score_cf) + fext
+                    if is_filter_fn else None)
+        _write_selected_rows(train_file, pos_file, keep_pos,
+                             neg_file, keep_neg)
+        if is_filter_fn:
+            left_ratio = (left_ratio + left_ratio2) / 2
+
+        if train_file != args.train_file:
+            os.remove(train_file)
+
+        # ---- rebuild train file (denoise.py:347-375) ----
+        print("\n#####concat denoised file#####")
+        pos_num = int(keep_pos.sum())
+        if pos_num > 0:
+            nfname, nfext = os.path.splitext(train_neg_file)
+            seled_neg = nfname + ".r" + str(pos_num) + nfext
+            if neg_file is None:
+                select_neg_rows_as_pos_kmer_dist(pos_file, train_neg_file,
+                                                 seled_neg)
+            else:
+                neg_num = count_lines(neg_file)
+                if pos_num <= neg_num:
+                    select_neg_rows_as_pos_kmer_dist(pos_file, neg_file,
+                                                     seled_neg)
+                    os.remove(neg_file)
+                else:
+                    seled_neg = neg_file
+            tag = ".denoise_fpnp" if is_filter_fn else ".denoise_fp"
+            train_file = (os.path.splitext(args.train_file)[0] + "." +
+                          modeltype_str + tag + str(iter_c + 1) + fext)
+            shuffle_concat(pos_file, seled_neg, train_file, rng=rng)
+            os.remove(seled_neg)
+            final_file = train_file
+        else:
+            if neg_file is not None:
+                os.remove(neg_file)
+            print("WARNING: The denoise module denoised all samples in the "
+                  "train_file!!!")
+        os.remove(pos_file)
+        print("#####concat denoised file, finished!#####")
+
+        if left_ratio >= args.kept_ratio or pos_num == 0:
+            break
+
+    os.remove(train_neg_file)
+    print("###### denoised file for training: {}".format(final_file))
+    print("###### denoise totally costs {:.2f} seconds".format(
+        time.time() - total_start))
+    return final_file
+
+
+def _write_selected_rows(src: str, pos_file: str, keep_pos: np.ndarray,
+                         neg_file: str | None,
+                         keep_neg: np.ndarray) -> None:
+    wfp = open(pos_file, "w")
+    wfn = open(neg_file, "w") if neg_file is not None else None
+    with open(src) as rf:
+        for i, line in enumerate(rf):
+            if keep_pos[i]:
+                wfp.write(line)
+            elif wfn is not None and keep_neg[i]:
+                wfn.write(line)
+    wfp.close()
+    if wfn is not None:
+        wfn.close()

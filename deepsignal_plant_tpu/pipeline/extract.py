@@ -1,0 +1,523 @@
+"""extract — per-site feature extraction from tombo-resquiggled fast5s.
+
+Reference behavior (extract_features.py:277-378,589-651): per read,
+rescale + normalize the raw signal, rebuild the genome-aligned sequence and
+per-base signal segments from the event table, scan for motif hits, and for
+each centered site emit a 12-column feature row. Process topology: worker
+pool over fast5 batches + one writer.
+
+TPU-native redesign of the hot loop: the per-base Python loops are replaced
+with vectorized segment statistics (float64 cumulative sums over the event
+table) and a single gathered (n_bases, signal_len) signal matrix build —
+downsampling is deterministic evenly-spaced by default ("even") with a
+reference-compatible random mode ("compat", extract_features.py:248).
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+import multiprocessing as mp
+from concurrent.futures import ProcessPoolExecutor, as_completed
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fast5 import TomboRead, read_tombo_fast5
+from ..utils.bases import seq_to_codes
+from ..utils.fasta import get_contig2len
+from ..utils.fileio import get_fast5s
+from ..utils.formats import FeatureBatch, format_feature_row, gzip_path
+from ..utils.motifs import (KEY_SEP, expand_motifs, motif_locs_in_codes,
+                            parse_region, read_position_file)
+
+# MAD consistency constant: Gaussian.ppf(3/4), the statsmodels robust.mad
+# default the reference relies on (extract_features.py:183)
+_MAD_C = 0.6744897501960817
+
+
+def normalize_signals(signals: np.ndarray, method: str = "mad") -> np.ndarray:
+    """Read-level normalization, rounded to 6 decimals
+    (extract_features.py:179-190)."""
+    signals = np.asarray(signals, dtype=np.float64)
+    if method == "zscore":
+        shift, scale = np.mean(signals), float(np.std(signals))
+    elif method == "mad":
+        med = np.median(signals)
+        shift, scale = med, float(np.median(np.abs(signals - med)) / _MAD_C)
+    else:
+        raise ValueError("normalize_method must be mad or zscore")
+    if scale == 0.0:
+        norm = signals
+    else:
+        norm = (signals - shift) / scale
+    return np.around(norm, decimals=6)
+
+
+def segment_stats(norm: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-event mean/std over ``norm`` segments [start, start+length) via
+    float64 cumulative sums — O(signal+bases) instead of a Python loop."""
+    cs = np.concatenate([[0.0], np.cumsum(norm, dtype=np.float64)])
+    cs2 = np.concatenate([[0.0], np.cumsum(norm * norm, dtype=np.float64)])
+    ends = starts + lengths
+    sums = cs[ends] - cs[starts]
+    sums2 = cs2[ends] - cs2[starts]
+    n = np.maximum(lengths, 1).astype(np.float64)
+    means = sums / n
+    var = np.maximum(sums2 / n - means * means, 0.0)
+    return means, np.sqrt(var)
+
+
+def segment_stats_exact(norm: np.ndarray, starts: np.ndarray,
+                        lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bit-exact np.mean/np.std per segment (pairwise summation) — the
+    reference's numerics (extract_features.py:364-365). Used in "compat"
+    mode; the cumsum path can differ by 1 ulp at 6-decimal rounding
+    boundaries."""
+    means = np.empty(len(starts), np.float64)
+    stds = np.empty(len(starts), np.float64)
+    for i in range(len(starts)):
+        seg = norm[starts[i]:starts[i] + lengths[i]]
+        means[i] = np.mean(seg)
+        stds[i] = np.std(seg)
+    return means, stds
+
+
+def build_signal_rect(norm: np.ndarray, starts: np.ndarray,
+                      lengths: np.ndarray, signal_len: int,
+                      downsample: str = "even",
+                      rng: random.Random | None = None) -> np.ndarray:
+    """(n_bases, signal_len) matrix: center-zero-padded when a base has
+    fewer samples, downsampled (order-preserving) when it has more
+    (extract_features.py:232-251).
+
+    "even": deterministic evenly-spaced downsampling (TPU-native default —
+    reproducible outputs). "compat": the reference's sorted random sample.
+    """
+    n = len(starts)
+    S = signal_len
+    rel = np.arange(S)[None, :]                       # (1, S)
+    lens = lengths[:, None]                           # (n, 1)
+    st = starts[:, None]
+
+    if downsample == "even":
+        # long bases: strictly increasing evenly-spaced picks
+        long_idx = st + (rel * lens) // S
+    elif downsample == "compat":
+        rng = rng or random
+        long_idx = np.empty((n, S), dtype=np.int64)
+        long_rows = np.nonzero(lengths > S)[0]
+        for i in long_rows:
+            picks = sorted(rng.sample(range(int(lengths[i])), S))
+            long_idx[i] = starts[i] + np.asarray(picks)
+        short_rows = lengths <= S
+        long_idx[short_rows] = (st + (rel * lens) // S)[short_rows]
+    else:
+        raise ValueError("downsample must be 'even' or 'compat'")
+
+    pad_left = (S - lens) // 2                        # (n, 1), for short rows
+    k = rel - pad_left
+    short_valid = (k >= 0) & (k < lens)
+    short_idx = st + np.clip(k, 0, np.maximum(lens - 1, 0))
+
+    is_long = lens > S
+    idx = np.where(is_long, long_idx, short_idx)
+    mask = np.where(is_long, True, short_valid)
+    # np.where (not multiply): pad slots must be +0.0, never -0.0
+    rect = np.where(mask, norm[np.clip(idx, 0, len(norm) - 1)], 0.0)
+    return rect
+
+
+@dataclass
+class ExtractOptions:
+    corrected_group: str = "RawGenomeCorrected_000"
+    basecall_subgroup: str = "BaseCalled_template"
+    normalize_method: str = "mad"
+    motifs: str = "CG"
+    mod_loc: int = 0
+    kmer_len: int = 13
+    signal_len: int = 16
+    methy_label: int = 1
+    positions: str | None = None          # path to positions file
+    region: str | None = None
+    reference_path: str | None = None
+    downsample: str = "even"
+
+
+@dataclass
+class ExtractContext:
+    """Pre-resolved, worker-shareable state (reference _extract_preprocess_,
+    extract_features.py:532-553)."""
+    motif_seqs: list[str]
+    chrom2len: dict | None
+    positions: set | None
+    regioninfo: tuple
+    opts: ExtractOptions
+
+    @classmethod
+    def build(cls, opts: ExtractOptions, is_dna: bool = True
+              ) -> "ExtractContext":
+        motif_seqs = expand_motifs(opts.motifs, is_dna)
+        chrom2len = (get_contig2len(opts.reference_path)
+                     if opts.reference_path else None)
+        positions = (read_position_file(opts.positions)
+                     if opts.positions else None)
+        regioninfo = parse_region(opts.region)
+        return cls(motif_seqs, chrom2len, positions, regioninfo, opts)
+
+
+def extract_read_features(read: TomboRead, ctx: ExtractContext,
+                          rng: random.Random | None = None):
+    """All feature rows of one read as struct-of-arrays, or None if the read
+    is filtered out. Site semantics parity: extract_features.py:296-372."""
+    opts = ctx.opts
+    rg_chrom, rg_start, rg_end = ctx.regioninfo
+    if rg_chrom is not None and rg_chrom != read.chrom:
+        return None
+
+    seq = read.seq
+    L = len(seq)
+    read_rg_start = read.chrom_start if rg_start is None else rg_start
+    read_rg_end = read.chrom_start + L if rg_end is None else rg_end
+    if read_rg_start >= read.chrom_start + L or \
+            read_rg_end <= read.chrom_start:
+        return None
+
+    chromlen = None
+    if ctx.chrom2len is not None:
+        chromlen = ctx.chrom2len.get(read.chrom)
+        if chromlen is None:
+            print("warning - chrom_name in fast5 not in provided reference "
+                  "genome!")
+
+    norm = normalize_signals(read.raw_signal, opts.normalize_method)
+    seq_bytes = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    locs = motif_locs_in_codes(seq_bytes, ctx.motif_seqs, opts.mod_loc)
+    nb = (opts.kmer_len - 1) // 2
+    locs = locs[(locs >= nb) & (locs < L - nb)]
+    if len(locs) == 0:
+        return None
+
+    if read.alignstrand == "-":
+        pos = read.chrom_start + L - 1 - locs
+    else:
+        pos = read.chrom_start + locs
+    if chromlen is not None:
+        pos_in_strand = (chromlen - 1 - pos if read.alignstrand == "-"
+                         else pos)
+    else:
+        pos_in_strand = np.full_like(pos, -1)
+
+    keep = np.ones(len(locs), dtype=bool)
+    if rg_chrom is not None:
+        keep &= (pos >= read_rg_start) & (pos < read_rg_end)
+    if ctx.positions is not None:
+        for i, p in enumerate(pos):
+            if keep[i] and KEY_SEP.join(
+                    [read.chrom, str(int(p)), read.alignstrand]) \
+                    not in ctx.positions:
+                keep[i] = False
+    locs, pos, pos_in_strand = locs[keep], pos[keep], pos_in_strand[keep]
+    if len(locs) == 0:
+        return None
+
+    stats_fn = (segment_stats_exact if opts.downsample == "compat"
+                else segment_stats)
+    means, stds = stats_fn(norm, read.event_starts, read.event_lengths)
+    rect = build_signal_rect(norm, read.event_starts, read.event_lengths,
+                             opts.signal_len, opts.downsample, rng)
+
+    # gather 13-mer windows around each kept site
+    win = locs[:, None] + np.arange(-nb, nb + 1)[None, :]   # (n, k)
+    return {
+        "chrom": read.chrom, "strand": read.alignstrand,
+        "readname": read.readname, "read_strand": read.read_strand,
+        "pos": pos, "pos_in_strand": pos_in_strand,
+        "kmers": [seq[lo - nb:lo + nb + 1] for lo in locs],
+        "means": means[win], "stds": stds[win],
+        "lens": read.event_lengths[win], "rect": rect[win],
+        "label": opts.methy_label,
+    }
+
+
+def features_to_rows(feats: dict) -> list[str]:
+    """Format one read's features as TSV rows (extract_features.py:381)."""
+    rows = []
+    n = len(feats["pos"])
+    means = np.around(feats["means"], 6)
+    stds = np.around(feats["stds"], 6)
+    for i in range(n):
+        rows.append(format_feature_row(
+            feats["chrom"], int(feats["pos"][i]), feats["strand"],
+            int(feats["pos_in_strand"][i]), feats["readname"],
+            feats["read_strand"], feats["kmers"][i], means[i], stds[i],
+            feats["lens"][i], feats["rect"][i].tolist(), feats["label"]))
+    return rows
+
+
+def features_to_batch(feats_list: list[dict], kmer_len: int,
+                      signal_len: int) -> FeatureBatch:
+    """Assemble reads' features straight into model-ready arrays — the fused
+    fast5 -> call_mods path skips text round-tripping entirely."""
+    sampleinfo: list[str] = []
+    read_ids: list[str] = []
+    kmers, means, stds, lens, rects, labels = [], [], [], [], [], []
+    for f in feats_list:
+        n = len(f["pos"])
+        for i in range(n):
+            sampleinfo.append("\t".join([
+                f["chrom"], str(int(f["pos"][i])), f["strand"],
+                str(int(f["pos_in_strand"][i])), f["readname"],
+                f["read_strand"]]))
+            read_ids.append(f["readname"])
+        kmers.append(np.stack([seq_to_codes(k) for k in f["kmers"]]))
+        # match the on-disk 6-decimal rounding so the fused path and the
+        # TSV path feed the model identical values
+        means.append(np.around(f["means"], 6))
+        stds.append(np.around(f["stds"], 6))
+        lens.append(f["lens"])
+        rects.append(f["rect"])
+        labels.append(np.full(n, f["label"], dtype=np.int32))
+    return FeatureBatch(
+        sampleinfo,
+        np.concatenate(kmers).astype(np.int32),
+        np.concatenate(means).astype(np.float32),
+        np.concatenate(stds).astype(np.float32),
+        np.concatenate(lens).astype(np.float32),
+        np.concatenate(rects).astype(np.float32),
+        np.concatenate(labels), read_ids)
+
+
+# ---------------------------------------------------------------------------
+# process-pool pipeline
+# ---------------------------------------------------------------------------
+
+_G_CTX: ExtractContext | None = None
+
+
+def _init_worker(ctx: ExtractContext, seed: int | None):
+    global _G_CTX
+    _G_CTX = ctx
+    if seed is not None:
+        random.seed(seed + os.getpid())
+
+
+def _extract_batch_feats(paths: list[str]) -> tuple[list[dict], int]:
+    ctx = _G_CTX
+    feats_list: list[dict] = []
+    errors = 0
+    for p in paths:
+        try:
+            read = read_tombo_fast5(p, ctx.opts.corrected_group,
+                                    ctx.opts.basecall_subgroup)
+            if read is None:
+                continue
+            feats = extract_read_features(read, ctx)
+            if feats is not None:
+                feats_list.append(feats)
+        except Exception:
+            errors += 1
+    return feats_list, errors
+
+
+def _worker_rows(paths: list[str]) -> tuple[list[str], int]:
+    feats_list, errors = _extract_batch_feats(paths)
+    rows: list[str] = []
+    for f in feats_list:
+        rows.extend(features_to_rows(f))
+    return rows, errors
+
+
+def _worker_batch(paths: list[str]):
+    feats_list, errors = _extract_batch_feats(paths)
+    ctx = _G_CTX
+    if not feats_list:
+        return None, errors
+    return features_to_batch(feats_list, ctx.opts.kmer_len,
+                             ctx.opts.signal_len), errors
+
+
+class _RotatingWriter:
+    """Write rows to one file or a rotating directory of batch files
+    (extract_features.py:451-517)."""
+
+    def __init__(self, write_path: str, is_dir: bool, w_batch_num: int,
+                 is_gzip: bool):
+        import gzip as _gzip
+        self._gz = is_gzip
+        self._gzip_open = _gzip.open
+        self._is_dir = is_dir
+        self._w_batch_num = w_batch_num
+        self._batch_count = 0
+        self._file_count = 0
+        if is_dir:
+            if os.path.exists(write_path) and os.path.isfile(write_path):
+                raise FileExistsError(
+                    f"{write_path} already exists as a file, please use "
+                    "another write_dir")
+            os.makedirs(write_path, exist_ok=True)
+            self._dir = write_path
+            self._fh = self._open_next()
+        else:
+            path = gzip_path(write_path) if is_gzip else write_path
+            self._fh = (self._gzip_open(path, "wt") if is_gzip
+                        else open(path, "w"))
+
+    def _open_next(self):
+        ext = ".tsv.gz" if self._gz else ".tsv"
+        path = "/".join([self._dir, str(self._file_count) + ext])
+        return self._gzip_open(path, "wt") if self._gz else open(path, "w")
+
+    def write_rows(self, rows: list[str]):
+        if self._is_dir and self._batch_count >= self._w_batch_num:
+            self._fh.close()
+            self._file_count += 1
+            self._fh = self._open_next()
+            self._batch_count = 0
+        for r in rows:
+            self._fh.write(r + "\n")
+        self._batch_count += 1
+
+    def close(self):
+        self._fh.close()
+
+
+def extract_features(fast5_dir: str, is_recursive: bool,
+                     ctx: ExtractContext, write_path: str, nproc: int = 4,
+                     f5_batch_size: int = 30, w_is_dir: bool = False,
+                     w_batch_num: int = 200, is_gzip: bool = False,
+                     seed: int | None = None) -> tuple[int, int]:
+    """Directory of fast5s -> features TSV. Returns (n_fast5s, n_errors)."""
+    print("[main] extract_features starts..")
+    t0 = time.time()
+    if not os.path.isdir(fast5_dir):
+        raise ValueError("--fast5_dir is not a directory!")
+    fast5s = get_fast5s(fast5_dir, is_recursive)
+    print("{} fast5 files in total..".format(len(fast5s)))
+
+    writer = _RotatingWriter(write_path, w_is_dir, w_batch_num, is_gzip)
+    batches = [fast5s[i:i + f5_batch_size]
+               for i in range(0, len(fast5s), f5_batch_size)]
+    nworkers = max(1, nproc - 1)
+    errors = 0
+    if nworkers == 1 or len(batches) <= 1:
+        _init_worker(ctx, seed)
+        for b in batches:
+            rows, err = _worker_rows(b)
+            errors += err
+            writer.write_rows(rows)
+    else:
+        with ProcessPoolExecutor(max_workers=nworkers,
+                                 mp_context=mp.get_context("spawn"),
+                                 initializer=_init_worker,
+                                 initargs=(ctx, seed)) as pool:
+            futs = [pool.submit(_worker_rows, b) for b in batches]
+            for fut in as_completed(futs):
+                rows, err = fut.result()
+                errors += err
+                writer.write_rows(rows)
+    writer.close()
+    print("%d of %d fast5 files failed..\n"
+          "[main] extract_features costs %.1f seconds.." % (
+              errors, len(fast5s), time.time() - t0))
+    return len(fast5s), errors
+
+
+def extract_to_call_mods(engine, fast5_dir: str, args):
+    """Fused fast5 -> call_mods path (reference GPU pipeline,
+    call_modifications.py:361-442): extraction workers produce model-ready
+    arrays; the main process pads, shards, and runs the jitted step."""
+    from ..io.batching import AsyncWriter, pad_feature_batch
+    from ..utils.bases import CODE2BASE_DNA, str2bool
+    from ..utils.formats import format_call_rows
+    from .call_mods import CallStats
+
+    opts = ExtractOptions(
+        corrected_group=args.corrected_group,
+        basecall_subgroup=args.basecall_subgroup,
+        normalize_method=args.normalize_method, motifs=args.motifs,
+        mod_loc=args.mod_loc, kmer_len=args.seq_len,
+        signal_len=args.signal_len, methy_label=1,
+        positions=args.positions, region=args.region,
+        reference_path=args.reference_path,
+        downsample=getattr(args, "downsample", "even"))
+    ctx = ExtractContext.build(opts, str2bool(args.is_dna))
+    fast5s = get_fast5s(fast5_dir, str2bool(args.recursively))
+    print("{} fast5 files in total..".format(len(fast5s)))
+    f5_batch = args.f5_batch_size
+    batches = [fast5s[i:i + f5_batch]
+               for i in range(0, len(fast5s), f5_batch)]
+
+    stats = CallStats()
+    t0 = time.time()
+    writer = AsyncWriter(args.result_file, getattr(args, "gzip", False))
+    errors = 0
+    target = engine.device_batch
+
+    pending = []      # FeatureBatches awaiting device dispatch
+    pending_rows = 0
+    inflight: list[tuple] = []
+
+    def _drain(entry):
+        probs, fb, n_valid = entry
+        probs = np.asarray(probs)[:n_valid]
+        kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
+                     for row in fb.kmer[:n_valid]]
+        rows = format_call_rows(fb.sampleinfo, fb.kmer[:n_valid],
+                                probs[:, 0], probs[:, 1], kmer_strs)
+        writer.write_rows(rows)
+        stats.sites += n_valid
+        stats.batches += 1
+
+    def _dispatch(fb, n_valid):
+        probs = engine.predict_probs(fb)
+        inflight.append((probs, fb, n_valid))
+        if len(inflight) > 1:
+            _drain(inflight.pop(0))
+
+    from ..io.batching import _merge, _split
+
+    def _flush_pending(final: bool):
+        nonlocal pending, pending_rows
+        while pending_rows >= target:
+            merged = _merge(pending)
+            head, tail = _split(merged, target)
+            _dispatch(head, target)
+            pending = [tail] if len(tail) else []
+            pending_rows = len(tail)
+        if final and pending_rows:
+            pb = pad_feature_batch(_merge(pending), target)
+            _dispatch(pb.features, pb.n_valid)
+            pending, pending_rows = [], 0
+
+    nworkers = max(1, args.nproc - 1)
+    if nworkers == 1 or len(batches) <= 1:
+        _init_worker(ctx, None)
+        results = map(_worker_batch, batches)
+        for fb, err in results:
+            errors += err
+            if fb is not None and len(fb):
+                pending.append(fb)
+                pending_rows += len(fb)
+                _flush_pending(False)
+    else:
+        with ProcessPoolExecutor(max_workers=nworkers,
+                                 mp_context=mp.get_context("spawn"),
+                                 initializer=_init_worker,
+                                 initargs=(ctx, None)) as pool:
+            futs = [pool.submit(_worker_batch, b) for b in batches]
+            for fut in as_completed(futs):
+                fb, err = fut.result()
+                errors += err
+                if fb is not None and len(fb):
+                    pending.append(fb)
+                    pending_rows += len(fb)
+                    _flush_pending(False)
+    _flush_pending(True)
+    for entry in inflight:
+        _drain(entry)
+    writer.close()
+    stats.seconds = time.time() - t0
+    print("%d of %d fast5 files failed.." % (errors, len(fast5s)))
+    return stats

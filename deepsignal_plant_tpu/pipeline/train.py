@@ -1,0 +1,265 @@
+"""train — model training on a TPU mesh.
+
+Reference behavior (train.py:22-191): two linecache datasets, one of four
+optimizers, StepLR(step=2, gamma=.1), weighted CE with pos_weight,
+grad-clip 0.5, full-valid eval every ``step_interval`` steps, checkpoint on
+epoch-best accuracy within 2e-4 of the global best, early stop after
+``min_epoch_num`` epochs without improvement.
+
+TPU-native changes:
+- the features file is vector-parsed once into dense arrays (io/dataset.py)
+  instead of per-row linecache parsing each epoch;
+- one jitted train step (forward+backward+update) with the batch sharded
+  over the "dp" mesh axis — XLA inserts the gradient psum; parameters and
+  optimizer state are replicated;
+- eval is a second jitted function over padded static batches;
+- checkpoints are .npz pytrees with the reference's file-naming scheme.
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..io.dataset import FeatureDataset
+from ..models.bilstm import Batch, forward, init_params
+from ..models.convert import load_any_checkpoint, save_checkpoint
+from ..ops.optim import make_optimizer, step_decay_schedule
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..utils import metrics as M
+
+
+def weighted_ce(logits: jax.Array, labels: jax.Array,
+                class_weights: jax.Array,
+                sample_mask: jax.Array | None = None) -> jax.Array:
+    """torch nn.CrossEntropyLoss(weight=w) semantics (train.py:78):
+    sum(w[y]*ce) / sum(w[y]), with optional padding mask."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    w = class_weights[labels]
+    if sample_mask is not None:
+        w = w * sample_mask
+    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                    class_weights: np.ndarray, clip_grad: float,
+                    sharding=None):
+    """Build the jitted (params, opt_state, step, batch, labels, mask, rng)
+    -> (params, opt_state, loss) update."""
+    cw = jnp.asarray(class_weights, jnp.float32)
+
+    def loss_fn(params, batch, labels, mask, rng):
+        logits, _ = forward(params, batch, cfg, train=True, dropout_rng=rng)
+        return weighted_ce(logits, labels, cw, mask)
+
+    def train_step(params, opt_state, batch, labels, mask, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, labels,
+                                                  mask, rng)
+        # global-norm clip at 0.5 (reference train.py:127)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, clip_grad / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    in_shardings = (None, None, sharding, sharding, sharding, None) \
+        if sharding is not None else None
+    return jax.jit(train_step, in_shardings=in_shardings, donate_argnums=(0, 1))
+
+
+def make_eval_step(cfg: ModelConfig, sharding=None):
+    def eval_step(params, batch):
+        logits, probs = forward(params, batch, cfg, train=False)
+        return jnp.argmax(probs, axis=1), probs, logits
+
+    in_shardings = (None, sharding) if sharding is not None else None
+    return jax.jit(eval_step, in_shardings=in_shardings)
+
+
+def evaluate(params, dataset: FeatureDataset, eval_step, batch_size: int,
+             class_weights: np.ndarray) -> dict:
+    preds, labels, losses = [], [], []
+    cw = np.asarray(class_weights, np.float32)
+    for batch, y, n_valid in dataset.iter_batches(batch_size, shuffle=False,
+                                                  pad_to_batch=True):
+        pred, probs, logits = eval_step(params, batch)
+        pred = np.asarray(pred)[:n_valid]
+        logits = np.asarray(logits)[:n_valid]
+        y = y[:n_valid]
+        logp = logits - np.log(np.sum(np.exp(logits - logits.max(1, keepdims=True)),
+                                      axis=1, keepdims=True)) - logits.max(1, keepdims=True)
+        ce = -logp[np.arange(len(y)), y]
+        w = cw[y]
+        losses.append(float(np.sum(w * ce) / max(np.sum(w), 1e-12)))
+        preds.append(pred)
+        labels.append(y)
+    preds = np.concatenate(preds) if preds else np.empty(0, np.int64)
+    labels = np.concatenate(labels) if labels else np.empty(0, np.int64)
+    return {"loss": float(np.mean(losses)) if losses else 0.0,
+            "accuracy": M.accuracy(labels, preds),
+            "precision": M.precision(labels, preds),
+            "recall": M.recall(labels, preds)}
+
+
+def ckpt_name(model_dir: str, module: str, seq_len: int, signal_len: int,
+              epoch: int) -> str:
+    """Reference naming (train.py:161-164), with our .npz container."""
+    return os.path.join(
+        model_dir, f"{module}.b{seq_len}_s{signal_len}_epoch{epoch}.ckpt.npz")
+
+
+def clean_old_ckpts(model_dir: str, module: str) -> None:
+    """Remove stale checkpoints of the same model_type at train start
+    (reference train.py:54-57)."""
+    rx = re.compile(r"" + re.escape(module) + r"\.b\d+_s\d+_epoch\d+\.ckpt")
+    for f in os.listdir(model_dir):
+        if rx.match(f):
+            os.remove(os.path.join(model_dir, f))
+
+
+def train(args) -> dict:
+    """CLI entry mirroring reference train(args) (train.py:22). Returns a
+    summary dict {best_accuracy, best_ckpt, epochs_run}."""
+    from ..utils.bases import str2bool
+
+    t_start = time.time()
+    print("[main] train starts..")
+    model_cfg = ModelConfig(
+        seq_len=args.seq_len, signal_len=args.signal_len,
+        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
+        num_classes=args.class_num, dropout_rate=args.dropout_rate,
+        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
+        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
+        is_signallen=str2bool(args.is_signallen), module=args.model_type)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, lr_decay=args.lr_decay,
+        lr_decay_step=args.lr_decay_step, max_epoch_num=args.max_epoch_num,
+        min_epoch_num=args.min_epoch_num, step_interval=args.step_interval,
+        pos_weight=args.pos_weight, optim_type=args.optim_type)
+
+    print("reading data..")
+    train_ds = FeatureDataset.from_file(args.train_file, model_cfg.seq_len,
+                                        model_cfg.signal_len)
+    valid_ds = FeatureDataset.from_file(args.valid_file, model_cfg.seq_len,
+                                        model_cfg.signal_len)
+
+    model_dir = args.model_dir
+    if model_dir != "/":
+        model_dir = os.path.abspath(model_dir).rstrip("/")
+        os.makedirs(model_dir, exist_ok=True)
+        clean_old_ckpts(model_dir, model_cfg.module)
+    model_dir += "/"
+
+    return train_loop(model_cfg, train_cfg, train_ds, valid_ds, model_dir,
+                      init_model=getattr(args, "init_model", None),
+                      t_start=t_start)
+
+
+def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
+               train_ds: FeatureDataset, valid_ds: FeatureDataset,
+               model_dir: str | None, init_model: str | None = None,
+               t_start: float | None = None, verbose: bool = True) -> dict:
+    """The core loop, reusable by denoise (which trains many small models)."""
+    t_start = t_start or time.time()
+    mesh = make_mesh()
+    sharding = batch_sharding(mesh)
+    # batch must divide over the mesh for sharded jit
+    ndev = mesh.devices.size
+    batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
+
+    rng_np = np.random.default_rng(train_cfg.seed)
+    params = init_params(jax.random.PRNGKey(train_cfg.seed), model_cfg)
+    if init_model is not None:
+        print(f"loading pre-trained model: {init_model}")
+        params = load_any_checkpoint(init_model, model_cfg)
+    params = jax.device_put(params)
+
+    steps_per_epoch = max(1, int(np.ceil(len(train_ds) / batch_size)))
+    schedule = step_decay_schedule(train_cfg.lr, steps_per_epoch,
+                                   train_cfg.lr_decay_step,
+                                   train_cfg.lr_decay)
+    tx = make_optimizer(train_cfg.optim_type, schedule)
+    opt_state = tx.init(params)
+
+    class_weights = np.array([1.0, train_cfg.pos_weight], np.float32)
+    train_step = make_train_step(model_cfg, tx, class_weights,
+                                 train_cfg.clip_grad, sharding)
+    eval_step = make_eval_step(model_cfg, sharding)
+
+    if verbose:
+        print("total_step: {}".format(steps_per_epoch))
+    curr_best_accuracy = 0.0
+    best_ckpt = None
+    key = jax.random.PRNGKey(train_cfg.seed + 1)
+    global_step = 0
+    epochs_run = 0
+    for epoch in range(train_cfg.max_epoch_num):
+        curr_best_accuracy_epoch = 0.0
+        no_best_model = True
+        tlosses: list[float] = []
+        tic = time.time()
+        for i, (batch, labels, n_valid) in enumerate(train_ds.iter_batches(
+                batch_size, shuffle=True, rng=rng_np, pad_to_batch=True)):
+            mask = np.zeros(batch_size, np.float32)
+            mask[:n_valid] = 1.0
+            step_key = jax.random.fold_in(key, global_step)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch, jnp.asarray(labels), mask,
+                step_key)
+            tlosses.append(loss)
+            global_step += 1
+
+            if (i + 1) % train_cfg.step_interval == 0 \
+                    or (i + 1) == steps_per_epoch:
+                stats = evaluate(params, valid_ds, eval_step, batch_size,
+                                 class_weights)
+                v_acc = stats["accuracy"]
+                if v_acc > curr_best_accuracy_epoch:
+                    curr_best_accuracy_epoch = v_acc
+                    if curr_best_accuracy_epoch > curr_best_accuracy - 0.0002:
+                        if model_dir is not None:
+                            best_ckpt = ckpt_name(model_dir, model_cfg.module,
+                                                  model_cfg.seq_len,
+                                                  model_cfg.signal_len,
+                                                  epoch + 1)
+                            save_checkpoint(best_ckpt,
+                                            jax.device_get(params),
+                                            model_cfg)
+                        if curr_best_accuracy_epoch > curr_best_accuracy:
+                            curr_best_accuracy = curr_best_accuracy_epoch
+                            no_best_model = False
+                if verbose:
+                    print("Epoch [{}/{}], Step [{}/{}], TrainLoss: {:.4f}; "
+                          "ValidLoss: {:.4f}, Accuracy: {:.4f}, "
+                          "Precision: {:.4f}, Recall: {:.4f}, "
+                          "curr_epoch_best_accuracy: {:.4f}; Time: {:.2f}s"
+                          .format(epoch + 1, train_cfg.max_epoch_num, i + 1,
+                                  steps_per_epoch,
+                                  float(np.mean([float(x) for x in tlosses])),
+                                  stats["loss"], v_acc, stats["precision"],
+                                  stats["recall"], curr_best_accuracy_epoch,
+                                  time.time() - tic))
+                    sys.stdout.flush()
+                tlosses = []
+                tic = time.time()
+        epochs_run = epoch + 1
+        if no_best_model and epoch >= train_cfg.min_epoch_num - 1:
+            if verbose:
+                print("early stop!")
+            break
+
+    if verbose:
+        print("[main] train costs {:.1f} seconds, best accuracy: {}".format(
+            time.time() - t_start, curr_best_accuracy))
+    return {"best_accuracy": curr_best_accuracy, "best_ckpt": best_ckpt,
+            "epochs_run": epochs_run, "params": jax.device_get(params)}

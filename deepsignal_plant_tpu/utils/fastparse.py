@@ -1,0 +1,78 @@
+"""ctypes glue for the native features-TSV parser (native/featparse.cpp).
+
+``parse_feature_bytes`` parses a newline-terminated byte block into a
+FeatureBatch ~10x faster than the Python codec; returns None when the
+native library is unavailable so callers can fall back.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native import get_native_lib
+from .formats import FeatureBatch
+
+_configured = False
+
+
+def _configure(lib) -> None:
+    global _configured
+    if _configured:
+        return
+    c_char_p = ctypes.c_char_p
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.dsp_count_lines.argtypes = [c_char_p, i64]
+    lib.dsp_count_lines.restype = i64
+    lib.dsp_parse_features.argtypes = [
+        c_char_p, i64, i32, i32, i32p, f32p, f32p, f32p, f32p, i32p,
+        i64p, i64p]
+    lib.dsp_parse_features.restype = i64
+    _configured = True
+
+
+def native_available() -> bool:
+    return get_native_lib() is not None
+
+
+def parse_feature_bytes(block: bytes, kmer_len: int = 13,
+                        signal_len: int = 16,
+                        with_read_ids: bool = False) -> FeatureBatch | None:
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+
+    n_max = lib.dsp_count_lines(block, len(block))
+    if n_max == 0:
+        return FeatureBatch([], np.empty((0, kmer_len), np.int32),
+                            np.empty((0, kmer_len), np.float32),
+                            np.empty((0, kmer_len), np.float32),
+                            np.empty((0, kmer_len), np.float32),
+                            np.empty((0, kmer_len, signal_len), np.float32),
+                            np.empty(0, np.int32))
+    kmer = np.empty((n_max, kmer_len), np.int32)
+    means = np.empty((n_max, kmer_len), np.float32)
+    stds = np.empty((n_max, kmer_len), np.float32)
+    slens = np.empty((n_max, kmer_len), np.float32)
+    signals = np.empty((n_max, kmer_len, signal_len), np.float32)
+    labels = np.empty(n_max, np.int32)
+    row_starts = np.empty(n_max, np.int64)
+    info_ends = np.empty(n_max, np.int64)
+
+    n = lib.dsp_parse_features(block, len(block), kmer_len, signal_len,
+                               kmer, means, stds, slens, signals, labels,
+                               row_starts, info_ends)
+    if n < 0:
+        raise ValueError(f"malformed features row at line {-n - 1}")
+    n = int(n)
+    sampleinfo = [block[row_starts[i]:info_ends[i]].decode()
+                  for i in range(n)]
+    read_ids = ([s.rsplit("\t", 2)[1] for s in sampleinfo]
+                if with_read_ids else [])
+    return FeatureBatch(sampleinfo, kmer[:n], means[:n], stds[:n],
+                        slens[:n], signals[:n], labels[:n], read_ids)

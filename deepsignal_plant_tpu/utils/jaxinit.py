@@ -1,0 +1,24 @@
+"""Process-level JAX runtime setup shared by the CLI entrypoints."""
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(compilation_cache: bool = True) -> None:
+    """Enable the persistent XLA compilation cache so repeated CLI
+    invocations skip recompiles (TPU compiles of the full model can take
+    minutes through remote-attached runtimes)."""
+    import jax
+    if compilation_cache:
+        cache_dir = os.environ.get(
+            "DSP_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/dsp_tpu_xla"))
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
+        except Exception:
+            pass  # older jax without these flags: in-process cache only
