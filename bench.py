@@ -29,16 +29,26 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
-DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "8192"))
+DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "32768"))
 
 
 def make_features_file(path: str, n_rows: int) -> None:
-    from make_synthetic import synth_feature_rows, write_feature_file
+    """Write a features TSV by tiling one generated block — row content
+    doesn't affect throughput, generation speed does."""
+    from make_synthetic import synth_feature_rows
     rng = np.random.default_rng(42)
-    sites_per_read = 256
-    n_reads = (n_rows + sites_per_read - 1) // sites_per_read
-    rows = synth_feature_rows(rng, n_reads, sites_per_read)
-    write_feature_file(path, rows[:n_rows])
+    block_rows = min(n_rows, 8192)
+    rows = synth_feature_rows(rng, (block_rows + 255) // 256, 256)
+    block = "\n".join(rows[:block_rows]) + "\n"
+    with open(path, "w") as wf:
+        written = 0
+        while written < n_rows:
+            take = min(block_rows, n_rows - written)
+            if take == block_rows:
+                wf.write(block)
+            else:
+                wf.write("\n".join(rows[:take]) + "\n")
+            written += take
 
 
 def measure_tpu(features_path: str, ckpt_path: str) -> float:

@@ -82,7 +82,8 @@ def main_extract(args):
     ctx = ExtractContext.build(opts, str2bool(args.is_dna))
     extract_features(args.fast5_dir, str2bool(args.recursively), ctx,
                      args.write_path, args.nproc, args.f5_batch_size,
-                     str2bool(args.w_is_dir), args.w_batch_num, args.gzip)
+                     str2bool(args.w_is_dir), args.w_batch_num, args.gzip,
+                     out_format=args.w_format)
 
 
 def main_call_mods(args):
@@ -136,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_path", "-o", type=str, required=True)
     p.add_argument("--w_is_dir", type=str, default="no")
     p.add_argument("--w_batch_num", type=int, default=200)
+    p.add_argument("--w_format", type=str, default="tsv",
+                   choices=["tsv", "npz"],
+                   help="tsv: reference-compatible text; npz: binary "
+                        "feature batches (directory output, no text codec "
+                        "downstream)")
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4)
     p.add_argument("--f5_batch_size", type=int, default=30)
@@ -150,8 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".ckpt (torch) or .ckpt.npz (native) checkpoint")
     _add_model_args(p, dropout_default=0.0)
     p.add_argument("--batch_size", "-b", type=int, default=512)
-    p.add_argument("--device_batch", type=int, default=4096,
+    p.add_argument("--device_batch", type=int, default=32768,
                    help="padded per-step TPU batch (rows)")
+    p.add_argument("--transfer_dtype", type=str, default="float16",
+                   choices=["float16", "float32"],
+                   help="host->device wire format; float32 for exact-parity "
+                        "runs")
     p.add_argument("--result_file", "-o", type=str, required=True)
     p.add_argument("--gzip", action="store_true", default=False)
     _add_f5_args(p)
@@ -159,6 +169,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nproc_gpu", type=int, default=2,
                    help="accepted for reference CLI compatibility (unused: "
                         "the TPU engine data-parallelizes over the mesh)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler device trace here")
+    p.add_argument("--verbose_stages", action="store_true", default=False,
+                   help="print per-stage host timing counters at the end")
     p.set_defaults(func=main_call_mods)
 
     # ---- call_freq ----

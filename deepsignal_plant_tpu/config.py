@@ -27,6 +27,8 @@ class ModelConfig:
     is_signallen: bool = True
     module: str = "both_bilstm"
     compute_dtype: str = "float32"  # "float32" (parity) or "bfloat16" (fast)
+    recurrence: str = "scan"        # "scan" | "pallas" (fused TPU kernel,
+                                    # inference only; training always scans)
 
     def __post_init__(self):
         if self.module not in MODULE_TYPES:
@@ -61,10 +63,14 @@ class ModelConfig:
 class CallConfig:
     """Inference-engine settings (reference CALL/PARALLEL arg groups)."""
     batch_size: int = 512
-    device_batch: int = 4096      # per-step padded device batch (TPU-sized)
+    device_batch: int = 32768     # per-step padded device batch; large
+                                  # batches amortize per-dispatch latency
     f5_batch_size: int = 30
     use_pallas: bool = True
     num_parse_workers: int = 2
+    # wire format host->device: "float16" halves transfer bytes (the model
+    # computes in compute_dtype regardless); "float32" for exact parity
+    transfer_dtype: str = "float16"
 
 
 @dataclass(frozen=True)

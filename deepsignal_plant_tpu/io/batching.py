@@ -123,34 +123,36 @@ def batches_from_features_file(path: str, device_batch: int,
     across line blocks); only the final batch is padded.
     """
     from ..utils.fastparse import native_available, parse_feature_bytes
+    from ..utils.formats import feature_npz_paths, load_feature_npz
 
-    if native_available():
-        blocks = (parse_feature_bytes(raw, kmer_len, signal_len)
-                  for raw in iter_byte_blocks(path))
+    npz_files = feature_npz_paths(path)
+    if npz_files is not None:
+        blocks = bounded_thread_map(load_feature_npz, npz_files,
+                                    workers=2, depth=4)
+    elif native_available():
+        blocks = bounded_thread_map(
+            lambda raw: parse_feature_bytes(raw, kmer_len, signal_len),
+            iter_byte_blocks(path, 4 << 20), workers=3, depth=6)
     else:
         blocks = (parse_feature_lines(block, kmer_len, signal_len)
                   for block in iter_line_blocks(path, device_batch))
 
-    pending: list[FeatureBatch] = []
-    pending_rows = 0
+    asm = BatchAssembler(device_batch)
     for fb in blocks:
-        pending.append(fb)
-        pending_rows += len(fb)
-        while pending_rows >= device_batch:
-            merged = _merge(pending)
-            head, tail = _split(merged, device_batch)
-            yield PaddedBatch(head, device_batch)
-            pending = [tail] if len(tail) else []
-            pending_rows = len(tail)
-    if pending_rows:
-        yield pad_feature_batch(_merge(pending), device_batch)
+        asm.add(fb)
+        while (full := asm.pop_full()) is not None:
+            yield PaddedBatch(full, device_batch)
+    rest = asm.pop_rest()
+    if rest is not None:
+        yield pad_feature_batch(rest, device_batch)
 
 
 def _merge(batches: list[FeatureBatch]) -> FeatureBatch:
     if len(batches) == 1:
         return batches[0]
+    from itertools import chain
     return FeatureBatch(
-        sampleinfo=sum((b.sampleinfo for b in batches), []),
+        sampleinfo=list(chain.from_iterable(b.sampleinfo for b in batches)),
         kmer=np.concatenate([b.kmer for b in batches]),
         base_means=np.concatenate([b.base_means for b in batches]),
         base_stds=np.concatenate([b.base_stds for b in batches]),
@@ -158,10 +160,11 @@ def _merge(batches: list[FeatureBatch]) -> FeatureBatch:
             [b.base_signal_lens for b in batches]),
         signals=np.concatenate([b.signals for b in batches]),
         labels=np.concatenate([b.labels for b in batches]),
-        read_ids=sum((b.read_ids for b in batches), []))
+        read_ids=list(chain.from_iterable(b.read_ids for b in batches)))
 
 
 def _split(fb: FeatureBatch, n: int) -> tuple[FeatureBatch, FeatureBatch]:
+    """Split into (first n rows, rest); array parts are views, not copies."""
     head = FeatureBatch(fb.sampleinfo[:n], fb.kmer[:n], fb.base_means[:n],
                         fb.base_stds[:n], fb.base_signal_lens[:n],
                         fb.signals[:n], fb.labels[:n], fb.read_ids[:n])
@@ -169,6 +172,80 @@ def _split(fb: FeatureBatch, n: int) -> tuple[FeatureBatch, FeatureBatch]:
                         fb.base_stds[n:], fb.base_signal_lens[n:],
                         fb.signals[n:], fb.labels[n:], fb.read_ids[n:])
     return head, tail
+
+
+class BatchAssembler:
+    """Re-chunk a stream of ragged FeatureBatches into exact ``target``-row
+    batches with one array copy per emitted batch (fragments are views)."""
+
+    def __init__(self, target: int):
+        from collections import deque
+        self.target = target
+        self._frags: deque = deque()
+        self._rows = 0
+
+    def add(self, fb: FeatureBatch) -> None:
+        if len(fb):
+            self._frags.append(fb)
+            self._rows += len(fb)
+
+    @property
+    def rows(self) -> int:
+        return self._rows
+
+    def pop_full(self) -> FeatureBatch | None:
+        if self._rows < self.target:
+            return None
+        pieces: list[FeatureBatch] = []
+        need = self.target
+        while need > 0:
+            fb = self._frags.popleft()
+            if len(fb) <= need:
+                pieces.append(fb)
+                need -= len(fb)
+            else:
+                head, tail = _split(fb, need)
+                pieces.append(head)
+                self._frags.appendleft(tail)
+                need = 0
+        self._rows -= self.target
+        if len(pieces) == 1:
+            return pieces[0]
+        return _merge(pieces)
+
+    def pop_rest(self) -> FeatureBatch | None:
+        if self._rows == 0:
+            return None
+        pieces = list(self._frags)
+        self._frags.clear()
+        self._rows = 0
+        return pieces[0] if len(pieces) == 1 else _merge(pieces)
+
+
+def bounded_thread_map(fn: Callable, it: Iterable, workers: int = 2,
+                       depth: int = 4) -> Iterator:
+    """Ordered parallel map over an iterator with bounded lookahead —
+    ThreadPoolExecutor.map without its unbounded input consumption. Made
+    for the native parser, whose ctypes calls release the GIL."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(it)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    window: deque = deque()
+    try:
+        exhausted = False
+        while True:
+            while not exhausted and len(window) < depth:
+                try:
+                    window.append(pool.submit(fn, next(it)))
+                except StopIteration:
+                    exhausted = True
+            if not window:
+                break
+            yield window.popleft().result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 class PrefetchIterator:

@@ -35,7 +35,11 @@ class FeatureDataset:
     def from_file(cls, path: str, kmer_len: int = 13, signal_len: int = 16,
                   block_lines: int = 100_000) -> "FeatureDataset":
         from ..utils.fastparse import native_available, parse_feature_bytes
-        if native_available():
+        from ..utils.formats import feature_npz_paths, load_feature_npz
+        npz_files = feature_npz_paths(path)
+        if npz_files is not None:
+            parts = [load_feature_npz(f) for f in npz_files]
+        elif native_available():
             from .batching import iter_byte_blocks
             parts = [parse_feature_bytes(raw, kmer_len, signal_len)
                      for raw in iter_byte_blocks(path)]

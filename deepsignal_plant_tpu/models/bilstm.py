@@ -106,6 +106,8 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     L = cfg.seq_len
     rngs = (list(jax.random.split(dropout_rng, 4))
             if (train and dropout_rng is not None) else [None] * 4)
+    # training always scans: the pallas recurrence has no VJP
+    impl = cfg.recurrence if not train else "scan"
 
     out_seq = out_signal = None
     if cfg.module != "signal_bilstm":
@@ -117,7 +119,8 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
             feats = [params["embed"][batch.kmer.astype(jnp.int32)]] + feats
         x_seq = jnp.concatenate([f.astype(cdt) for f in feats], axis=2)
         out_seq = bilstm_stack(x_seq, params["lstm_seq"], cfg.nhid_seq,
-                               cfg.dropout_rate, rngs[0], train, cdt)
+                               cfg.dropout_rate, rngs[0], train, cdt,
+                               impl=impl)
         out_seq = out_seq @ params["fc_seq"]["w"].astype(cdt) \
             + params["fc_seq"]["b"].astype(cdt)
         out_seq = jax.nn.relu(out_seq)
@@ -126,7 +129,7 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
         x_sig = batch.signals.astype(cdt)
         out_signal = bilstm_stack(x_sig, params["lstm_signal"],
                                   cfg.nhid_signal, cfg.dropout_rate, rngs[1],
-                                  train, cdt)
+                                  train, cdt, impl=impl)
         out_signal = out_signal @ params["fc_signal"]["w"].astype(cdt) \
             + params["fc_signal"]["b"].astype(cdt)
         out_signal = jax.nn.relu(out_signal)
@@ -141,7 +144,7 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     # top stack returns only final states (== reference readout models.py:229)
     out = bilstm_stack(out, params["lstm_comb"], cfg.hidden_size,
                        cfg.dropout_rate, rngs[2], train, cdt,
-                       last_layer_sequence=False)
+                       last_layer_sequence=False, impl=impl)
 
     if train:
         out = _dropout(out, cfg.dropout_rate, rngs[3])

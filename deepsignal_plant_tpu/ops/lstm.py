@@ -85,12 +85,16 @@ def _scan_bidir(xproj: jax.Array, w_hh: jax.Array, hidden_size: int,
 
 def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
                  h0c0=None, compute_dtype=jnp.float32,
-                 return_sequence: bool = True) -> jax.Array:
+                 return_sequence: bool = True,
+                 impl: str = "scan") -> jax.Array:
     """One bidirectional LSTM layer.
 
     x: (B, T, F). Returns (B, T, 2H) if return_sequence, else the final
     hidden states concatenated (B, 2H) — which equals the reference readout
     ``cat(out[:, -1, :H], out[:, 0, H:])`` (models.py:229-231).
+
+    impl: "scan" (lax.scan, differentiable) or "pallas" (fused TPU kernel,
+    inference path).
     """
     x = x.astype(compute_dtype)
     # (B,T,F) @ (2,F,4H) -> (2,B,T,4H): one MXU matmul for every step x dir
@@ -101,8 +105,17 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
     xproj = jnp.stack([xproj[0], jnp.flip(xproj[1], axis=1)], axis=0)
     xproj = jnp.moveaxis(xproj, 2, 0)  # (T, 2, B, 4H)
 
-    ys, h_T, _ = _scan_bidir(xproj, params["w_hh"].astype(compute_dtype),
-                             hidden_size, h0c0, compute_dtype)
+    if impl == "pallas":
+        if h0c0 is not None:
+            raise ValueError("pallas recurrence supports zero initial "
+                             "states only")
+        from .pallas_lstm import bilstm_recurrence_pallas
+        ys = bilstm_recurrence_pallas(xproj, params["w_hh"], hidden_size)
+        ys = ys.astype(compute_dtype)
+        h_T = ys[-1]
+    else:
+        ys, h_T, _ = _scan_bidir(xproj, params["w_hh"].astype(compute_dtype),
+                                 hidden_size, h0c0, compute_dtype)
     if not return_sequence:
         return jnp.concatenate([h_T[0], h_T[1]], axis=-1)  # (B, 2H)
     fwd = jnp.moveaxis(ys[:, 0], 0, 1)                  # (B, T, H)
@@ -113,7 +126,8 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
 def bilstm_stack(x: jax.Array, layers: list[Params], hidden_size: int,
                  dropout_rate: float = 0.0, dropout_rng=None,
                  train: bool = False, compute_dtype=jnp.float32,
-                 last_layer_sequence: bool = True) -> jax.Array:
+                 last_layer_sequence: bool = True,
+                 impl: str = "scan") -> jax.Array:
     """Multi-layer BiLSTM with inter-layer dropout (torch semantics: dropout
     on every layer's output except the last, models.py:156-157).
 
@@ -126,7 +140,8 @@ def bilstm_stack(x: jax.Array, layers: list[Params], hidden_size: int,
     for li, p in enumerate(layers):
         is_last = li == n - 1
         out = bilstm_layer(out, p, hidden_size, compute_dtype=compute_dtype,
-                           return_sequence=(not is_last) or last_layer_sequence)
+                           return_sequence=(not is_last) or last_layer_sequence,
+                           impl=impl)
         if train and dropout_rate > 0.0 and not is_last:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - dropout_rate

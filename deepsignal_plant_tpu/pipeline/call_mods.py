@@ -55,6 +55,11 @@ class CallModsEngine:
         self.model_cfg = model_cfg.with_(dropout_rate=0.0)
         self.call_cfg = call_cfg or CallConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
+        # fused pallas recurrence on TPU backends (axon = tunneled TPU)
+        backend = jax.default_backend()
+        if self.call_cfg.use_pallas and backend in ("tpu", "axon") \
+                and self.model_cfg.recurrence == "scan":
+            self.model_cfg = self.model_cfg.with_(recurrence="pallas")
         self.device_batch = local_batch_target(self.call_cfg.device_batch,
                                                self.mesh)
         self.params = jax.device_put(
@@ -64,6 +69,9 @@ class CallModsEngine:
         self._single = self.mesh.devices.size == 1
         self._sharding = None if self._single else batch_sharding(self.mesh)
 
+        self._step = self._build_step()
+
+    def _build_step(self):
         cfg = self.model_cfg
 
         def _step(params, batch: Batch):
@@ -71,26 +79,45 @@ class CallModsEngine:
             return probs
 
         if self._single:
-            self._step = jax.jit(_step)
-        else:
-            self._step = jax.jit(
-                _step, in_shardings=(None, self._sharding),
-                out_shardings=self._sharding)
+            return jax.jit(_step)
+        return jax.jit(_step, in_shardings=(None, self._sharding),
+                       out_shardings=self._sharding)
 
     def predict_probs(self, fb) -> np.ndarray:
         """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""
-        batch = Batch(kmer=fb.kmer, base_means=fb.base_means,
-                      base_stds=fb.base_stds,
-                      base_signal_lens=fb.base_signal_lens,
-                      signals=fb.signals)
+        if self.call_cfg.transfer_dtype == "float16":
+            # shrink the host->device wire format: int8 base codes + f16
+            # floats (values are 6-decimal-rounded, |x| < ~1e3; f16 rel
+            # error ~5e-4 is far below call-decision scale)
+            batch = Batch(kmer=fb.kmer.astype(np.int8),
+                          base_means=fb.base_means.astype(np.float16),
+                          base_stds=fb.base_stds.astype(np.float16),
+                          base_signal_lens=fb.base_signal_lens.astype(
+                              np.float16),
+                          signals=fb.signals.astype(np.float16))
+        else:
+            batch = Batch(kmer=fb.kmer, base_means=fb.base_means,
+                          base_stds=fb.base_stds,
+                          base_signal_lens=fb.base_signal_lens,
+                          signals=fb.signals)
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
-        return self._step(self.params, batch)
+        try:
+            return self._step(self.params, batch)
+        except Exception as exc:
+            if self.model_cfg.recurrence != "pallas":
+                raise
+            print("[warn] pallas recurrence failed ({}: {}); falling back "
+                  "to scan".format(type(exc).__name__, exc))
+            self.model_cfg = self.model_cfg.with_(recurrence="scan")
+            self._step = self._build_step()
+            return self._step(self.params, batch)
 
     def run_features_file(self, input_path: str, result_path: str,
                           is_gzip: bool = False) -> CallStats:
         """features TSV -> call_mods TSV (reference else-branch,
         call_modifications.py:584-636)."""
+        from ..utils.prof import PROFILER
         cfg = self.model_cfg
         stats = CallStats()
         t0 = time.time()
@@ -108,17 +135,20 @@ class CallModsEngine:
 
         def _drain(entry):
             probs, fb, n_valid = entry
-            probs = np.asarray(probs)[:n_valid]
-            kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
-                         for row in fb.kmer[:n_valid]]
-            rows = format_call_rows(fb.sampleinfo, fb.kmer[:n_valid],
-                                    probs[:, 0], probs[:, 1], kmer_strs)
+            with PROFILER.stage("fetch", n_valid):
+                probs = np.asarray(probs)[:n_valid]
+            with PROFILER.stage("format", n_valid):
+                kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
+                             for row in fb.kmer[:n_valid]]
+                rows = format_call_rows(fb.sampleinfo, fb.kmer[:n_valid],
+                                        probs[:, 0], probs[:, 1], kmer_strs)
             writer.write_rows(rows)
             stats.sites += n_valid
             stats.batches += 1
 
         for pb in batches:
-            probs = self.predict_probs(pb.features)
+            with PROFILER.stage("dispatch", pb.n_valid):
+                probs = self.predict_probs(pb.features)
             inflight.append((probs, pb.features, pb.n_valid))
             if len(inflight) > depth:
                 _drain(inflight.pop(0))
@@ -144,8 +174,10 @@ def call_mods(args) -> CallStats:
         embedding_size=args.n_embed, is_base=str2bool(args.is_base),
         is_signallen=str2bool(args.is_signallen), module=args.model_type)
     call_cfg = CallConfig(batch_size=args.batch_size,
-                          device_batch=getattr(args, "device_batch", 4096),
-                          f5_batch_size=args.f5_batch_size)
+                          device_batch=getattr(args, "device_batch", 32768),
+                          f5_batch_size=args.f5_batch_size,
+                          transfer_dtype=getattr(args, "transfer_dtype",
+                                                 "float16"))
 
     input_path = os.path.abspath(args.input_path)
     if not os.path.exists(input_path):
@@ -156,13 +188,22 @@ def call_mods(args) -> CallStats:
 
     print("[main] call_mods starts..")
     t0 = time.time()
+    from ..parallel.dist import host_output_path, shard_for_host
+    from ..utils.prof import PROFILER, device_trace
     engine = CallModsEngine(model_path, model_cfg, call_cfg)
-    if os.path.isdir(input_path):
-        from .extract import extract_to_call_mods
-        stats = extract_to_call_mods(engine, input_path, args)
-    else:
-        stats = engine.run_features_file(input_path, args.result_file,
-                                         getattr(args, "gzip", False))
+    result_file = host_output_path(args.result_file)
+    from ..utils.formats import feature_npz_paths
+    with device_trace(getattr(args, "profile_dir", None)):
+        if os.path.isdir(input_path) and \
+                feature_npz_paths(input_path) is None:
+            from .extract import extract_to_call_mods
+            stats = extract_to_call_mods(engine, input_path, args,
+                                         result_file)
+        else:  # features TSV, .npz file, or a directory of .npz batches
+            stats = engine.run_features_file(input_path, result_file,
+                                             getattr(args, "gzip", False))
+    if getattr(args, "verbose_stages", False):
+        print(PROFILER.report())
     print("[main] call_mods costs %.2f seconds.. "
           "(%d sites, %.0f sites/s)" % (time.time() - t0, stats.sites,
                                         stats.sites_per_s))

@@ -387,16 +387,49 @@ def extract_features(fast5_dir: str, is_recursive: bool,
                      ctx: ExtractContext, write_path: str, nproc: int = 4,
                      f5_batch_size: int = 30, w_is_dir: bool = False,
                      w_batch_num: int = 200, is_gzip: bool = False,
-                     seed: int | None = None) -> tuple[int, int]:
-    """Directory of fast5s -> features TSV. Returns (n_fast5s, n_errors)."""
+                     seed: int | None = None,
+                     out_format: str = "tsv") -> tuple[int, int]:
+    """Directory of fast5s -> features TSV (reference format) or a
+    directory of binary .npz feature batches (``out_format="npz"`` — the
+    TPU-native container, no text codec downstream). Returns
+    (n_fast5s, n_errors). Multi-host runs shard the fast5 list per host."""
+    from ..parallel.dist import shard_for_host
+    from ..utils.formats import save_feature_npz
+
     print("[main] extract_features starts..")
     t0 = time.time()
     if not os.path.isdir(fast5_dir):
         raise ValueError("--fast5_dir is not a directory!")
-    fast5s = get_fast5s(fast5_dir, is_recursive)
-    print("{} fast5 files in total..".format(len(fast5s)))
+    fast5s = shard_for_host(get_fast5s(fast5_dir, is_recursive))
+    print("{} fast5 files in total (this host)..".format(len(fast5s)))
 
-    writer = _RotatingWriter(write_path, w_is_dir, w_batch_num, is_gzip)
+    as_npz = out_format == "npz"
+    if as_npz:
+        if os.path.isfile(write_path):
+            raise FileExistsError(f"{write_path} exists as a file")
+        os.makedirs(write_path, exist_ok=True)
+        npz_count = 0
+
+        def _sink(result):
+            nonlocal npz_count
+            fb, err = result
+            if fb is not None and len(fb):
+                save_feature_npz(
+                    os.path.join(write_path, f"{npz_count:06d}.npz"), fb)
+                npz_count += 1
+            return err
+
+        worker = _worker_batch
+    else:
+        writer = _RotatingWriter(write_path, w_is_dir, w_batch_num, is_gzip)
+
+        def _sink(result):
+            rows, err = result
+            writer.write_rows(rows)
+            return err
+
+        worker = _worker_rows
+
     batches = [fast5s[i:i + f5_batch_size]
                for i in range(0, len(fast5s), f5_batch_size)]
     nworkers = max(1, nproc - 1)
@@ -404,34 +437,36 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     if nworkers == 1 or len(batches) <= 1:
         _init_worker(ctx, seed)
         for b in batches:
-            rows, err = _worker_rows(b)
-            errors += err
-            writer.write_rows(rows)
+            errors += _sink(worker(b))
     else:
         with ProcessPoolExecutor(max_workers=nworkers,
                                  mp_context=mp.get_context("spawn"),
                                  initializer=_init_worker,
                                  initargs=(ctx, seed)) as pool:
-            futs = [pool.submit(_worker_rows, b) for b in batches]
+            futs = [pool.submit(worker, b) for b in batches]
             for fut in as_completed(futs):
-                rows, err = fut.result()
-                errors += err
-                writer.write_rows(rows)
-    writer.close()
+                errors += _sink(fut.result())
+    if not as_npz:
+        writer.close()
     print("%d of %d fast5 files failed..\n"
           "[main] extract_features costs %.1f seconds.." % (
               errors, len(fast5s), time.time() - t0))
     return len(fast5s), errors
 
 
-def extract_to_call_mods(engine, fast5_dir: str, args):
+def extract_to_call_mods(engine, fast5_dir: str, args,
+                         result_file: str | None = None):
     """Fused fast5 -> call_mods path (reference GPU pipeline,
     call_modifications.py:361-442): extraction workers produce model-ready
-    arrays; the main process pads, shards, and runs the jitted step."""
+    arrays; the main process pads, shards, and runs the jitted step.
+    Multi-host: each host processes its shard of the fast5 list."""
     from ..io.batching import AsyncWriter, pad_feature_batch
+    from ..parallel.dist import shard_for_host
     from ..utils.bases import CODE2BASE_DNA, str2bool
     from ..utils.formats import format_call_rows
     from .call_mods import CallStats
+
+    result_file = result_file or args.result_file
 
     opts = ExtractOptions(
         corrected_group=args.corrected_group,
@@ -443,20 +478,20 @@ def extract_to_call_mods(engine, fast5_dir: str, args):
         reference_path=args.reference_path,
         downsample=getattr(args, "downsample", "even"))
     ctx = ExtractContext.build(opts, str2bool(args.is_dna))
-    fast5s = get_fast5s(fast5_dir, str2bool(args.recursively))
-    print("{} fast5 files in total..".format(len(fast5s)))
+    fast5s = shard_for_host(get_fast5s(fast5_dir, str2bool(args.recursively)))
+    print("{} fast5 files in total (this host)..".format(len(fast5s)))
     f5_batch = args.f5_batch_size
     batches = [fast5s[i:i + f5_batch]
                for i in range(0, len(fast5s), f5_batch)]
 
     stats = CallStats()
     t0 = time.time()
-    writer = AsyncWriter(args.result_file, getattr(args, "gzip", False))
+    writer = AsyncWriter(result_file, getattr(args, "gzip", False))
     errors = 0
     target = engine.device_batch
 
-    pending = []      # FeatureBatches awaiting device dispatch
-    pending_rows = 0
+    from ..io.batching import BatchAssembler
+    asm = BatchAssembler(target)
     inflight: list[tuple] = []
 
     def _drain(entry):
@@ -476,20 +511,14 @@ def extract_to_call_mods(engine, fast5_dir: str, args):
         if len(inflight) > 1:
             _drain(inflight.pop(0))
 
-    from ..io.batching import _merge, _split
-
     def _flush_pending(final: bool):
-        nonlocal pending, pending_rows
-        while pending_rows >= target:
-            merged = _merge(pending)
-            head, tail = _split(merged, target)
-            _dispatch(head, target)
-            pending = [tail] if len(tail) else []
-            pending_rows = len(tail)
-        if final and pending_rows:
-            pb = pad_feature_batch(_merge(pending), target)
-            _dispatch(pb.features, pb.n_valid)
-            pending, pending_rows = [], 0
+        while (full := asm.pop_full()) is not None:
+            _dispatch(full, target)
+        if final:
+            rest = asm.pop_rest()
+            if rest is not None:
+                pb = pad_feature_batch(rest, target)
+                _dispatch(pb.features, pb.n_valid)
 
     nworkers = max(1, args.nproc - 1)
     if nworkers == 1 or len(batches) <= 1:
@@ -498,8 +527,7 @@ def extract_to_call_mods(engine, fast5_dir: str, args):
         for fb, err in results:
             errors += err
             if fb is not None and len(fb):
-                pending.append(fb)
-                pending_rows += len(fb)
+                asm.add(fb)
                 _flush_pending(False)
     else:
         with ProcessPoolExecutor(max_workers=nworkers,
@@ -511,8 +539,7 @@ def extract_to_call_mods(engine, fast5_dir: str, args):
                 fb, err = fut.result()
                 errors += err
                 if fb is not None and len(fb):
-                    pending.append(fb)
-                    pending_rows += len(fb)
+                    asm.add(fb)
                     _flush_pending(False)
     _flush_pending(True)
     for entry in inflight:
