@@ -133,6 +133,10 @@ def build_parser() -> argparse.ArgumentParser:
                                           "(tombo) fast5s")
     p.add_argument("--fast5_dir", "-i", type=str, required=True)
     _add_f5_args(p)
+    p.add_argument("--seq_len", type=int, default=13,
+                   help="len of kmer. default 13")
+    p.add_argument("--signal_len", type=int, default=16,
+                   help="signals per base, default 16")
     p.add_argument("--methy_label", type=int, choices=[1, 0], default=1)
     p.add_argument("--write_path", "-o", type=str, required=True)
     p.add_argument("--w_is_dir", type=str, default="no")

@@ -53,7 +53,8 @@ class CrossRankTrainer:
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         mesh = make_mesh()
-        self.sharding = batch_sharding(mesh)
+        self.sharding = batch_sharding(mesh) if mesh.devices.size > 1 \
+            else None
         ndev = mesh.devices.size
         self.batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
         self.class_weights = np.array([1.0, train_cfg.pos_weight],

@@ -172,8 +172,9 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     """The core loop, reusable by denoise (which trains many small models)."""
     t_start = t_start or time.time()
     mesh = make_mesh()
-    sharding = batch_sharding(mesh)
-    # batch must divide over the mesh for sharded jit
+    # single-device: plain jit (the SPMD partitioner only adds compile
+    # latency); multi-device: shard the batch axis over the mesh
+    sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
     ndev = mesh.devices.size
     batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
 
