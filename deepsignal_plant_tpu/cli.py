@@ -212,6 +212,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step_interval", type=int, default=100)
     p.add_argument("--pos_weight", type=float, default=1.0)
     p.add_argument("--init_model", type=str, default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the saved train state in --model_dir "
+                        "(params + optimizer + epoch position)")
     p.add_argument("--tmpdir", type=str, default="/tmp")
     p.set_defaults(func=main_train)
 

@@ -117,6 +117,7 @@ class CallModsEngine:
                           is_gzip: bool = False) -> CallStats:
         """features TSV -> call_mods TSV (reference else-branch,
         call_modifications.py:584-636)."""
+        from ..io.batching import bounded_thread_map
         from ..utils.prof import PROFILER
         cfg = self.model_cfg
         stats = CallStats()
@@ -127,14 +128,19 @@ class CallModsEngine:
             depth=4)
         writer = AsyncWriter(result_path, is_gzip)
 
-        # software pipeline: keep several steps in flight so host->device
-        # transfers and formatting overlap device compute (jax dispatch is
-        # async; np.asarray blocks)
-        depth = 3
-        inflight: list[tuple] = []
+        # software pipeline: dispatches run in a small thread pool so the
+        # host->device copies of consecutive batches overlap (the per-call
+        # transfer/RPC latency, not compute, bounds remote-attached TPUs);
+        # results come back in order and are formatted on the main thread
+        # while later steps are in flight.
+        def _dispatch(pb):
+            with PROFILER.stage("dispatch", pb.n_valid):
+                return self.predict_probs(pb.features), pb
 
-        def _drain(entry):
-            probs, fb, n_valid = entry
+        for probs, pb in bounded_thread_map(_dispatch, batches, workers=2,
+                                            depth=4):
+            n_valid = pb.n_valid
+            fb = pb.features
             with PROFILER.stage("fetch", n_valid):
                 probs = np.asarray(probs)[:n_valid]
             with PROFILER.stage("format", n_valid):
@@ -145,15 +151,6 @@ class CallModsEngine:
             writer.write_rows(rows)
             stats.sites += n_valid
             stats.batches += 1
-
-        for pb in batches:
-            with PROFILER.stage("dispatch", pb.n_valid):
-                probs = self.predict_probs(pb.features)
-            inflight.append((probs, pb.features, pb.n_valid))
-            if len(inflight) > depth:
-                _drain(inflight.pop(0))
-        for entry in inflight:
-            _drain(entry)
         writer.close()
         stats.seconds = time.time() - t0
         return stats

@@ -111,6 +111,32 @@ def evaluate(params, dataset: FeatureDataset, eval_step, batch_size: int,
             "recall": M.recall(labels, preds)}
 
 
+def save_train_state(path: str, params, opt_state, epoch: int,
+                     global_step: int, best_accuracy: float) -> None:
+    """Full resumable training state (params + optimizer + position) — the
+    reference checkpoints weights only (train.py:161, SURVEY §5.4)."""
+    import pickle
+    state = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "epoch": epoch,
+        "global_step": global_step,
+        "best_accuracy": best_accuracy,
+    }
+    blob = np.frombuffer(pickle.dumps(state), dtype=np.uint8)
+    np.savez(path, train_state=blob)
+
+
+def load_train_state(path: str) -> dict:
+    import pickle
+    with np.load(path) as z:
+        return pickle.loads(bytes(z["train_state"]))
+
+
+def train_state_path(model_dir: str, module: str) -> str:
+    return os.path.join(model_dir, f"{module}.train_state.npz")
+
+
 def ckpt_name(model_dir: str, module: str, seq_len: int, signal_len: int,
               epoch: int) -> str:
     """Reference naming (train.py:161-164), with our .npz container."""
@@ -157,18 +183,21 @@ def train(args) -> dict:
     if model_dir != "/":
         model_dir = os.path.abspath(model_dir).rstrip("/")
         os.makedirs(model_dir, exist_ok=True)
-        clean_old_ckpts(model_dir, model_cfg.module)
+        if not getattr(args, "resume", False):
+            clean_old_ckpts(model_dir, model_cfg.module)
     model_dir += "/"
 
     return train_loop(model_cfg, train_cfg, train_ds, valid_ds, model_dir,
                       init_model=getattr(args, "init_model", None),
-                      t_start=t_start)
+                      t_start=t_start,
+                      resume=getattr(args, "resume", False))
 
 
 def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                train_ds: FeatureDataset, valid_ds: FeatureDataset,
                model_dir: str | None, init_model: str | None = None,
-               t_start: float | None = None, verbose: bool = True) -> dict:
+               t_start: float | None = None, verbose: bool = True,
+               resume: bool = False) -> dict:
     """The core loop, reusable by denoise (which trains many small models)."""
     t_start = t_start or time.time()
     mesh = make_mesh()
@@ -204,7 +233,20 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     key = jax.random.PRNGKey(train_cfg.seed + 1)
     global_step = 0
     epochs_run = 0
-    for epoch in range(train_cfg.max_epoch_num):
+    start_epoch = 0
+    state_path = (train_state_path(model_dir, model_cfg.module)
+                  if model_dir is not None else None)
+    if resume and state_path is not None and os.path.exists(state_path):
+        st = load_train_state(state_path)
+        params = jax.device_put(st["params"])
+        opt_state = jax.device_put(st["opt_state"])
+        start_epoch = st["epoch"]
+        global_step = st["global_step"]
+        curr_best_accuracy = st["best_accuracy"]
+        if verbose:
+            print("resuming training from epoch {} (step {})".format(
+                start_epoch, global_step))
+    for epoch in range(start_epoch, train_cfg.max_epoch_num):
         curr_best_accuracy_epoch = 0.0
         no_best_model = True
         tlosses: list[float] = []
@@ -254,6 +296,9 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 tlosses = []
                 tic = time.time()
         epochs_run = epoch + 1
+        if state_path is not None:
+            save_train_state(state_path, params, opt_state, epoch + 1,
+                             global_step, curr_best_accuracy)
         if no_best_model and epoch >= train_cfg.min_epoch_num - 1:
             if verbose:
                 print("early stop!")
