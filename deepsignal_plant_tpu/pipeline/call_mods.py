@@ -23,7 +23,6 @@ import time
 from dataclasses import dataclass
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import CallConfig, ModelConfig
@@ -185,7 +184,7 @@ def call_mods(args) -> CallStats:
 
     print("[main] call_mods starts..")
     t0 = time.time()
-    from ..parallel.dist import host_output_path, shard_for_host
+    from ..parallel.dist import host_output_path
     from ..utils.prof import PROFILER, device_trace
     engine = CallModsEngine(model_path, model_cfg, call_cfg)
     result_file = host_output_path(args.result_file)

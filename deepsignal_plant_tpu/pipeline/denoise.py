@@ -23,7 +23,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config import ModelConfig, TrainConfig
 from ..io.dataset import FeatureDataset

@@ -21,7 +21,6 @@ import os
 import re
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ import optax
 
 from ..config import ModelConfig, TrainConfig
 from ..io.dataset import FeatureDataset
-from ..models.bilstm import Batch, forward, init_params
+from ..models.bilstm import forward, init_params
 from ..models.convert import load_any_checkpoint, save_checkpoint
 from ..ops.optim import make_optimizer, step_decay_schedule
 from ..parallel.mesh import batch_sharding, make_mesh
