@@ -249,6 +249,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     from .utils.jaxinit import setup_jax
     setup_jax()
+    from .parallel.dist import init_distributed
+    init_distributed()  # no-op unless a multi-process env is configured
     if hasattr(args, "func"):
         args.func(args)
     else:

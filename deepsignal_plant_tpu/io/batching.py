@@ -300,8 +300,11 @@ class AsyncWriter:
                 rows = self._q.get()
                 if rows is _SENTINEL:
                     break
-                self._fh.write("\n".join(rows))
-                self._fh.write("\n")
+                if isinstance(rows, str):   # pre-joined block
+                    self._fh.write(rows)
+                else:
+                    self._fh.write("\n".join(rows))
+                    self._fh.write("\n")
         except BaseException as exc:
             self._err = exc
         finally:
@@ -312,6 +315,13 @@ class AsyncWriter:
             raise self._err
         if rows:
             self._q.put(rows)
+
+    def write_text(self, text: str):
+        """Write a pre-joined, newline-terminated block."""
+        if self._err is not None:
+            raise self._err
+        if text:
+            self._q.put(text)
 
     def close(self):
         self._q.put(_SENTINEL)

@@ -14,6 +14,7 @@
 //
 //   dsp_count_lines(buf, len) -> newline count.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -174,6 +175,86 @@ int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
         p = line_end + 1;
     }
     return row;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// call_mods row-suffix formatting
+// ---------------------------------------------------------------------------
+//
+// Produces, per row, the text "\tP0\tP1\tLABEL\tKMER5\n" where P0 is
+// p0/(p0+p1) rounded to 6 decimals and P1 = 1 - P0 (reference
+// call_modifications.py:176-188). The probability strings are the minimal
+// decimal representation of the rounded value (matching Python's
+// str(round(x, 6)) except at sub-ulp .5e-6 boundaries).
+
+namespace {
+
+const char kBases[17] = "ACGTNWSMKRYBVDHZ";
+
+// write r/1e6 (0 <= r <= 1e6) as minimal decimal, e.g. 123450 -> 0.12345,
+// 500000 -> 0.5, 0 -> 0.0, 1000000 -> 1.0
+char* write_prob(char* p, int64_t r) {
+    *p++ = (r >= 1000000) ? '1' : '0';
+    if (r >= 1000000) r -= 1000000;
+    *p++ = '.';
+    if (r == 0) { *p++ = '0'; return p; }
+    char digits[6];
+    for (int i = 5; i >= 0; --i) { digits[i] = char('0' + r % 10); r /= 10; }
+    int last = 5;
+    while (last > 0 && digits[last] == '0') --last;
+    for (int i = 0; i <= last; ++i) *p++ = digits[i];
+    return p;
+}
+
+// round v*1e6 half-even
+int64_t round6(double v) {
+    double t = v * 1e6;
+    double f = floor(t);
+    double frac = t - f;
+    int64_t r = int64_t(f);
+    if (frac > 0.5) ++r;
+    else if (frac == 0.5 && (r & 1)) ++r;
+    return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// probs: (n, 2) float32; kmer: (n, L) int32; out: buffer of >= n*40 bytes.
+// Writes n suffix lines "\tp0\tp1\tlabel\tkmer5\n"; fills out_lens[i] with
+// each line's byte length. Returns total bytes written.
+int64_t dsp_format_call_suffixes(const float* probs, const int32_t* kmer,
+                                 int64_t n, int kmer_len, char* out,
+                                 int32_t* out_lens) {
+    char* p = out;
+    int center = kmer_len / 2;
+    int lo = center - 2 > 0 ? center - 2 : 0;
+    int hi = center + 3 < kmer_len ? center + 3 : kmer_len;
+    for (int64_t i = 0; i < n; ++i) {
+        char* start = p;
+        double p0 = probs[2 * i];
+        double p1 = probs[2 * i + 1];
+        int64_t r0 = round6(p0 / (p0 + p1));
+        int64_t r1 = 1000000 - r0;
+        *p++ = '\t';
+        p = write_prob(p, r0);
+        *p++ = '\t';
+        p = write_prob(p, r1);
+        *p++ = '\t';
+        *p++ = (p0 >= p1) ? '0' : '1';
+        *p++ = '\t';
+        const int32_t* k = kmer + i * kmer_len;
+        for (int j = lo; j < hi; ++j) {
+            int32_t c = k[j];
+            *p++ = (c >= 0 && c < 16) ? kBases[c] : 'N';
+        }
+        *p++ = '\n';
+        out_lens[i] = int32_t(p - start);
+    }
+    return p - out;
 }
 
 }  // extern "C"

@@ -143,11 +143,17 @@ class CallModsEngine:
             with PROFILER.stage("fetch", n_valid):
                 probs = np.asarray(probs)[:n_valid]
             with PROFILER.stage("format", n_valid):
-                kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
-                             for row in fb.kmer[:n_valid]]
-                rows = format_call_rows(fb.sampleinfo, fb.kmer[:n_valid],
-                                        probs[:, 0], probs[:, 1], kmer_strs)
-            writer.write_rows(rows)
+                from ..utils.fastparse import format_call_block
+                block = format_call_block(fb.sampleinfo, probs,
+                                          fb.kmer[:n_valid])
+                if block is not None:
+                    writer.write_text(block)
+                else:
+                    kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row)
+                                 for row in fb.kmer[:n_valid]]
+                    writer.write_rows(format_call_rows(
+                        fb.sampleinfo, fb.kmer[:n_valid], probs[:, 0],
+                        probs[:, 1], kmer_strs))
             stats.sites += n_valid
             stats.batches += 1
         writer.close()

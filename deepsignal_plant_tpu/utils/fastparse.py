@@ -32,6 +32,10 @@ def _configure(lib) -> None:
         c_char_p, i64, i32, i32, i32p, f32p, f32p, f32p, f32p, i32p,
         i64p, i64p]
     lib.dsp_parse_features.restype = i64
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.dsp_format_call_suffixes.argtypes = [f32p, i32p, i64, i32, u8p,
+                                             i32p]
+    lib.dsp_format_call_suffixes.restype = i64
     _configured = True
 
 
@@ -76,3 +80,29 @@ def parse_feature_bytes(block: bytes, kmer_len: int = 13,
                 if with_read_ids else [])
     return FeatureBatch(sampleinfo, kmer[:n], means[:n], stds[:n],
                         slens[:n], signals[:n], labels[:n], read_ids)
+
+
+def format_call_block(sampleinfo: list[str], probs: np.ndarray,
+                      kmer: np.ndarray) -> str | None:
+    """Native-formatted call_mods text block (rows joined, trailing
+    newline) — parity with utils.formats.format_call_rows. Returns None
+    when the native library is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    n, L = kmer.shape
+    probs = np.ascontiguousarray(probs, dtype=np.float32)
+    kmer = np.ascontiguousarray(kmer, dtype=np.int32)
+    out = np.empty(n * 40, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int32)
+    total = lib.dsp_format_call_suffixes(probs, kmer, n, L, out, lens)
+    suffixes = out[:total].tobytes().decode("ascii")
+    parts: list[str] = []
+    pos = 0
+    for i, info in enumerate(sampleinfo):
+        end = pos + int(lens[i])
+        parts.append(info)
+        parts.append(suffixes[pos:end])
+        pos = end
+    return "".join(parts)

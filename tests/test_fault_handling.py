@@ -1,0 +1,57 @@
+"""Failure handling: corrupt inputs are counted and skipped, not fatal
+(reference behavior: per-read try/except with an error counter,
+extract_features.py:373-375,649)."""
+import os
+
+import numpy as np
+
+from make_synthetic import synth_fast5_dir, synth_genome, write_fasta
+
+from deepsignal_plant_tpu.pipeline.extract import (ExtractContext,
+                                                   ExtractOptions,
+                                                   extract_features)
+
+
+def test_corrupt_fast5_counted_not_fatal(tmp_path, rng):
+    genome = synth_genome(rng, {"chr1": 1500})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    n = synth_fast5_dir(f5dir, genome, rng, n_reads=4, read_len=100)
+    # two corrupt files: truncated garbage and an empty file
+    with open(os.path.join(f5dir, "corrupt_a.fast5"), "wb") as fh:
+        fh.write(b"\x89HDF\r\n\x1a\nnot really hdf5")
+    open(os.path.join(f5dir, "corrupt_b.fast5"), "wb").close()
+
+    ctx = ExtractContext.build(ExtractOptions(motifs="CG",
+                                              reference_path=fasta))
+    out = str(tmp_path / "features.tsv")
+    total, errors = extract_features(f5dir, True, ctx, out, nproc=2,
+                                     f5_batch_size=2)
+    assert total == n + 2
+    assert errors == 2
+    lines = open(out).read().splitlines()
+    assert len(lines) > 0  # good reads still extracted
+    assert all(len(l.split("\t")) == 12 for l in lines)
+
+
+def test_fast5_without_alignment_skipped(tmp_path, rng):
+    """A fast5 missing the tombo Alignment group is skipped silently
+    (reference returns empty attrs, extract_features.py:172-173)."""
+    import h5py
+
+    genome = synth_genome(rng, {"chr1": 1500})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=2, read_len=100)
+    # valid HDF5 with raw signal but no tombo analysis
+    with h5py.File(os.path.join(f5dir, "noalign.fast5"), "w") as h5:
+        g = h5.create_group("Raw/Reads/Read_0")
+        g.attrs["read_id"] = np.bytes_("noalign")
+        g.create_dataset("Signal", data=np.zeros(10, np.int16))
+
+    ctx = ExtractContext.build(ExtractOptions(motifs="CG",
+                                              reference_path=fasta))
+    out = str(tmp_path / "features.tsv")
+    total, errors = extract_features(f5dir, True, ctx, out, nproc=1)
+    assert total == 3
+    assert errors == 0  # skip, not error — matches reference semantics

@@ -1,0 +1,54 @@
+"""Native call-row formatter parity with the Python formatter."""
+import numpy as np
+import pytest
+
+from deepsignal_plant_tpu.native import build_native
+from deepsignal_plant_tpu.utils.bases import CODE2BASE_DNA
+from deepsignal_plant_tpu.utils.fastparse import format_call_block
+from deepsignal_plant_tpu.utils.formats import format_call_rows
+
+
+@pytest.fixture(scope="module", autouse=True)
+def native():
+    assert build_native(force=True)
+
+
+def _cases(rng, n):
+    kmer = rng.integers(0, 16, size=(n, 13)).astype(np.int32)
+    p1 = rng.random(n).astype(np.float32)
+    probs = np.stack([1 - p1, p1], axis=1)
+    sampleinfo = [f"chr1\t{i}\t+\t{i}\tr{i}\tt" for i in range(n)]
+    return sampleinfo, probs, kmer
+
+
+def test_native_format_matches_python(rng):
+    sampleinfo, probs, kmer = _cases(rng, 500)
+    kmer_strs = ["".join(CODE2BASE_DNA[int(c)] for c in row) for row in kmer]
+    py_rows = format_call_rows(sampleinfo, kmer, probs[:, 0], probs[:, 1],
+                               kmer_strs)
+    block = format_call_block(sampleinfo, probs, kmer)
+    assert block is not None
+    native_rows = block.splitlines()
+    assert len(native_rows) == len(py_rows)
+    mismatches = [i for i, (a, b) in enumerate(zip(native_rows, py_rows))
+                  if a != b]
+    # sub-ulp .5e-6 rounding boundaries may differ; must be essentially none
+    assert len(mismatches) == 0, \
+        f"{len(mismatches)} mismatches, first: " \
+        f"{native_rows[mismatches[0]]!r} vs {py_rows[mismatches[0]]!r}"
+
+
+def test_native_format_edge_probs():
+    sampleinfo = ["c\t1\t+\t1\tr\tt"] * 6
+    probs = np.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5],
+                      [0.25, 0.75], [1e-7, 1 - 1e-7],
+                      [0.9999995, 0.0000005]], np.float32)
+    kmer = np.tile(np.arange(13, dtype=np.int32), (6, 1))
+    block = format_call_block(sampleinfo, probs, kmer)
+    rows = [r.split("\t") for r in block.splitlines()]
+    assert rows[0][6] == "1.0" and rows[0][7] == "0.0" and rows[0][8] == "0"
+    assert rows[1][6] == "0.0" and rows[1][7] == "1.0" and rows[1][8] == "1"
+    assert rows[2][6] == "0.5" and rows[2][8] == "0"   # tie -> label 0
+    assert rows[3][6] == "0.25" and rows[3][7] == "0.75"
+    # center 5-mer of codes 0..12 -> indices 4..8 -> N W S M K
+    assert rows[0][9] == "NWSMK"
