@@ -193,9 +193,25 @@ namespace {
 
 const char kBases[17] = "ACGTNWSMKRYBVDHZ";
 
-// write r/1e6 (0 <= r <= 1e6) as minimal decimal, e.g. 123450 -> 0.12345,
-// 500000 -> 0.5, 0 -> 0.0, 1000000 -> 1.0
+// Python repr of x = a/1e6 for 0 < a < 100 (|x| < 1e-4): scientific
+// notation, e.g. 41 -> "4.1e-05", 40 -> "4e-05", 5 -> "5e-06".
+char* write_small_sci(char* p, unsigned long long a) {
+    if (a >= 10) {
+        *p++ = char('0' + a / 10);
+        if (a % 10) { *p++ = '.'; *p++ = char('0' + a % 10); }
+        *p++ = 'e'; *p++ = '-'; *p++ = '0'; *p++ = '5';
+    } else {
+        *p++ = char('0' + a);
+        *p++ = 'e'; *p++ = '-'; *p++ = '0'; *p++ = '6';
+    }
+    return p;
+}
+
+// write r/1e6 (0 <= r <= 1e6) as Python str(round(x, 6)):
+// 123450 -> 0.12345, 500000 -> 0.5, 0 -> 0.0, 1000000 -> 1.0,
+// 41 -> 4.1e-05 (repr switches to scientific below 1e-4)
 char* write_prob(char* p, int64_t r) {
+    if (r > 0 && r < 100) return write_small_sci(p, (unsigned long long)r);
     *p++ = (r >= 1000000) ? '1' : '0';
     if (r >= 1000000) r -= 1000000;
     *p++ = '.';
@@ -222,6 +238,87 @@ int64_t round6(double v) {
 }  // namespace
 
 extern "C" {
+
+// means/stds/rect: float64 (UNROUNDED; rounded to 6 decimals half-even here,
+// matching np.around + str, including the "-0.0" case); lens: int32.
+// Writes, per site, the text of feature columns 7-10:
+//   "MEANS\tSTDS\tLENS\tRECT" (no leading/trailing tab), rect rows joined
+// by ';'. out must hold >= n * (3*L*16 + L*S*16) bytes.
+// out_lens[i] receives each site's byte length; returns total bytes.
+static char* write_signed6(char* p, double v) {
+    double t = v * 1e6;
+    double f = floor(t);
+    double frac = t - f;
+    long long r = (long long)f;
+    if (frac > 0.5) ++r;
+    else if (frac == 0.5 && (r & 1)) ++r;
+    bool neg = r < 0 || (r == 0 && std::signbit(v));
+    unsigned long long a = neg ? (unsigned long long)(-r) : (unsigned long long)r;
+    if (neg) *p++ = '-';
+    if (a > 0 && a < 100)      // |x| < 1e-4: Python repr goes scientific
+        return write_small_sci(p, a);
+    unsigned long long ip = a / 1000000ULL;
+    unsigned long long fp = a % 1000000ULL;
+    // integer part
+    char ibuf[24];
+    int ilen = 0;
+    if (ip == 0) ibuf[ilen++] = '0';
+    while (ip) { ibuf[ilen++] = char('0' + ip % 10); ip /= 10; }
+    while (ilen) *p++ = ibuf[--ilen];
+    *p++ = '.';
+    if (fp == 0) { *p++ = '0'; return p; }
+    char digits[6];
+    for (int i = 5; i >= 0; --i) { digits[i] = char('0' + fp % 10); fp /= 10; }
+    int last = 5;
+    while (last > 0 && digits[last] == '0') --last;
+    for (int i = 0; i <= last; ++i) *p++ = digits[i];
+    return p;
+}
+
+int64_t dsp_format_feature_cols(const double* means, const double* stds,
+                                const int32_t* lens, const double* rect,
+                                int64_t n, int L, int S, char* out,
+                                int32_t* out_lens) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        char* start = p;
+        const double* m = means + i * L;
+        const double* s = stds + i * L;
+        const int32_t* ln = lens + i * L;
+        const double* r = rect + i * int64_t(L) * S;
+        for (int j = 0; j < L; ++j) {
+            if (j) *p++ = ',';
+            p = write_signed6(p, m[j]);
+        }
+        *p++ = '\t';
+        for (int j = 0; j < L; ++j) {
+            if (j) *p++ = ',';
+            p = write_signed6(p, s[j]);
+        }
+        *p++ = '\t';
+        for (int j = 0; j < L; ++j) {
+            if (j) *p++ = ',';
+            int32_t v = ln[j];
+            char ibuf[12];
+            int il = 0;
+            uint32_t a = v < 0 ? uint32_t(-v) : uint32_t(v);
+            if (v < 0) *p++ = '-';
+            if (a == 0) ibuf[il++] = '0';
+            while (a) { ibuf[il++] = char('0' + a % 10); a /= 10; }
+            while (il) *p++ = ibuf[--il];
+        }
+        *p++ = '\t';
+        for (int j = 0; j < L; ++j) {
+            if (j) *p++ = ';';
+            for (int k = 0; k < S; ++k) {
+                if (k) *p++ = ',';
+                p = write_signed6(p, r[j * S + k]);
+            }
+        }
+        out_lens[i] = int32_t(p - start);
+    }
+    return p - out;
+}
 
 // probs: (n, 2) float32; kmer: (n, L) int32; out: buffer of >= n*40 bytes.
 // Writes n suffix lines "\tp0\tp1\tlabel\tkmer5\n"; fills out_lens[i] with

@@ -242,9 +242,23 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
 
 
 def features_to_rows(feats: dict) -> list[str]:
-    """Format one read's features as TSV rows (extract_features.py:381)."""
-    rows = []
+    """Format one read's features as TSV rows (extract_features.py:381).
+    Uses the native column formatter when available."""
+    from ..utils.fastparse import format_feature_cols
+
     n = len(feats["pos"])
+    cols = format_feature_cols(feats["means"], feats["stds"],
+                               feats["lens"], feats["rect"])
+    if cols is not None:
+        label = str(feats["label"])
+        chrom, strand = feats["chrom"], feats["strand"]
+        readname, read_strand = feats["readname"], feats["read_strand"]
+        return ["\t".join([chrom, str(int(feats["pos"][i])), strand,
+                           str(int(feats["pos_in_strand"][i])), readname,
+                           read_strand, feats["kmers"][i], cols[i], label])
+                for i in range(n)]
+
+    rows = []
     means = np.around(feats["means"], 6)
     stds = np.around(feats["stds"], 6)
     for i in range(n):

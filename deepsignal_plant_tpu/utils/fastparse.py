@@ -36,6 +36,10 @@ def _configure(lib) -> None:
     lib.dsp_format_call_suffixes.argtypes = [f32p, i32p, i64, i32, u8p,
                                              i32p]
     lib.dsp_format_call_suffixes.restype = i64
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.dsp_format_feature_cols.argtypes = [f64p, f64p, i32p, f64p, i64,
+                                            i32, i32, u8p, i32p]
+    lib.dsp_format_feature_cols.restype = i64
     _configured = True
 
 
@@ -80,6 +84,36 @@ def parse_feature_bytes(block: bytes, kmer_len: int = 13,
                 if with_read_ids else [])
     return FeatureBatch(sampleinfo, kmer[:n], means[:n], stds[:n],
                         slens[:n], signals[:n], labels[:n], read_ids)
+
+
+def format_feature_cols(means: np.ndarray, stds: np.ndarray,
+                        lens: np.ndarray, rect: np.ndarray
+                        ) -> list[str] | None:
+    """Native-formatted feature columns 7-10 per site (means/stds/lens csv +
+    ';'-joined rect), parity with np.around(...,6)+str including -0.0.
+    Returns None when the native library is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    n, L = means.shape
+    S = rect.shape[2]
+    means = np.ascontiguousarray(means, np.float64)
+    stds = np.ascontiguousarray(stds, np.float64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    rect = np.ascontiguousarray(rect, np.float64)
+    out = np.empty(n * (3 * L * 16 + L * S * 16), np.uint8)
+    out_lens = np.empty(n, np.int32)
+    total = lib.dsp_format_feature_cols(means, stds, lens, rect, n, L, S,
+                                        out, out_lens)
+    text = out[:total].tobytes().decode("ascii")
+    cols = []
+    pos = 0
+    for i in range(n):
+        end = pos + int(out_lens[i])
+        cols.append(text[pos:end])
+        pos = end
+    return cols
 
 
 def format_call_block(sampleinfo: list[str], probs: np.ndarray,

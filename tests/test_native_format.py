@@ -38,6 +38,48 @@ def test_native_format_matches_python(rng):
         f"{native_rows[mismatches[0]]!r} vs {py_rows[mismatches[0]]!r}"
 
 
+def test_native_feature_cols_match_python(rng):
+    """Feature-column formatter == np.around+str, incl. -0.0 and the
+    scientific-notation switch below 1e-4."""
+    from deepsignal_plant_tpu.utils.fastparse import format_feature_cols
+    n, L, S = 2000, 13, 16
+    means = rng.normal(0, 2, (n, L))
+    means[1] = rng.uniform(-1e-4, 1e-4, L)
+    means[2] = [0.0, -0.0, 4.1e-5, -4.1e-5, 1e-6, -1e-6, 9.9e-5, 5e-6,
+                0.0001, -0.0001, 99e-6, 2.0, -2.0]
+    stds = np.abs(rng.normal(0, 1, (n, L)))
+    stds[3] = np.abs(np.asarray(means[2]))
+    lens = rng.integers(1, 100, (n, L)).astype(np.int32)
+    rect = np.around(rng.normal(0, 3, (n, L, S)), 6)
+    rect[4, 0, :13] = means[2]
+    cols = format_feature_cols(means, stds, lens, rect)
+    assert cols is not None
+
+    def py_cols(i):
+        m = ",".join(str(x) for x in np.around(means[i], 6).tolist())
+        s = ",".join(str(x) for x in np.around(stds[i], 6).tolist())
+        l = ",".join(str(int(x)) for x in lens[i])
+        r = ";".join(",".join(str(y) for y in row)
+                     for row in np.around(rect[i], 6).tolist())
+        return "\t".join([m, s, l, r])
+
+    assert sum(cols[i] != py_cols(i) for i in range(n)) == 0
+
+
+def test_native_format_tiny_probs(rng):
+    """Probabilities below 1e-4 print in Python's scientific notation."""
+    from deepsignal_plant_tpu.utils.fastparse import format_call_block
+    si = ["c\t1\t+\t1\tr\tt"] * 8
+    p1 = np.array([0.9999995, 0.999999, 1 - 4.1e-5, 1 - 1e-6, 0.5,
+                   4.1e-5, 1e-6, 0.9999], np.float32)
+    probs = np.stack([1 - p1, p1], axis=1)
+    kmer = np.tile(np.arange(13, dtype=np.int32), (8, 1))
+    ks = ["".join(CODE2BASE_DNA[int(c)] for c in row) for row in kmer]
+    py_rows = format_call_rows(si, kmer, probs[:, 0], probs[:, 1], ks)
+    nat_rows = format_call_block(si, probs, kmer).splitlines()
+    assert nat_rows == py_rows
+
+
 def test_native_format_edge_probs():
     sampleinfo = ["c\t1\t+\t1\tr\tt"] * 6
     probs = np.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5],
