@@ -83,7 +83,7 @@ def main_extract(args):
     extract_features(args.fast5_dir, str2bool(args.recursively), ctx,
                      args.write_path, args.nproc, args.f5_batch_size,
                      str2bool(args.w_is_dir), args.w_batch_num, args.gzip,
-                     out_format=args.w_format)
+                     seed=args.seed, out_format=args.w_format)
 
 
 def main_call_mods(args):
@@ -149,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4)
     p.add_argument("--f5_batch_size", type=int, default=30)
+    p.add_argument("--seed", type=int, default=None,
+                   help="seed the per-worker RNG of --downsample compat "
+                        "for reproducible extraction")
     p.set_defaults(func=main_extract)
 
     # ---- call_mods ----

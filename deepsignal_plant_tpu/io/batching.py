@@ -307,6 +307,13 @@ class AsyncWriter:
                     self._fh.write("\n")
         except BaseException as exc:
             self._err = exc
+            # keep draining so producers blocked on a full queue (and
+            # close()'s sentinel put) never hang; the error surfaces on
+            # the producer's next write_rows/close call
+            while True:
+                item = self._q.get()
+                if item is _SENTINEL:
+                    break
         finally:
             self._fh.close()
 

@@ -2,10 +2,11 @@
 
 Parity target: the reference ships BasicBlock / ResNet_3layers / ResNet3
 (deepsignal_plant/models.py:29-95) but leaves them disconnected (the
-signal-branch conv stack is commented out, models.py:148,208-210). Here the
-same architecture is implemented functionally in JAX and can be enabled as
-the signal branch via ``ModelConfig(signal_encoder="resnet")`` — giving the
-conv path the reference describes but never wires up.
+signal-branch conv stack is commented out, models.py:148,208-210). The
+same architecture is implemented functionally here — like the reference it
+is NOT wired into ModelBiLSTM's forward; it is available as a standalone,
+tested building block (``resnet3(x, params, train)``) for future signal
+encoders.
 
 Layout: inputs (B, C, L) channel-major like torch Conv1d. Weights convert
 1:1 from the torch modules (models/convert.py handles Linear/LSTM; conv

@@ -47,12 +47,18 @@ def process_info() -> tuple[int, int]:
 
 def shard_for_host(items: Sequence[T], process_id: int | None = None,
                    process_count: int | None = None) -> list[T]:
-    """Deterministic round-robin shard of a work list for this host."""
+    """Deterministic round-robin shard of a work list for this host.
+
+    Always sorts first: directory listings (os.walk/scandir) are not
+    ordered consistently across hosts, and every host must agree on the
+    partition or files get duplicated/dropped."""
     if process_id is None or process_count is None:
         pid, pcount = process_info()
     else:
         pid, pcount = process_id, process_count
-    ordered = sorted(items) if not isinstance(items, list) else items
+    if pcount == 1:
+        return list(items)
+    ordered = sorted(items)
     return [x for i, x in enumerate(ordered) if i % pcount == pid]
 
 

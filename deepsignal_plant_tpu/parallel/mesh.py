@@ -19,8 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
-    """A 1-D data-parallel mesh over ``devices`` (default: all devices)."""
-    devices = devices if devices is not None else jax.devices()
+    """A 1-D data-parallel mesh over ``devices`` (default: this process's
+    addressable devices — pipelines feed host-local numpy batches, which
+    cannot target other hosts' devices; multi-host scaling shards input
+    files per host instead, parallel/dist.py)."""
+    devices = devices if devices is not None else jax.local_devices()
     return Mesh(np.asarray(devices), (axis,))
 
 

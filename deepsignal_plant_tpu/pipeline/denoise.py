@@ -58,12 +58,24 @@ class CrossRankTrainer:
         self.batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
         self.class_weights = np.array([1.0, train_cfg.pos_weight],
                                       np.float32)
-        self._train_step_cache: dict[int, object] = {}
+        # jitted steps cached by steps_per_epoch (the only value baked into
+        # the schedule closure): one compile serves every mini-training of
+        # the same shape across all rounds and iterations
+        self._step_cache: dict[int, tuple] = {}
         self.eval_step = make_eval_step(model_cfg, self.sharding)
 
-    def _train_step(self, steps_per_epoch: int, tx):
-        return make_train_step(self.model_cfg, tx, self.class_weights,
-                               self.train_cfg.clip_grad, self.sharding)
+    def _get_step(self, steps_per_epoch: int):
+        """-> (tx, train_step), compiled once per steps_per_epoch."""
+        cached = self._step_cache.get(steps_per_epoch)
+        if cached is None:
+            schedule = step_decay_schedule(self.train_cfg.lr,
+                                           steps_per_epoch, 2, 0.1)
+            tx = make_optimizer("Adam", schedule)
+            step = make_train_step(self.model_cfg, tx, self.class_weights,
+                                   self.train_cfg.clip_grad, self.sharding)
+            cached = (tx, step)
+            self._step_cache[steps_per_epoch] = cached
+        return cached
 
     def train_then_score(self, train_ds: FeatureDataset,
                          score_ds: FeatureDataset, seed: int,
@@ -75,10 +87,8 @@ class CrossRankTrainer:
         rng_np = np.random.default_rng(seed)
         params = init_params(jax.random.PRNGKey(seed), cfg)
         steps_per_epoch = max(1, int(np.ceil(len(train_ds) / self.batch_size)))
-        schedule = step_decay_schedule(tcfg.lr, steps_per_epoch, 2, 0.1)
-        tx = make_optimizer("Adam", schedule)
+        tx, train_step = self._get_step(steps_per_epoch)
         opt_state = tx.init(params)
-        train_step = self._train_step(steps_per_epoch, tx)
         key = jax.random.PRNGKey(seed + 7)
 
         gstep = 0

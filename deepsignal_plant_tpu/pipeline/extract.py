@@ -158,6 +158,8 @@ class ExtractContext:
     @classmethod
     def build(cls, opts: ExtractOptions, is_dna: bool = True
               ) -> "ExtractContext":
+        if opts.kmer_len % 2 == 0:
+            raise ValueError("kmer_len must be odd")
         motif_seqs = expand_motifs(opts.motifs, is_dna)
         chrom2len = (get_contig2len(opts.reference_path)
                      if opts.reference_path else None)
@@ -308,17 +310,28 @@ def features_to_batch(feats_list: list[dict], kmer_len: int,
 # ---------------------------------------------------------------------------
 
 _G_CTX: ExtractContext | None = None
+_G_SEED: int | None = None
 
 
 def _init_worker(ctx: ExtractContext, seed: int | None):
-    global _G_CTX
+    global _G_CTX, _G_SEED
     _G_CTX = ctx
-    if seed is not None:
-        random.seed(seed + os.getpid())
+    _G_SEED = seed
 
 
-def _extract_batch_feats(paths: list[str]) -> tuple[list[dict], int]:
+def _batch_rng(batch_idx: int) -> random.Random | None:
+    """Deterministic per-batch RNG for "compat" downsampling: keyed by the
+    batch index, not the worker pid, so --seed reproduces byte-identical
+    output across runs and pool layouts."""
+    if _G_SEED is None:
+        return None
+    return random.Random(_G_SEED * 1_000_003 + batch_idx)
+
+
+def _extract_batch_feats(paths: list[str], batch_idx: int = 0
+                         ) -> tuple[list[dict], int]:
     ctx = _G_CTX
+    rng = _batch_rng(batch_idx)
     feats_list: list[dict] = []
     errors = 0
     for p in paths:
@@ -327,7 +340,7 @@ def _extract_batch_feats(paths: list[str]) -> tuple[list[dict], int]:
                                     ctx.opts.basecall_subgroup)
             if read is None:
                 continue
-            feats = extract_read_features(read, ctx)
+            feats = extract_read_features(read, ctx, rng)
             if feats is not None:
                 feats_list.append(feats)
         except Exception:
@@ -335,16 +348,17 @@ def _extract_batch_feats(paths: list[str]) -> tuple[list[dict], int]:
     return feats_list, errors
 
 
-def _worker_rows(paths: list[str]) -> tuple[list[str], int]:
-    feats_list, errors = _extract_batch_feats(paths)
+def _worker_rows(paths: list[str], batch_idx: int = 0
+                 ) -> tuple[list[str], int]:
+    feats_list, errors = _extract_batch_feats(paths, batch_idx)
     rows: list[str] = []
     for f in feats_list:
         rows.extend(features_to_rows(f))
     return rows, errors
 
 
-def _worker_batch(paths: list[str]):
-    feats_list, errors = _extract_batch_feats(paths)
+def _worker_batch(paths: list[str], batch_idx: int = 0):
+    feats_list, errors = _extract_batch_feats(paths, batch_idx)
     ctx = _G_CTX
     if not feats_list:
         return None, errors
@@ -407,7 +421,7 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     directory of binary .npz feature batches (``out_format="npz"`` — the
     TPU-native container, no text codec downstream). Returns
     (n_fast5s, n_errors). Multi-host runs shard the fast5 list per host."""
-    from ..parallel.dist import shard_for_host
+    from ..parallel.dist import host_output_path, shard_for_host
     from ..utils.formats import save_feature_npz
 
     print("[main] extract_features starts..")
@@ -416,6 +430,8 @@ def extract_features(fast5_dir: str, is_recursive: bool,
         raise ValueError("--fast5_dir is not a directory!")
     fast5s = shard_for_host(get_fast5s(fast5_dir, is_recursive))
     print("{} fast5 files in total (this host)..".format(len(fast5s)))
+    # hosts must not clobber each other's output
+    write_path = host_output_path(write_path)
 
     as_npz = out_format == "npz"
     if as_npz:
@@ -450,14 +466,15 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     errors = 0
     if nworkers == 1 or len(batches) <= 1:
         _init_worker(ctx, seed)
-        for b in batches:
-            errors += _sink(worker(b))
+        for bi, b in enumerate(batches):
+            errors += _sink(worker(b, bi))
     else:
         with ProcessPoolExecutor(max_workers=nworkers,
                                  mp_context=mp.get_context("spawn"),
                                  initializer=_init_worker,
                                  initargs=(ctx, seed)) as pool:
-            futs = [pool.submit(worker, b) for b in batches]
+            futs = [pool.submit(worker, b, bi)
+                    for bi, b in enumerate(batches)]
             for fut in as_completed(futs):
                 errors += _sink(fut.result())
     if not as_npz:

@@ -43,7 +43,8 @@ def expand_motifs(motifs: str, is_dna: bool = True) -> list[str]:
 
 def _pack_window_codes(arr: np.ndarray, k: int) -> np.ndarray:
     """Pack every length-k window of a small-alphabet uint8 array into a single
-    integer per position (base-256 polynomial), shape (len(arr)-k+1,)."""
+    integer per position (base-256 polynomial), shape (len(arr)-k+1,).
+    Only valid for k <= 7 (256^8 overflows int64)."""
     n = len(arr) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64)
@@ -53,6 +54,24 @@ def _pack_window_codes(arr: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
+_PACK_MAX_K = 7
+
+
+def _match_windows_long(seq_codes: np.ndarray, motifs: list[str],
+                        k: int) -> np.ndarray:
+    """Window-equality scan for motifs longer than the packable width:
+    sliding windows compared motif-by-motif (still vectorized per motif)."""
+    n = len(seq_codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=bool)
+    win = np.lib.stride_tricks.sliding_window_view(seq_codes, k)
+    hits = np.zeros(n, dtype=bool)
+    for m in motifs:
+        mb = np.frombuffer(m.encode("ascii"), dtype=np.uint8)
+        hits |= (win == mb).all(axis=1)
+    return hits
+
+
 def motif_locs_in_seq(seq: str, motifs: Iterable[str], mod_loc: int = 0) -> list[int]:
     """All 0-based locations of ``mod_loc``-offset target bases of any motif
     in ``seq``, in increasing order.
@@ -60,19 +79,8 @@ def motif_locs_in_seq(seq: str, motifs: Iterable[str], mod_loc: int = 0) -> list
     Parity: get_refloc_of_methysite_in_motif (process_utils.py:97) — all
     motifs must share one length.
     """
-    motifs = list(set(motifs))
-    if not motifs:
-        return []
-    k = len(motifs[0])
     arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-    if len(arr) < k:
-        return []
-    packed = _pack_window_codes(arr, k)
-    targets = np.fromiter(
-        (int.from_bytes(m.encode("ascii"), "big") for m in motifs),
-        dtype=np.int64, count=len(motifs))
-    hits = np.isin(packed, targets)
-    return (np.nonzero(hits)[0] + mod_loc).tolist()
+    return motif_locs_in_codes(arr, list(motifs), mod_loc).tolist()
 
 
 def motif_locs_in_codes(seq_codes: np.ndarray, motifs: Sequence[str],
@@ -85,11 +93,15 @@ def motif_locs_in_codes(seq_codes: np.ndarray, motifs: Sequence[str],
     k = len(motifs[0])
     if len(seq_codes) < k:
         return np.empty(0, dtype=np.int64)
-    packed = _pack_window_codes(seq_codes, k)
-    targets = np.fromiter(
-        (int.from_bytes(m.encode("ascii"), "big") for m in motifs),
-        dtype=np.int64, count=len(motifs))
-    return np.nonzero(np.isin(packed, targets))[0] + mod_loc
+    if k <= _PACK_MAX_K:
+        packed = _pack_window_codes(seq_codes, k)
+        targets = np.fromiter(
+            (int.from_bytes(m.encode("ascii"), "big") for m in motifs),
+            dtype=np.int64, count=len(motifs))
+        hits = np.isin(packed, targets)
+    else:
+        hits = _match_windows_long(seq_codes, motifs, k)
+    return np.nonzero(hits)[0] + mod_loc
 
 
 def parse_region(regionstr: str | None) -> tuple[str | None, int | None, int | None]:

@@ -12,9 +12,9 @@ def test_shard_for_host_partitions_completely():
     merged = sorted(sum(shards, []))
     assert merged == sorted(items)
     assert all(len(s) >= 3 for s in shards)
-    # deterministic regardless of input order
+    # deterministic regardless of input (filesystem listing) order
     assert shard_for_host(list(reversed(items)), 1, 3) == \
-        shard_for_host(items, 1, 3) or True  # list inputs keep given order
+        shard_for_host(items, 1, 3)
 
 
 def test_shard_single_process_is_identity():
