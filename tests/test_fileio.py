@@ -1,0 +1,103 @@
+"""File-level utilities: splitting, shuffling, concat, k-mer-balanced
+sampling — semantic parity with the reference helpers."""
+import random
+
+import numpy as np
+
+from make_synthetic import synth_feature_rows, write_feature_file
+
+from deepsignal_plant_tpu.utils.fileio import (count_lines, get_fast5s,
+                                               is_file_empty,
+                                               kmer_to_line_indices,
+                                               count_kmers_in_file,
+                                               random_split_rows,
+                                               select_neg_rows_as_pos_kmer_dist,
+                                               shuffle_concat)
+
+
+def _write_lines(path, lines):
+    with open(path, "w") as wf:
+        for l in lines:
+            wf.write(l + "\n")
+    return str(path)
+
+
+def test_count_lines_and_empty(tmp_path):
+    p = _write_lines(tmp_path / "x.txt", ["a", "b", "c"])
+    assert count_lines(p) == 3
+    assert count_lines(p, header=True) == 2
+    e = tmp_path / "e.txt"
+    e.touch()
+    assert is_file_empty(str(e))
+    assert not is_file_empty(p)
+
+
+def test_random_split_rows(tmp_path):
+    lines = [f"row{i}" for i in range(100)]
+    p = _write_lines(tmp_path / "x.txt", lines)
+    w1 = str(tmp_path / "a.txt")
+    w2 = str(tmp_path / "b.txt")
+    idx1, idx2 = random_split_rows(p, w1, w2, 40, rng=random.Random(0))
+    assert len(idx1) == 40 and len(idx2) == 60
+    assert sorted(idx1 + idx2) == list(range(100))
+    # written rows match the returned indices, in order
+    a = open(w1).read().splitlines()
+    b = open(w2).read().splitlines()
+    assert a == [lines[i] for i in idx1]
+    assert b == [lines[i] for i in idx2]
+    # asking for more rows than exist returns everything in file 1
+    idx1, idx2 = random_split_rows(p, w1, w2, 1000, rng=random.Random(0))
+    assert len(idx1) == 100 and len(idx2) == 0
+
+
+def test_shuffle_concat_preserves_multiset(tmp_path):
+    l1 = [f"a{i}" for i in range(57)]
+    l2 = [f"b{i}" for i in range(23)]
+    p1 = _write_lines(tmp_path / "1.txt", l1)
+    p2 = _write_lines(tmp_path / "2.txt", l2)
+    out = str(tmp_path / "out.txt")
+    shuffle_concat(p1, p2, out, chunk_lines=10,
+                   rng=np.random.default_rng(0))
+    got = open(out).read().splitlines()
+    assert sorted(got) == sorted(l1 + l2)
+    assert got != l1 + l2  # actually shuffled
+
+
+def test_kmer_counting_and_balanced_selection(tmp_path, rng):
+    pos_rows = synth_feature_rows(rng, 6, 20, label_mode=1)
+    neg_rows = synth_feature_rows(rng, 18, 20, label_mode=0)
+    pos = write_feature_file(str(tmp_path / "pos.tsv"), pos_rows)
+    neg = write_feature_file(str(tmp_path / "neg.tsv"), neg_rows)
+    counts = count_kmers_in_file(pos)
+    assert sum(counts.values()) == len(pos_rows)
+    k2l = kmer_to_line_indices(neg)
+    assert sum(len(v) for v in k2l.values()) == len(neg_rows)
+
+    out = str(tmp_path / "sel.tsv")
+    written = select_neg_rows_as_pos_kmer_dist(pos, neg, out,
+                                               rng=random.Random(1))
+    sel_lines = open(out).read().splitlines()
+    assert written == len(sel_lines)
+    assert 0 < written <= len(neg_rows)
+    # all selected rows come from the negative pool
+    assert set(sel_lines) <= set(neg_rows)
+    # reference-oracle: same selected count on the same inputs (the
+    # unratioed-kmer fill loop is deterministic in this regime)
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from deepsignal_plant.utils.process_utils import (
+        select_negsamples_asposkmer)
+    ref_out = str(tmp_path / "ref_sel.tsv")
+    select_negsamples_asposkmer(pos, neg, ref_out)
+    assert written == len(open(ref_out).read().splitlines())
+
+
+def test_get_fast5s(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.fast5").touch()
+    (tmp_path / "sub" / "b.fast5").touch()
+    (tmp_path / "c.txt").touch()
+    rec = get_fast5s(str(tmp_path), True)
+    assert len(rec) == 2
+    flat = get_fast5s(str(tmp_path), False)
+    assert len(flat) == 1 and flat[0].endswith("a.fast5")
