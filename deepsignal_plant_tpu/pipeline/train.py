@@ -85,6 +85,37 @@ def make_eval_step(cfg: ModelConfig, sharding=None):
     return jax.jit(eval_step, in_shardings=in_shardings)
 
 
+def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
+                          sharding):
+    """Eval step returning replicated metric counts — outputs stay scalar
+    so multi-host eval never gathers sharded arrays to one host.
+    -> [weighted_ce, correct, total, tp, fp, fn]"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    cw = jnp.asarray(class_weights, jnp.float32)
+
+    def counts_step(params, batch, labels, mask):
+        logits, probs = forward(params, batch, cfg, train=False)
+        pred = jnp.argmax(probs, axis=1)
+        valid = mask > 0
+        loss = weighted_ce(logits, labels, cw, mask)
+        correct = jnp.sum((pred == labels) & valid)
+        total = jnp.sum(valid)
+        tp = jnp.sum(valid & (pred == 1) & (labels == 1))
+        fp = jnp.sum(valid & (pred == 1) & (labels == 0))
+        fn = jnp.sum(valid & (pred == 0) & (labels == 1))
+        return jnp.stack([loss, correct.astype(jnp.float32),
+                          total.astype(jnp.float32),
+                          tp.astype(jnp.float32), fp.astype(jnp.float32),
+                          fn.astype(jnp.float32)])
+
+    if sharding is None:
+        return jax.jit(counts_step)
+    replicated = NamedSharding(sharding.mesh, P())
+    return jax.jit(counts_step,
+                   in_shardings=(None, sharding, sharding, sharding),
+                   out_shardings=replicated)
+
+
 def evaluate(params, dataset: FeatureDataset, eval_step, batch_size: int,
              class_weights: np.ndarray) -> dict:
     preds, labels, losses = [], [], []
@@ -197,14 +228,43 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                model_dir: str | None, init_model: str | None = None,
                t_start: float | None = None, verbose: bool = True,
                resume: bool = False) -> dict:
-    """The core loop, reusable by denoise (which trains many small models)."""
+    """The core loop, reusable by denoise (which trains many small models).
+
+    Multi-process (pod) mode: when ``jax.process_count() > 1`` the batch is
+    sharded over a GLOBAL mesh — every host holds a row shard of the
+    (identically loaded) datasets, feeds its local slice of each global
+    batch via ``jax.make_array_from_process_local_data``, and XLA inserts
+    the gradient psum over ICI/DCN. Step counts per epoch are derived from
+    global sizes so all hosts run the same number of collectives.
+    """
+    from ..parallel.dist import process_info
+    from ..parallel.multihost import (global_mesh, global_scalar_sum,
+                                      host_row_shard, to_global)
+
     t_start = t_start or time.time()
-    mesh = make_mesh()
-    # single-device: plain jit (the SPMD partitioner only adds compile
-    # latency); multi-device: shard the batch axis over the mesh
-    sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
-    ndev = mesh.devices.size
-    batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
+    pid, pcount = process_info()
+    multihost = pcount > 1
+    if multihost:
+        mesh = global_mesh()
+        sharding = batch_sharding(mesh)
+        total_dev = mesh.devices.size
+        global_bs = ((train_cfg.batch_size + total_dev - 1)
+                     // total_dev) * total_dev
+        batch_size = global_bs // pcount          # this host's slice
+        n_train_global = len(train_ds)
+        n_valid_global = len(valid_ds)
+        train_ds = train_ds.take(host_row_shard(len(train_ds)))
+        valid_ds = valid_ds.take(host_row_shard(len(valid_ds)))
+    else:
+        mesh = make_mesh()
+        # single-device: plain jit (the SPMD partitioner only adds compile
+        # latency); multi-device: shard the batch axis over the mesh
+        sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
+        ndev = mesh.devices.size
+        batch_size = ((train_cfg.batch_size + ndev - 1) // ndev) * ndev
+        global_bs = batch_size
+        n_train_global = len(train_ds)
+        n_valid_global = len(valid_ds)
 
     rng_np = np.random.default_rng(train_cfg.seed)
     params = init_params(jax.random.PRNGKey(train_cfg.seed), model_cfg)
@@ -213,7 +273,20 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         params = load_any_checkpoint(init_model, model_cfg)
     params = jax.device_put(params)
 
-    steps_per_epoch = max(1, int(np.ceil(len(train_ds) / batch_size)))
+    def _feed(batch, labels, mask):
+        """Host-local numpy -> device inputs (global arrays on pods)."""
+        labels = np.asarray(labels)
+        if not multihost:
+            return batch, jnp.asarray(labels), mask
+        gb = to_global(sharding, batch, global_bs)
+        gl = to_global(sharding, labels, global_bs)
+        gm = to_global(sharding, mask, global_bs)
+        return gb, gl, gm
+
+    # equal per-host steps derived from the GLOBAL row count: hosts must
+    # execute the same number of (collective-bearing) steps per epoch
+    steps_per_epoch = max(1, int(np.ceil(
+        np.ceil(n_train_global / pcount) / batch_size)))
     schedule = step_decay_schedule(train_cfg.lr, steps_per_epoch,
                                    train_cfg.lr_decay_step,
                                    train_cfg.lr_decay)
@@ -224,6 +297,40 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     train_step = make_train_step(model_cfg, tx, class_weights,
                                  train_cfg.clip_grad, sharding)
     eval_step = make_eval_step(model_cfg, sharding)
+    eval_counts_step = (make_eval_counts_step(model_cfg, class_weights,
+                                              sharding)
+                        if multihost else None)
+
+    def _evaluate(params):
+        if not multihost:
+            return evaluate(params, valid_ds, eval_step, batch_size,
+                            class_weights)
+        # fixed step count from the GLOBAL size; aggregate replicated counts
+        steps_eval = max(1, int(np.ceil(
+            np.ceil(n_valid_global / pcount) / batch_size)))
+        n_local = len(valid_ds)
+        batch_losses = []
+        totals = np.zeros(5, np.float64)  # correct, total, tp, fp, fn
+        for i in range(steps_eval):
+            lo = i * batch_size
+            idx = np.arange(lo, min(lo + batch_size, n_local))
+            n_valid = len(idx)
+            if n_valid < batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - n_valid, np.int64)])
+            vb, vy = valid_ds.batch_at(idx)
+            vmask = np.zeros(batch_size, np.float32)
+            vmask[:n_valid] = 1.0
+            gb, gl, gm = _feed(vb, vy, vmask)
+            counts = np.asarray(eval_counts_step(params, gb, gl, gm),
+                                np.float64)
+            batch_losses.append(counts[0])
+            totals += counts[1:]
+        correct, total, tp, fp, fn = totals
+        return {"loss": float(np.mean(batch_losses)),
+                "accuracy": correct / total if total else 0.0,
+                "precision": tp / (tp + fp) if tp + fp else 0.0,
+                "recall": tp / (tp + fn) if tp + fn else 0.0}
 
     if verbose:
         print("total_step: {}".format(steps_per_epoch))
@@ -250,26 +357,34 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         no_best_model = True
         tlosses: list[float] = []
         tic = time.time()
-        for i, (batch, labels, n_valid) in enumerate(train_ds.iter_batches(
-                batch_size, shuffle=True, rng=rng_np, pad_to_batch=True)):
+        # exactly steps_per_epoch iterations on every host (hosts' shards
+        # can differ by a row; collectives require identical step counts)
+        n_local = len(train_ds)
+        perm = rng_np.permutation(n_local)
+        for i in range(steps_per_epoch):
+            idx = perm[i * batch_size:(i + 1) * batch_size]
+            n_valid = len(idx)
+            if n_valid < batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - n_valid, np.int64)])
+            batch, labels = train_ds.batch_at(idx)
             mask = np.zeros(batch_size, np.float32)
             mask[:n_valid] = 1.0
             step_key = jax.random.fold_in(key, global_step)
-            params, opt_state, loss = train_step(
-                params, opt_state, batch, jnp.asarray(labels), mask,
-                step_key)
+            fb, fl, fm = _feed(batch, labels, mask)
+            params, opt_state, loss = train_step(params, opt_state, fb, fl,
+                                                 fm, step_key)
             tlosses.append(loss)
             global_step += 1
 
             if (i + 1) % train_cfg.step_interval == 0 \
                     or (i + 1) == steps_per_epoch:
-                stats = evaluate(params, valid_ds, eval_step, batch_size,
-                                 class_weights)
+                stats = _evaluate(params)
                 v_acc = stats["accuracy"]
                 if v_acc > curr_best_accuracy_epoch:
                     curr_best_accuracy_epoch = v_acc
                     if curr_best_accuracy_epoch > curr_best_accuracy - 0.0002:
-                        if model_dir is not None:
+                        if model_dir is not None and pid == 0:
                             best_ckpt = ckpt_name(model_dir, model_cfg.module,
                                                   model_cfg.seq_len,
                                                   model_cfg.signal_len,
@@ -295,7 +410,7 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 tlosses = []
                 tic = time.time()
         epochs_run = epoch + 1
-        if state_path is not None:
+        if state_path is not None and pid == 0:
             save_train_state(state_path, params, opt_state, epoch + 1,
                              global_step, curr_best_accuracy)
         if no_best_model and epoch >= train_cfg.min_epoch_num - 1:
