@@ -218,6 +218,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", default=False,
                    help="resume from the saved train state in --model_dir "
                         "(params + optimizer + epoch position)")
+    p.add_argument("--stream", type=str, default="auto",
+                   choices=["auto", "yes", "no"],
+                   help="stream the training file in shuffled blocks "
+                        "(bounded memory); auto streams files over 8GB")
     p.add_argument("--tmpdir", type=str, default="/tmp")
     p.set_defaults(func=main_train)
 

@@ -95,3 +95,111 @@ class FeatureDataset:
                     idx = np.concatenate([idx, pad])
             batch, labels = self.batch_at(idx)
             yield batch, labels, n_valid
+
+
+class StreamingFeatureDataset:
+    """Bounded-memory training dataset over a big features TSV (or .npz
+    batch directory): rows stream per epoch in shuffled *blocks* with
+    within-block shuffling, holding only one block in RAM.
+
+    The in-memory FeatureDataset regresses the reference's disk-backed
+    linecache access for 100M-row files; this restores disk-scale training
+    with an approximate (block-local) shuffle — the standard big-data
+    trade (extract's rotating output and ``tools shuffle_file`` provide
+    global pre-shuffling when needed).
+    """
+
+    def __init__(self, path: str, kmer_len: int = 13, signal_len: int = 16,
+                 block_rows: int = 65536):
+        from ..utils.formats import feature_npz_paths
+        self._path = path
+        self._kmer_len = kmer_len
+        self._signal_len = signal_len
+        self._block_rows = block_rows
+        self._npz_files = feature_npz_paths(path)
+        if self._npz_files is not None:
+            from ..utils.formats import load_feature_npz
+            self._n = sum(len(load_feature_npz(f).labels)
+                          for f in self._npz_files)
+            self._offsets = None
+        else:
+            # one pass: record byte offsets of every block boundary
+            offsets = [0]
+            n = 0
+            from ..utils.formats import open_text
+            with open(path, "rb") if not path.endswith(".gz") else \
+                    __import__("gzip").open(path, "rb") as rf:
+                for line in rf:
+                    n += 1
+                    if n % block_rows == 0:
+                        offsets.append(rf.tell())
+            self._n = n
+            self._offsets = offsets
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _iter_blocks(self, order: np.ndarray) -> Iterator[FeatureDataset]:
+        if self._npz_files is not None:
+            from ..utils.formats import load_feature_npz
+            for bi in order:
+                fb = load_feature_npz(self._npz_files[bi])
+                yield FeatureDataset(
+                    fb.kmer, fb.base_means, fb.base_stds,
+                    fb.base_signal_lens, fb.signals, fb.labels)
+        else:
+            from ..utils.formats import parse_feature_lines
+            opener = (open if not self._path.endswith(".gz")
+                      else __import__("gzip").open)
+            with opener(self._path, "rb") as rf:
+                for bi in order:
+                    rf.seek(self._offsets[bi])
+                    lines = []
+                    for _ in range(self._block_rows):
+                        raw = rf.readline()
+                        if not raw:
+                            break
+                        lines.append(raw.decode())
+                    fb = parse_feature_lines(lines, self._kmer_len,
+                                             self._signal_len)
+                    yield FeatureDataset(
+                        fb.kmer, fb.base_means, fb.base_stds,
+                        fb.base_signal_lens, fb.signals, fb.labels)
+
+    def iter_batches(self, batch_size: int, shuffle: bool,
+                     rng: np.random.Generator | None = None,
+                     drop_last: bool = False,
+                     pad_to_batch: bool = False,
+                     ) -> Iterator[tuple[Batch, np.ndarray, int]]:
+        rng = rng or np.random.default_rng()
+        n_blocks = (len(self._npz_files) if self._npz_files is not None
+                    else len(self._offsets))
+        order = rng.permutation(n_blocks) if shuffle else np.arange(n_blocks)
+        carry: FeatureDataset | None = None
+        for block in self._iter_blocks(order):
+            if carry is not None and len(carry):
+                block = FeatureDataset(
+                    np.concatenate([carry.kmer, block.kmer]),
+                    np.concatenate([carry.base_means, block.base_means]),
+                    np.concatenate([carry.base_stds, block.base_stds]),
+                    np.concatenate([carry.base_signal_lens,
+                                    block.base_signal_lens]),
+                    np.concatenate([carry.signals, block.signals]),
+                    np.concatenate([carry.labels, block.labels]))
+            idx = rng.permutation(len(block)) if shuffle \
+                else np.arange(len(block))
+            full = (len(idx) // batch_size) * batch_size
+            for s in range(0, full, batch_size):
+                batch, labels = block.batch_at(idx[s:s + batch_size])
+                yield batch, labels, batch_size
+            carry = block.take(idx[full:])
+        if carry is not None and len(carry):
+            n_valid = len(carry)
+            if drop_last:
+                return
+            idx = np.arange(n_valid)
+            if pad_to_batch:
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - n_valid, np.int64)])
+            batch, labels = carry.batch_at(idx)
+            yield batch, labels, n_valid

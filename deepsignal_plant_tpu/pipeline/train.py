@@ -204,8 +204,25 @@ def train(args) -> dict:
         pos_weight=args.pos_weight, optim_type=args.optim_type)
 
     print("reading data..")
-    train_ds = FeatureDataset.from_file(args.train_file, model_cfg.seq_len,
-                                        model_cfg.signal_len)
+    stream = getattr(args, "stream", "auto")
+    if stream == "auto":
+        # big training files stream from disk (bounded memory); small ones
+        # load once for exact-permutation shuffling
+        try:
+            size = os.path.getsize(args.train_file)
+        except OSError:
+            size = 0
+        stream = "yes" if size > 8 << 30 else "no"
+    if stream == "yes":
+        from ..io.dataset import StreamingFeatureDataset
+        print("using streaming (block-shuffled) training dataset..")
+        train_ds = StreamingFeatureDataset(args.train_file,
+                                           model_cfg.seq_len,
+                                           model_cfg.signal_len)
+    else:
+        train_ds = FeatureDataset.from_file(args.train_file,
+                                            model_cfg.seq_len,
+                                            model_cfg.signal_len)
     valid_ds = FeatureDataset.from_file(args.valid_file, model_cfg.seq_len,
                                         model_cfg.signal_len)
 
@@ -244,6 +261,9 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     t_start = t_start or time.time()
     pid, pcount = process_info()
     multihost = pcount > 1
+    if multihost and not hasattr(train_ds, "batch_at"):
+        raise ValueError("streaming datasets are single-host only; "
+                         "pre-shard the file per host instead")
     if multihost:
         mesh = global_mesh()
         sharding = batch_sharding(mesh)
@@ -359,15 +379,23 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         tic = time.time()
         # exactly steps_per_epoch iterations on every host (hosts' shards
         # can differ by a row; collectives require identical step counts)
-        n_local = len(train_ds)
-        perm = rng_np.permutation(n_local)
-        for i in range(steps_per_epoch):
-            idx = perm[i * batch_size:(i + 1) * batch_size]
-            n_valid = len(idx)
-            if n_valid < batch_size:
-                idx = np.concatenate(
-                    [idx, np.zeros(batch_size - n_valid, np.int64)])
-            batch, labels = train_ds.batch_at(idx)
+        def _epoch_batches():
+            if hasattr(train_ds, "batch_at"):
+                perm = rng_np.permutation(len(train_ds))
+                for i in range(steps_per_epoch):
+                    idx = perm[i * batch_size:(i + 1) * batch_size]
+                    nv = len(idx)
+                    if nv < batch_size:
+                        idx = np.concatenate(
+                            [idx, np.zeros(batch_size - nv, np.int64)])
+                    b, l = train_ds.batch_at(idx)
+                    yield b, l, nv
+            else:   # streaming dataset: block-shuffled epoch
+                yield from train_ds.iter_batches(
+                    batch_size, shuffle=True, rng=rng_np,
+                    pad_to_batch=True)
+
+        for i, (batch, labels, n_valid) in enumerate(_epoch_batches()):
             mask = np.zeros(batch_size, np.float32)
             mask[:n_valid] = 1.0
             step_key = jax.random.fold_in(key, global_step)
