@@ -117,6 +117,7 @@ class StreamingFeatureDataset:
         self._signal_len = signal_len
         self._block_rows = block_rows
         self._npz_files = feature_npz_paths(path)
+        self._seekable = not path.endswith(".gz")
         if self._npz_files is not None:
             from ..utils.formats import load_feature_npz
             self._n = sum(len(load_feature_npz(f).labels)
@@ -126,7 +127,6 @@ class StreamingFeatureDataset:
             # one pass: record byte offsets of every block boundary
             offsets = [0]
             n = 0
-            from ..utils.formats import open_text
             with open(path, "rb") if not path.endswith(".gz") else \
                     __import__("gzip").open(path, "rb") as rf:
                 for line in rf:
@@ -148,20 +148,30 @@ class StreamingFeatureDataset:
                     fb.kmer, fb.base_means, fb.base_stds,
                     fb.base_signal_lens, fb.signals, fb.labels)
         else:
+            from ..utils.fastparse import (native_available,
+                                           parse_feature_bytes)
             from ..utils.formats import parse_feature_lines
-            opener = (open if not self._path.endswith(".gz")
+            use_native = native_available()
+            opener = (open if self._seekable
                       else __import__("gzip").open)
             with opener(self._path, "rb") as rf:
                 for bi in order:
-                    rf.seek(self._offsets[bi])
-                    lines = []
+                    if self._seekable:
+                        rf.seek(self._offsets[bi])
+                    raw_lines = []
                     for _ in range(self._block_rows):
                         raw = rf.readline()
                         if not raw:
                             break
-                        lines.append(raw.decode())
-                    fb = parse_feature_lines(lines, self._kmer_len,
-                                             self._signal_len)
+                        raw_lines.append(raw)
+                    if use_native:
+                        fb = parse_feature_bytes(b"".join(raw_lines),
+                                                 self._kmer_len,
+                                                 self._signal_len)
+                    else:
+                        fb = parse_feature_lines(
+                            [r.decode() for r in raw_lines],
+                            self._kmer_len, self._signal_len)
                     yield FeatureDataset(
                         fb.kmer, fb.base_means, fb.base_stds,
                         fb.base_signal_lens, fb.signals, fb.labels)
@@ -174,7 +184,13 @@ class StreamingFeatureDataset:
         rng = rng or np.random.default_rng()
         n_blocks = (len(self._npz_files) if self._npz_files is not None
                     else len(self._offsets))
-        order = rng.permutation(n_blocks) if shuffle else np.arange(n_blocks)
+        # gzip streams cannot seek cheaply: backward seeks re-inflate the
+        # whole prefix. Read gz files in file order (within-block shuffle
+        # still applies); seekable inputs shuffle block order too.
+        can_shuffle_blocks = shuffle and (self._npz_files is not None
+                                          or self._seekable)
+        order = (rng.permutation(n_blocks) if can_shuffle_blocks
+                 else np.arange(n_blocks))
         carry: FeatureDataset | None = None
         for block in self._iter_blocks(order):
             if carry is not None and len(carry):

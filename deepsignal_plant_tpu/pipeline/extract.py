@@ -438,22 +438,21 @@ def extract_features(fast5_dir: str, is_recursive: bool,
         if os.path.isfile(write_path):
             raise FileExistsError(f"{write_path} exists as a file")
         os.makedirs(write_path, exist_ok=True)
-        npz_count = 0
 
-        def _sink(result):
-            nonlocal npz_count
+        def _sink(result, batch_idx):
             fb, err = result
             if fb is not None and len(fb):
+                # named by batch index: output set is deterministic
+                # regardless of worker completion order
                 save_feature_npz(
-                    os.path.join(write_path, f"{npz_count:06d}.npz"), fb)
-                npz_count += 1
+                    os.path.join(write_path, f"{batch_idx:06d}.npz"), fb)
             return err
 
         worker = _worker_batch
     else:
         writer = _RotatingWriter(write_path, w_is_dir, w_batch_num, is_gzip)
 
-        def _sink(result):
+        def _sink(result, batch_idx):
             rows, err = result
             writer.write_rows(rows)
             return err
@@ -467,7 +466,7 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     if nworkers == 1 or len(batches) <= 1:
         _init_worker(ctx, seed)
         for bi, b in enumerate(batches):
-            errors += _sink(worker(b, bi))
+            errors += _sink(worker(b, bi), bi)
     else:
         with ProcessPoolExecutor(max_workers=nworkers,
                                  mp_context=mp.get_context("spawn"),
@@ -475,8 +474,15 @@ def extract_features(fast5_dir: str, is_recursive: bool,
                                  initargs=(ctx, seed)) as pool:
             futs = [pool.submit(worker, b, bi)
                     for bi, b in enumerate(batches)]
-            for fut in as_completed(futs):
-                errors += _sink(fut.result())
+            if seed is not None:
+                # submission-order drain: --seed promises byte-identical
+                # output, so row order must not depend on scheduling
+                for bi, fut in enumerate(futs):
+                    errors += _sink(fut.result(), bi)
+            else:
+                fut2bi = {fut: bi for bi, fut in enumerate(futs)}
+                for fut in as_completed(futs):
+                    errors += _sink(fut.result(), fut2bi[fut])
     if not as_npz:
         writer.close()
     print("%d of %d fast5 files failed..\n"

@@ -176,11 +176,17 @@ def ckpt_name(model_dir: str, module: str, seq_len: int, signal_len: int,
 
 def clean_old_ckpts(model_dir: str, module: str) -> None:
     """Remove stale checkpoints of the same model_type at train start
-    (reference train.py:54-57)."""
+    (reference train.py:54-57). Process 0 only on pods; tolerant of
+    concurrent removal on shared filesystems."""
+    if jax.process_index() != 0:
+        return
     rx = re.compile(r"" + re.escape(module) + r"\.b\d+_s\d+_epoch\d+\.ckpt")
     for f in os.listdir(model_dir):
         if rx.match(f):
-            os.remove(os.path.join(model_dir, f))
+            try:
+                os.remove(os.path.join(model_dir, f))
+            except FileNotFoundError:
+                pass
 
 
 def train(args) -> dict:
@@ -207,12 +213,15 @@ def train(args) -> dict:
     stream = getattr(args, "stream", "auto")
     if stream == "auto":
         # big training files stream from disk (bounded memory); small ones
-        # load once for exact-permutation shuffling
+        # load once for exact-permutation shuffling. Streaming is
+        # single-host, so multi-process runs always load in memory.
         try:
             size = os.path.getsize(args.train_file)
         except OSError:
             size = 0
-        stream = "yes" if size > 8 << 30 else "no"
+        import jax as _jax
+        stream = ("yes" if size > 8 << 30 and _jax.process_count() == 1
+                  else "no")
     if stream == "yes":
         from ..io.dataset import StreamingFeatureDataset
         print("using streaming (block-shuffled) training dataset..")
@@ -255,8 +264,7 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     global sizes so all hosts run the same number of collectives.
     """
     from ..parallel.dist import process_info
-    from ..parallel.multihost import (global_mesh, global_scalar_sum,
-                                      host_row_shard, to_global)
+    from ..parallel.multihost import global_mesh, host_row_shard, to_global
 
     t_start = t_start or time.time()
     pid, pcount = process_info()
@@ -362,16 +370,44 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     start_epoch = 0
     state_path = (train_state_path(model_dir, model_cfg.module)
                   if model_dir is not None else None)
-    if resume and state_path is not None and os.path.exists(state_path):
-        st = load_train_state(state_path)
-        params = jax.device_put(st["params"])
-        opt_state = jax.device_put(st["opt_state"])
-        start_epoch = st["epoch"]
-        global_step = st["global_step"]
-        curr_best_accuracy = st["best_accuracy"]
-        if verbose:
-            print("resuming training from epoch {} (step {})".format(
-                start_epoch, global_step))
+    if resume and state_path is not None:
+        if not multihost:
+            have_state = os.path.exists(state_path)
+            st = load_train_state(state_path) if have_state else None
+        else:
+            # only process 0 reads the state (model_dir may be host-local);
+            # everything resumable is broadcast so every host starts at the
+            # same epoch/step and runs identical collective sequences
+            from jax.experimental import multihost_utils as mhu
+            have0 = pid == 0 and os.path.exists(state_path)
+            have_state = bool(np.asarray(
+                mhu.broadcast_one_to_all(np.asarray(have0))))
+            st = None
+            if have_state:
+                if pid == 0:
+                    st = load_train_state(state_path)
+                    small = np.array([st["epoch"], st["global_step"],
+                                      st["best_accuracy"]], np.float64)
+                    p_tree, o_tree = st["params"], st["opt_state"]
+                else:
+                    small = np.zeros(3, np.float64)
+                    p_tree = jax.device_get(params)
+                    o_tree = jax.device_get(opt_state)
+                small = np.asarray(mhu.broadcast_one_to_all(small))
+                p_tree = mhu.broadcast_one_to_all(p_tree)
+                o_tree = mhu.broadcast_one_to_all(o_tree)
+                st = {"params": p_tree, "opt_state": o_tree,
+                      "epoch": int(small[0]), "global_step": int(small[1]),
+                      "best_accuracy": float(small[2])}
+        if have_state:
+            params = jax.device_put(st["params"])
+            opt_state = jax.device_put(st["opt_state"])
+            start_epoch = st["epoch"]
+            global_step = st["global_step"]
+            curr_best_accuracy = st["best_accuracy"]
+            if verbose:
+                print("resuming training from epoch {} (step {})".format(
+                    start_epoch, global_step))
     for epoch in range(start_epoch, train_cfg.max_epoch_num):
         curr_best_accuracy_epoch = 0.0
         no_best_model = True

@@ -55,6 +55,25 @@ def test_seeded_compat_extraction_reproducible(tmp_path, rng):
     assert open(out1).read() != open(out3).read()
 
 
+def test_seeded_extraction_reproducible_with_worker_pool(tmp_path, rng):
+    """--seed must give byte-identical output even with a real process
+    pool (submission-order drain, not as_completed)."""
+    genome = synth_genome(rng, {"chr1": 2500})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=6, read_len=80,
+                    max_event_len=40)
+    ctx = ExtractContext.build(ExtractOptions(
+        motifs="CG", reference_path=fasta, downsample="compat"))
+    out1 = str(tmp_path / "a.tsv")
+    out2 = str(tmp_path / "b.tsv")
+    extract_features(f5dir, True, ctx, out1, nproc=4, f5_batch_size=1,
+                     seed=7)
+    extract_features(f5dir, True, ctx, out2, nproc=4, f5_batch_size=1,
+                     seed=7)
+    assert open(out1).read() == open(out2).read()
+
+
 def test_async_writer_error_does_not_hang(tmp_path):
     """A dead writer thread surfaces its error instead of deadlocking
     producers (review finding: close() blocked on a full queue)."""
