@@ -178,3 +178,17 @@ def register(tool_sub) -> None:
     p.add_argument("--ref_fp", type=str, required=True)
     p.add_argument("--wfp", type=str, required=True)
     p.set_defaults(func=lambda a: write_contig_names(a.ref_fp, a.wfp))
+
+    p = tool_sub.add_parser(
+        "gff_map",
+        description="map transcript coordinates to genome positions from a "
+                    "GFF3 (RNA support scaffolding; reference "
+                    "scripts/gff_reader.py)")
+    p.add_argument("--gff", type=str, required=True)
+    p.add_argument("--out_pkl", type=str, required=True)
+
+    def _gff_map(a):
+        from ..utils.gff import GFF3
+        GFF3(a.gff).save_coordinates_mapping(a.out_pkl)
+
+    p.set_defaults(func=_gff_map)
