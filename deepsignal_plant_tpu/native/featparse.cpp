@@ -16,6 +16,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -247,6 +248,12 @@ extern "C" {
 // out_lens[i] receives each site's byte length; returns total bytes.
 static char* write_signed6(char* p, double v) {
     double t = v * 1e6;
+    // inf/nan/out-of-range would be UB in the int64 cast; such values are
+    // outside the feature domain, so fall back to %g (bounded output)
+    if (!(t > -9.0e18 && t < 9.0e18)) {
+        int n = snprintf(p, 26, "%g", v);
+        return p + (n > 0 && n < 26 ? n : 0);
+    }
     double f = floor(t);
     double frac = t - f;
     long long r = (long long)f;

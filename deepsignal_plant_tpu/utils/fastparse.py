@@ -102,7 +102,8 @@ def format_feature_cols(means: np.ndarray, stds: np.ndarray,
     stds = np.ascontiguousarray(stds, np.float64)
     lens = np.ascontiguousarray(lens, np.int32)
     rect = np.ascontiguousarray(rect, np.float64)
-    out = np.empty(n * (3 * L * 16 + L * S * 16), np.uint8)
+    # 32 bytes/value covers the widest minimal-decimal and %g fallbacks
+    out = np.empty(n * (3 * L * 32 + L * S * 32), np.uint8)
     out_lens = np.empty(n, np.int32)
     total = lib.dsp_format_feature_cols(means, stds, lens, rect, n, L, S,
                                         out, out_lens)
