@@ -57,7 +57,9 @@ def measure_tpu(features_path: str, ckpt_path: str) -> float:
 
     engine = CallModsEngine(
         ckpt_path, ModelConfig(dropout_rate=0.0),
-        CallConfig(device_batch=DEVICE_BATCH))
+        CallConfig(device_batch=DEVICE_BATCH,
+                   dispatch_workers=int(os.environ.get(
+                       "BENCH_DISPATCH_WORKERS", "2"))))
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "out.tsv")
         # warm the compile with a single-batch file, then measure up to

@@ -68,6 +68,8 @@ class CallConfig:
     f5_batch_size: int = 30
     use_pallas: bool = True
     num_parse_workers: int = 2
+    dispatch_workers: int = 2     # concurrent jit dispatches (overlaps
+                                  # per-call transfer latency)
     # wire format host->device: "float16" halves transfer bytes (the model
     # computes in compute_dtype regardless); "float32" for exact parity
     transfer_dtype: str = "float16"

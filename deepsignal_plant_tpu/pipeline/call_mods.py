@@ -136,8 +136,10 @@ class CallModsEngine:
             with PROFILER.stage("dispatch", pb.n_valid):
                 return self.predict_probs(pb.features), pb
 
-        for probs, pb in bounded_thread_map(_dispatch, batches, workers=2,
-                                            depth=4):
+        for probs, pb in bounded_thread_map(
+                _dispatch, batches,
+                workers=self.call_cfg.dispatch_workers,
+                depth=2 * self.call_cfg.dispatch_workers):
             n_valid = pb.n_valid
             fb = pb.features
             with PROFILER.stage("fetch", n_valid):
