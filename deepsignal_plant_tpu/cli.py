@@ -169,6 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float16", "float32"],
                    help="host->device wire format; float32 for exact-parity "
                         "runs")
+    p.add_argument("--dispatch_workers", type=int, default=2,
+                   help="concurrent device dispatches (overlaps per-call "
+                        "transfer latency on remote-attached runtimes)")
     p.add_argument("--result_file", "-o", type=str, required=True)
     p.add_argument("--gzip", action="store_true", default=False)
     _add_f5_args(p)

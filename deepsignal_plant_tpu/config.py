@@ -74,6 +74,12 @@ class CallConfig:
     # computes in compute_dtype regardless); "float32" for exact parity
     transfer_dtype: str = "float16"
 
+    def __post_init__(self):
+        if self.dispatch_workers < 1:
+            raise ValueError("dispatch_workers must be >= 1")
+        if self.device_batch < 1:
+            raise ValueError("device_batch must be >= 1")
+
 
 @dataclass(frozen=True)
 class TrainConfig:

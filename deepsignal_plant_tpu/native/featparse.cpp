@@ -241,10 +241,14 @@ int64_t round6(double v) {
 extern "C" {
 
 // means/stds/rect: float64 (UNROUNDED; rounded to 6 decimals half-even here,
-// matching np.around + str, including the "-0.0" case); lens: int32.
+// matching np.around + str byte-for-byte for |value| < 9e12 — far beyond
+// the MAD-normalized feature domain — including "-0.0" and the
+// scientific-notation switch below 1e-4; larger or non-finite values take
+// a %g fallback); lens: int32.
 // Writes, per site, the text of feature columns 7-10:
 //   "MEANS\tSTDS\tLENS\tRECT" (no leading/trailing tab), rect rows joined
-// by ';'. out must hold >= n * (3*L*16 + L*S*16) bytes.
+// by ';'. out must hold >= n * (3*L + L*S) * 32 bytes (32 bytes/value:
+// 21-char fixed-point worst case, 26-byte %g window, separators).
 // out_lens[i] receives each site's byte length; returns total bytes.
 static char* write_signed6(char* p, double v) {
     double t = v * 1e6;

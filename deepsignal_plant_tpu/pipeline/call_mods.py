@@ -68,6 +68,8 @@ class CallModsEngine:
         self._single = self.mesh.devices.size == 1
         self._sharding = None if self._single else batch_sharding(self.mesh)
 
+        import threading
+        self._fallback_lock = threading.Lock()
         self._step = self._build_step()
 
     def _build_step(self):
@@ -106,10 +108,15 @@ class CallModsEngine:
         except Exception as exc:
             if self.model_cfg.recurrence != "pallas":
                 raise
-            print("[warn] pallas recurrence failed ({}: {}); falling back "
-                  "to scan".format(type(exc).__name__, exc))
-            self.model_cfg = self.model_cfg.with_(recurrence="scan")
-            self._step = self._build_step()
+            # concurrent dispatch threads may fail together: the first one
+            # rebuilds under the lock, the rest just retry the new step
+            with self._fallback_lock:
+                if self.model_cfg.recurrence == "pallas":
+                    print("[warn] pallas recurrence failed ({}: {}); "
+                          "falling back to scan".format(
+                              type(exc).__name__, exc))
+                    self.model_cfg = self.model_cfg.with_(recurrence="scan")
+                    self._step = self._build_step()
             return self._step(self.params, batch)
 
     def run_features_file(self, input_path: str, result_path: str,
@@ -181,7 +188,9 @@ def call_mods(args) -> CallStats:
                           device_batch=getattr(args, "device_batch", 32768),
                           f5_batch_size=args.f5_batch_size,
                           transfer_dtype=getattr(args, "transfer_dtype",
-                                                 "float16"))
+                                                 "float16"),
+                          dispatch_workers=getattr(args, "dispatch_workers",
+                                                   2))
 
     input_path = os.path.abspath(args.input_path)
     if not os.path.exists(input_path):
