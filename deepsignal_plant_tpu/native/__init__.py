@@ -21,14 +21,16 @@ def build_native(force: bool = False) -> bool:
     if os.path.exists(_SO_PATH) and not force and \
             os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH):
         return True
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC_PATH, "-o", _SO_PATH],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
+                 _SRC_PATH, "-o", _SO_PATH],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue  # retry without -march=native, then give up
+    return False
 
 
 def get_native_lib():
