@@ -101,3 +101,22 @@ def test_get_fast5s(tmp_path):
     assert len(rec) == 2
     flat = get_fast5s(str(tmp_path), False)
     assert len(flat) == 1 and flat[0].endswith("a.fast5")
+
+
+def test_iter_read_grouped_blocks(tmp_path, rng):
+    """Blocks hold whole reads (reference read-grouping contract,
+    call_modifications.py:91-123)."""
+    from make_synthetic import synth_feature_rows
+    from deepsignal_plant_tpu.io.batching import iter_read_grouped_blocks
+
+    rows = synth_feature_rows(rng, n_reads=7, sites_per_read=5)
+    p = tmp_path / "f.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    blocks = list(iter_read_grouped_blocks(str(p), reads_per_block=3))
+    assert sum(len(b) for b in blocks) == 35
+    seen = set()
+    for block in blocks:
+        reads_here = {l.split("\t")[4] for l in block}
+        assert not (reads_here & seen), "a read spans two blocks"
+        seen |= reads_here
+    assert len(seen) == 7
