@@ -21,15 +21,25 @@ def build_native(force: bool = False) -> bool:
     if os.path.exists(_SO_PATH) and not force and \
             os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH):
         return True
+    tmp_path = _SO_PATH + ".tmp"
     for flags in (["-O3", "-march=native"], ["-O3"]):
         try:
             subprocess.run(
                 ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
-                 _SRC_PATH, "-o", _SO_PATH],
+                 _SRC_PATH, "-o", tmp_path],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp_path, _SO_PATH)   # atomic: never a partial .so
             return True
+        except subprocess.CalledProcessError:
+            continue   # real compile error: retry without -march=native
         except Exception:
-            continue  # retry without -march=native, then give up
+            break      # g++ missing / timeout: a retry would fare the same
+        finally:
+            if os.path.exists(tmp_path):
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
     return False
 
 
