@@ -205,6 +205,7 @@ def call_mods(args) -> CallStats:
     from ..utils.prof import PROFILER, device_trace
     engine = CallModsEngine(model_path, model_cfg, call_cfg)
     result_file = host_output_path(args.result_file)
+    PROFILER.reset()   # per-invocation stage counters
     from ..utils.formats import feature_npz_paths
     with device_trace(getattr(args, "profile_dir", None)):
         if os.path.isdir(input_path) and \

@@ -49,6 +49,10 @@ class Profiler:
         with self._lock:
             self.stages[name].items += items
 
+    def reset(self) -> None:
+        with self._lock:
+            self.stages.clear()
+
     def report(self) -> str:
         lines = ["stage                 calls      seconds        items   items/s"]
         for name in sorted(self.stages):
