@@ -27,8 +27,8 @@ class ModelConfig:
     is_signallen: bool = True
     module: str = "both_bilstm"
     compute_dtype: str = "float32"  # "float32" (parity) or "bfloat16" (fast)
-    recurrence: str = "scan"        # "scan" | "pallas" (fused TPU kernel,
-                                    # inference only; training always scans)
+    recurrence: str = "scan"        # "scan" | "pallas" (fused TPU kernels
+                                    # with a custom-VJP backward)
 
     def __post_init__(self):
         if self.module not in MODULE_TYPES:

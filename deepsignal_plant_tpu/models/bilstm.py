@@ -106,8 +106,9 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     L = cfg.seq_len
     rngs = (list(jax.random.split(dropout_rng, 4))
             if (train and dropout_rng is not None) else [None] * 4)
-    # training always scans: the pallas recurrence has no VJP
-    impl = cfg.recurrence if not train else "scan"
+    # pallas carries a fused custom-VJP backward, so both inference and
+    # training honor cfg.recurrence
+    impl = cfg.recurrence
 
     out_seq = out_signal = None
     if cfg.module != "signal_bilstm":

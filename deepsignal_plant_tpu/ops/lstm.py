@@ -109,8 +109,13 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
         if h0c0 is not None:
             raise ValueError("pallas recurrence supports zero initial "
                              "states only")
-        from .pallas_lstm import bilstm_recurrence_pallas
-        ys = bilstm_recurrence_pallas(xproj, params["w_hh"], hidden_size)
+        from .pallas_lstm import bilstm_recurrence_trainable
+        # differentiable wrapper: primal = the minimal forward kernel;
+        # under jax.grad a residual-saving forward + fused reverse-time
+        # backward kernel run instead
+        ys = bilstm_recurrence_trainable(
+            xproj.astype(jnp.float32), params["w_hh"].astype(jnp.float32),
+            hidden_size)
         ys = ys.astype(compute_dtype)
         h_T = ys[-1]
     else:

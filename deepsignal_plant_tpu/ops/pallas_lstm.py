@@ -62,7 +62,8 @@ def _lstm_kernel(x_ref, w_ref, y_ref, h_ref, c_ref, *, hidden_size: int):
 def bilstm_recurrence_pallas(xproj: jax.Array, w_hh: jax.Array,
                              hidden_size: int, block_b: int = 256,
                              interpret: bool = False) -> jax.Array:
-    """Run the fused recurrence. xproj (T, 2, B, 4H) f32 -> (T, 2, B, H)."""
+    """Run the fused recurrence (forward only, minimal HBM traffic).
+    xproj (T, 2, B, 4H) f32 -> (T, 2, B, H)."""
     T, D, B, G = xproj.shape
     H = hidden_size
     assert D == 2 and G == 4 * H
@@ -104,3 +105,224 @@ def bilstm_recurrence_pallas(xproj: jax.Array, w_hh: jax.Array,
     if pad_b:
         out = out[:, :, :B, :]
     return out
+
+
+# ---------------------------------------------------------------------------
+# training path: forward saving residuals + fused backward (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _lstm_fwd_save_kernel(x_ref, w_ref, y_ref, c_out_ref, g_ref,
+                          h_ref, c_ref, *, hidden_size: int):
+    """Forward step that also writes cell states and gate activations —
+    the residuals the backward kernel needs (saving them beats recomputing
+    the W_hh matmul per step in the backward)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    H = hidden_size
+    for d in range(2):
+        x = x_ref[0, d]
+        h = h_ref[d]
+        gates = x + jnp.dot(h, w_ref[d], preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c_new = f * c_ref[d] + i * g
+        h_new = o * jnp.tanh(c_new)
+        c_ref[d] = c_new
+        h_ref[d] = h_new
+        y_ref[0, d] = h_new
+        c_out_ref[0, d] = c_new
+        g_ref[0, d] = jnp.concatenate([i, f, g, o], axis=-1)
+
+
+def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
+                     dx_ref, dw_ref, dh_ref, dc_ref, *, hidden_size: int,
+                     T: int):
+    """Reverse-time backward step: consumes saved gates/cell states, emits
+    per-step dxproj and accumulates dW_hh in a revisited output block."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)          # 0..T-1, mapped to true time T-1-t
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    H = hidden_size
+    for d in range(2):
+        gates = g_ref[0, d]
+        i = gates[:, 0 * H:1 * H]
+        f = gates[:, 1 * H:2 * H]
+        g = gates[:, 2 * H:3 * H]
+        o = gates[:, 3 * H:4 * H]
+        c_t = c_ref[0, d]
+        c_prev = cprev_ref[0, d]
+        h_prev = hprev_ref[0, d]
+
+        tanh_c = jnp.tanh(c_t)
+        dh_total = dy_ref[0, d] + dh_ref[d]
+        dc_total = dc_ref[d] + dh_total * o * (1.0 - tanh_c * tanh_c)
+        da_i = dc_total * g * i * (1.0 - i)
+        da_f = dc_total * c_prev * f * (1.0 - f)
+        da_g = dc_total * i * (1.0 - g * g)
+        da_o = dh_total * tanh_c * o * (1.0 - o)
+        dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)
+
+        dx_ref[0, d] = dgates
+        # dh_{t-1} contribution through the recurrent matmul
+        dh_ref[d] = jnp.dot(dgates, w_ref[d].T,
+                            preferred_element_type=jnp.float32)
+        dc_ref[d] = dc_total * f
+        dw_ref[d] += jnp.dot(h_prev.T, dgates,
+                             preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("hidden_size", "block_b",
+                                             "interpret"))
+def _recurrence_fwd_save(xproj, w_hh, hidden_size, block_b=128,
+                         interpret=False):
+    T, D, B, G = xproj.shape
+    H = hidden_size
+    pad_b = _round_up(max(B, 8), block_b) - B
+    if pad_b:
+        xproj = jnp.pad(xproj, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
+    Bp = B + pad_b
+    nb = Bp // block_b
+
+    ys, cs, gs = pl.pallas_call(
+        functools.partial(_lstm_fwd_save_kernel, hidden_size=H),
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, 2, block_b, 4 * H), lambda b, t: (t, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, 4 * H), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, block_b, H), lambda b, t: (t, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, block_b, H), lambda b, t: (t, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, block_b, 4 * H), lambda b, t: (t, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_b, H), jnp.float32),
+            pltpu.VMEM((2, block_b, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xproj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    return ys, cs, gs
+
+
+@functools.partial(jax.jit, static_argnames=("hidden_size", "block_b",
+                                             "interpret"))
+def _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size, block_b=128,
+                    interpret=False):
+    """-> (dxproj (T,2,B,4H), dw_hh (2,H,4H)); all args already padded."""
+    T, D, Bp, H4 = gs.shape
+    H = hidden_size
+    nb = Bp // block_b
+
+    # previous-step states, time-shifted with a zero leading step
+    hprev = jnp.concatenate(
+        [jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    cprev = jnp.concatenate(
+        [jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+
+    rev = lambda b, t: (T - 1 - t, 0, b, 0)  # noqa: E731
+    spec_h = pl.BlockSpec((1, 2, block_b, H), rev,
+                          memory_space=pltpu.VMEM)
+    spec_4h = pl.BlockSpec((1, 2, block_b, 4 * H), rev,
+                           memory_space=pltpu.VMEM)
+
+    dx, dw = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, hidden_size=H, T=T),
+        grid=(nb, T),
+        in_specs=[
+            spec_h,                                   # dys
+            spec_4h,                                  # gates
+            spec_h,                                   # c
+            spec_h,                                   # h_prev
+            spec_h,                                   # c_prev
+            pl.BlockSpec((2, H, 4 * H), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),    # w_hh
+        ],
+        out_specs=[
+            spec_4h,                                  # dxproj
+            pl.BlockSpec((2, H, 4 * H), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),    # dw_hh (revisited)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((2, H, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_b, H), jnp.float32),  # dh carry
+            pltpu.VMEM((2, block_b, H), jnp.float32),  # dc carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(dys.astype(jnp.float32), gs, cs, hprev, cprev,
+      w_hh.astype(jnp.float32))
+    return dx, dw
+
+
+_INTERPRET = False  # tests flip this to run the VJP kernels on CPU
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilstm_recurrence_trainable(xproj: jax.Array, w_hh: jax.Array,
+                                hidden_size: int) -> jax.Array:
+    """Differentiable fused recurrence: the primal (inference) call runs
+    the minimal forward kernel; under jax.grad the forward saves gate/cell
+    residuals and the backward runs a fused reverse-time kernel."""
+    return bilstm_recurrence_pallas(xproj, w_hh, hidden_size,
+                                    interpret=_INTERPRET)
+
+
+_TRAIN_BLOCK_B = 128
+
+
+def _trainable_fwd(xproj, w_hh, hidden_size):
+    B = xproj.shape[2]
+    # static padding amount (jit outputs are traced, so derive it from
+    # shapes here rather than returning it from the jitted kernel call)
+    pad_b = _round_up(max(B, 8), _TRAIN_BLOCK_B) - B
+    ys, cs, gs = _recurrence_fwd_save(xproj, w_hh, hidden_size,
+                                      block_b=_TRAIN_BLOCK_B,
+                                      interpret=_INTERPRET)
+    out = ys[:, :, :B, :] if pad_b else ys
+    return out, (ys, cs, gs, w_hh, B, pad_b)
+
+
+def _trainable_bwd(hidden_size, res, dys):
+    ys, cs, gs, w_hh, B, pad_b = res
+    if pad_b:
+        dys = jnp.pad(dys, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
+    dx, dw = _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size,
+                             block_b=_TRAIN_BLOCK_B, interpret=_INTERPRET)
+    if pad_b:
+        dx = dx[:, :, :B, :]
+    return dx, dw.astype(w_hh.dtype)
+
+
+bilstm_recurrence_trainable.defvjp(_trainable_fwd, _trainable_bwd)
