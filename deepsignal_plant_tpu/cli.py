@@ -44,6 +44,10 @@ def _add_model_args(p, dropout_default: float, model_type_default="both_bilstm")
     p.add_argument("--is_signallen", type=str, default="yes")
     p.add_argument("--hid_rnn", type=int, default=256,
                    help="BiLSTM hidden size, default 256")
+    p.add_argument("--recurrence", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="BiLSTM recurrence impl: fused pallas kernels "
+                        "(auto on TPU) or lax.scan")
 
 
 def _add_f5_args(p):

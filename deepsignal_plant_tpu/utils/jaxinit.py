@@ -22,3 +22,13 @@ def setup_jax(compilation_cache: bool = True) -> None:
                               0)
         except Exception:
             pass  # older jax without these flags: in-process cache only
+
+
+def resolve_recurrence(choice: str = "auto") -> str:
+    """Map the CLI's --recurrence auto|scan|pallas to a concrete impl:
+    auto selects the fused pallas kernels on TPU backends (axon = tunneled
+    TPU) and scan elsewhere."""
+    if choice != "auto":
+        return choice
+    import jax
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
