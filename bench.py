@@ -58,8 +58,12 @@ def measure_tpu(features_path: str, ckpt_path: str) -> float:
     from deepsignal_plant_tpu.config import CallConfig, ModelConfig
     from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
 
+    from deepsignal_plant_tpu.utils.jaxinit import resolve_recurrence
     engine = CallModsEngine(
-        ckpt_path, ModelConfig(dropout_rate=0.0),
+        ckpt_path,
+        ModelConfig(dropout_rate=0.0,
+                    recurrence=resolve_recurrence(
+                        "auto", allow_multi_device=True)),
         CallConfig(device_batch=DEVICE_BATCH,
                    dispatch_workers=int(os.environ.get(
                        "BENCH_DISPATCH_WORKERS", "2"))))

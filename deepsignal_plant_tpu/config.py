@@ -33,6 +33,10 @@ class ModelConfig:
     def __post_init__(self):
         if self.module not in MODULE_TYPES:
             raise ValueError(f"module must be one of {MODULE_TYPES}")
+        if self.recurrence not in ("scan", "pallas"):
+            raise ValueError("recurrence must be 'scan' or 'pallas' "
+                             "(resolve 'auto' via "
+                             "utils.jaxinit.resolve_recurrence first)")
 
     @property
     def nhid_seq(self) -> int:
@@ -66,7 +70,6 @@ class CallConfig:
     device_batch: int = 32768     # per-step padded device batch; large
                                   # batches amortize per-dispatch latency
     f5_batch_size: int = 30
-    use_pallas: bool = True
     num_parse_workers: int = 2
     dispatch_workers: int = 2     # concurrent jit dispatches (overlaps
                                   # per-call transfer latency)

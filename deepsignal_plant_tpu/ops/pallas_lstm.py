@@ -33,6 +33,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _cell_step(x, h, c, w, H):
+    """One LSTM cell update (gate order i,f,g,o) -> (h_new, c_new, gates)."""
+    pre = x + jnp.dot(h, w, preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
+    f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
+    g = jnp.tanh(pre[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new, jnp.concatenate([i, f, g, o], axis=-1)
+
+
 def _lstm_kernel(x_ref, w_ref, y_ref, h_ref, c_ref, *, hidden_size: int):
     t = pl.program_id(1)
 
@@ -43,15 +55,8 @@ def _lstm_kernel(x_ref, w_ref, y_ref, h_ref, c_ref, *, hidden_size: int):
 
     H = hidden_size
     for d in range(2):  # direction: 0 fwd, 1 (time-flipped) bwd
-        x = x_ref[0, d]                        # (Bt, 4H)
-        h = h_ref[d]                           # (Bt, H)
-        gates = x + jnp.dot(h, w_ref[d], preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-        f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-        c_new = f * c_ref[d] + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new, _ = _cell_step(x_ref[0, d], h_ref[d], c_ref[d],
+                                     w_ref[d], H)
         c_ref[d] = c_new
         h_ref[d] = h_new
         y_ref[0, d] = h_new
@@ -125,36 +130,28 @@ def _lstm_fwd_save_kernel(x_ref, w_ref, y_ref, c_out_ref, g_ref,
 
     H = hidden_size
     for d in range(2):
-        x = x_ref[0, d]
-        h = h_ref[d]
-        gates = x + jnp.dot(h, w_ref[d], preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-        f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-        c_new = f * c_ref[d] + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new, gates = _cell_step(x_ref[0, d], h_ref[d], c_ref[d],
+                                         w_ref[d], H)
         c_ref[d] = c_new
         h_ref[d] = h_new
         y_ref[0, d] = h_new
         c_out_ref[0, d] = c_new
-        g_ref[0, d] = jnp.concatenate([i, f, g, o], axis=-1)
+        g_ref[0, d] = gates
 
 
 def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
-                     dx_ref, dw_ref, dh_ref, dc_ref, *, hidden_size: int,
-                     T: int):
-    """Reverse-time backward step: consumes saved gates/cell states, emits
-    per-step dxproj and accumulates dW_hh in a revisited output block."""
-    b = pl.program_id(0)
+                     dx_ref, dw_ref, dh_ref, dc_ref, *, hidden_size: int):
+    """Reverse-time backward step: consumes the saved gates/cell states
+    (previous-step states read straight from the forward outputs with a
+    shifted index map — no host-side copies), emits per-step dxproj, and
+    accumulates a per-batch-tile dW_hh partial (batch tiles stay parallel;
+    the partials are summed outside)."""
     t = pl.program_id(1)          # 0..T-1, mapped to true time T-1-t
-
-    @pl.when(jnp.logical_and(b == 0, t == 0))
-    def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+    at_time_zero = t == pl.num_programs(1) - 1
 
     @pl.when(t == 0)
     def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
         dh_ref[...] = jnp.zeros_like(dh_ref)
         dc_ref[...] = jnp.zeros_like(dc_ref)
 
@@ -166,8 +163,9 @@ def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:4 * H]
         c_t = c_ref[0, d]
-        c_prev = cprev_ref[0, d]
-        h_prev = hprev_ref[0, d]
+        # the shifted blocks clamp at time 0; zero them there (h_-1 = c_-1 = 0)
+        c_prev = jnp.where(at_time_zero, 0.0, cprev_ref[0, d])
+        h_prev = jnp.where(at_time_zero, 0.0, hprev_ref[0, d])
 
         tanh_c = jnp.tanh(c_t)
         dh_total = dy_ref[0, d] + dh_ref[d]
@@ -183,8 +181,8 @@ def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
         dh_ref[d] = jnp.dot(dgates, w_ref[d].T,
                             preferred_element_type=jnp.float32)
         dc_ref[d] = dc_total * f
-        dw_ref[d] += jnp.dot(h_prev.T, dgates,
-                             preferred_element_type=jnp.float32)
+        dw_ref[0, d] += jnp.dot(h_prev.T, dgates,
+                                preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("hidden_size", "block_b",
@@ -241,49 +239,46 @@ def _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size, block_b=128,
     H = hidden_size
     nb = Bp // block_b
 
-    # previous-step states, time-shifted with a zero leading step
-    hprev = jnp.concatenate(
-        [jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
-    cprev = jnp.concatenate(
-        [jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
-
     rev = lambda b, t: (T - 1 - t, 0, b, 0)  # noqa: E731
+    # previous true timestep (clamped at 0; the kernel zeroes time 0)
+    rev_prev = lambda b, t: (jnp.maximum(T - 2 - t, 0), 0, b, 0)  # noqa: E731
     spec_h = pl.BlockSpec((1, 2, block_b, H), rev,
                           memory_space=pltpu.VMEM)
+    spec_h_prev = pl.BlockSpec((1, 2, block_b, H), rev_prev,
+                               memory_space=pltpu.VMEM)
     spec_4h = pl.BlockSpec((1, 2, block_b, 4 * H), rev,
                            memory_space=pltpu.VMEM)
 
     dx, dw = pl.pallas_call(
-        functools.partial(_lstm_bwd_kernel, hidden_size=H, T=T),
+        functools.partial(_lstm_bwd_kernel, hidden_size=H),
         grid=(nb, T),
         in_specs=[
             spec_h,                                   # dys
             spec_4h,                                  # gates
             spec_h,                                   # c
-            spec_h,                                   # h_prev
-            spec_h,                                   # c_prev
+            spec_h_prev,                              # h_prev (= ys shifted)
+            spec_h_prev,                              # c_prev (= cs shifted)
             pl.BlockSpec((2, H, 4 * H), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),    # w_hh
         ],
         out_specs=[
             spec_4h,                                  # dxproj
-            pl.BlockSpec((2, H, 4 * H), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),    # dw_hh (revisited)
+            pl.BlockSpec((1, 2, H, 4 * H), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),    # dw_hh per-tile partial
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((2, H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2, H, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_b, H), jnp.float32),  # dh carry
             pltpu.VMEM((2, block_b, H), jnp.float32),  # dc carry
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(dys.astype(jnp.float32), gs, cs, hprev, cprev,
-      w_hh.astype(jnp.float32))
-    return dx, dw
+    )(dys.astype(jnp.float32), gs, cs, ys, cs, w_hh.astype(jnp.float32))
+    return dx, jnp.sum(dw, axis=0)
 
 
 _INTERPRET = False  # tests flip this to run the VJP kernels on CPU

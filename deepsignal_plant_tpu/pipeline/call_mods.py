@@ -54,11 +54,6 @@ class CallModsEngine:
         self.model_cfg = model_cfg.with_(dropout_rate=0.0)
         self.call_cfg = call_cfg or CallConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
-        # fused pallas recurrence on TPU backends (axon = tunneled TPU)
-        backend = jax.default_backend()
-        if self.call_cfg.use_pallas and backend in ("tpu", "axon") \
-                and self.model_cfg.recurrence == "scan":
-            self.model_cfg = self.model_cfg.with_(recurrence="pallas")
         self.device_batch = local_batch_target(self.call_cfg.device_batch,
                                                self.mesh)
         self.params = jax.device_put(
@@ -176,6 +171,7 @@ def call_mods(args) -> CallStats:
     import os
 
     from ..utils.bases import str2bool
+    from ..utils.jaxinit import resolve_recurrence
 
     model_cfg = ModelConfig(
         seq_len=args.seq_len, signal_len=args.signal_len,
@@ -183,7 +179,11 @@ def call_mods(args) -> CallStats:
         num_classes=args.class_num, dropout_rate=0.0,
         hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
         embedding_size=args.n_embed, is_base=str2bool(args.is_base),
-        is_signallen=str2bool(args.is_signallen), module=args.model_type)
+        is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        # the engine has a runtime scan fallback, so auto may pick pallas
+        # even on multi-device meshes
+        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),
+                                      allow_multi_device=True))
     call_cfg = CallConfig(batch_size=args.batch_size,
                           device_batch=getattr(args, "device_batch", 32768),
                           f5_batch_size=args.f5_batch_size,

@@ -24,11 +24,20 @@ def setup_jax(compilation_cache: bool = True) -> None:
             pass  # older jax without these flags: in-process cache only
 
 
-def resolve_recurrence(choice: str = "auto") -> str:
-    """Map the CLI's --recurrence auto|scan|pallas to a concrete impl:
+def resolve_recurrence(choice: str = "auto",
+                       allow_multi_device: bool = False) -> str:
+    """Map the CLI's --recurrence auto|scan|pallas to a concrete impl.
+
     auto selects the fused pallas kernels on TPU backends (axon = tunneled
-    TPU) and scan elsewhere."""
+    TPU), scan elsewhere. Pallas inside a GSPMD-sharded jit over several
+    devices is unvalidated on this project's hardware, so auto stays with
+    scan on multi-device meshes unless the caller has a runtime fallback
+    (the call engine does; training does not)."""
     if choice != "auto":
         return choice
     import jax
-    return "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
+    if jax.default_backend() not in ("tpu", "axon"):
+        return "scan"
+    if not allow_multi_device and jax.device_count() > 1:
+        return "scan"
+    return "pallas"

@@ -69,6 +69,42 @@ def test_gradients_with_ragged_batch_padding():
                                atol=2e-3, rtol=2e-3)
 
 
+def test_train_mode_grad_through_pallas(monkeypatch):
+    """train=True (dropout active, shared rng) gradients: pallas == scan —
+    exercises the actual training wiring, not just inference-mode grads."""
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import (Batch, forward,
+                                                    init_params)
+
+    cfg_s = ModelConfig(hidden_size=32, dropout_rate=0.5)
+    cfg_p = cfg_s.with_(recurrence="pallas")
+    params = init_params(jax.random.PRNGKey(2), cfg_s)
+    rng = np.random.default_rng(2)
+    n = 8
+    batch = Batch(
+        kmer=rng.integers(0, 4, (n, 13)).astype(np.int32),
+        base_means=rng.normal(size=(n, 13)).astype(np.float32),
+        base_stds=np.abs(rng.normal(size=(n, 13))).astype(np.float32),
+        base_signal_lens=rng.integers(1, 30, (n, 13)).astype(np.float32),
+        signals=rng.normal(size=(n, 13, 16)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, n))
+    drng = jax.random.PRNGKey(5)
+
+    def loss(p, cfg):
+        logits, _ = forward(p, batch, cfg, train=True, dropout_rng=drng)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+    ls = float(loss(params, cfg_s))
+    lp = float(loss(params, cfg_p))
+    assert ls == pytest.approx(lp, abs=1e-5)
+    gs = jax.grad(lambda p: loss(p, cfg_s))(params)
+    gp = jax.grad(lambda p: loss(p, cfg_p))(params)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
 def test_model_grad_through_pallas_recurrence(monkeypatch):
     """End-to-end model gradient with recurrence='pallas' (training path)
     == scan gradients."""
