@@ -106,9 +106,12 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     L = cfg.seq_len
     rngs = (list(jax.random.split(dropout_rng, 4))
             if (train and dropout_rng is not None) else [None] * 4)
-    # pallas carries a fused custom-VJP backward, so both inference and
-    # training honor cfg.recurrence
+    # pallas carries a fused custom-VJP backward (f32), so both inference
+    # and training honor cfg.recurrence; bf16 training has no fused
+    # backward and routes to scan
     impl = cfg.recurrence
+    if train and impl == "pallas" and cdt == jnp.bfloat16:
+        impl = "scan"
 
     out_seq = out_signal = None
     if cfg.module != "signal_bilstm":

@@ -112,10 +112,14 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
         from .pallas_lstm import bilstm_recurrence_trainable
         # differentiable wrapper: primal = the minimal forward kernel;
         # under jax.grad a residual-saving forward + fused reverse-time
-        # backward kernel run instead
+        # backward kernel run instead. Always f32 inside the kernel: a
+        # bf16-storage variant measured 27x SLOWER on v5e (Mosaic layout
+        # pathology with (2, B, H) bf16 tiles), and the f32 kernel already
+        # sits at the f32 MXU roofline — bf16 compute stays a scan-mode
+        # option.
         ys = bilstm_recurrence_trainable(
-            xproj.astype(jnp.float32), params["w_hh"].astype(jnp.float32),
-            hidden_size)
+            xproj.astype(jnp.float32),
+            params["w_hh"].astype(jnp.float32), hidden_size)
         ys = ys.astype(compute_dtype)
         h_T = ys[-1]
     else:

@@ -34,8 +34,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cell_step(x, h, c, w, H):
-    """One LSTM cell update (gate order i,f,g,o) -> (h_new, c_new, gates)."""
-    pre = x + jnp.dot(h, w, preferred_element_type=jnp.float32)
+    """One LSTM cell update (gate order i,f,g,o) -> (h_new, c_new, gates).
+
+    Matmul accumulates in f32 regardless of the storage dtype (h/w may be
+    bf16 for 2x MXU rate); gate math and the cell state stay f32.
+    """
+    pre = x.astype(jnp.float32) + jnp.dot(
+        h, w, preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
     f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
     g = jnp.tanh(pre[:, 2 * H:3 * H])
@@ -58,8 +63,8 @@ def _lstm_kernel(x_ref, w_ref, y_ref, h_ref, c_ref, *, hidden_size: int):
         h_new, c_new, _ = _cell_step(x_ref[0, d], h_ref[d], c_ref[d],
                                      w_ref[d], H)
         c_ref[d] = c_new
-        h_ref[d] = h_new
-        y_ref[0, d] = h_new
+        h_ref[d] = h_new.astype(h_ref.dtype)
+        y_ref[0, d] = h_new.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hidden_size", "block_b",
@@ -68,10 +73,13 @@ def bilstm_recurrence_pallas(xproj: jax.Array, w_hh: jax.Array,
                              hidden_size: int, block_b: int = 256,
                              interpret: bool = False) -> jax.Array:
     """Run the fused recurrence (forward only, minimal HBM traffic).
-    xproj (T, 2, B, 4H) f32 -> (T, 2, B, H)."""
+    xproj (T, 2, B, 4H) -> (T, 2, B, H), in xproj's dtype (f32, or bf16
+    for 2x MXU rate with f32 gate math/accumulation)."""
     T, D, B, G = xproj.shape
     H = hidden_size
     assert D == 2 and G == 4 * H
+    dtype = xproj.dtype if xproj.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
 
     pad_b = _round_up(max(B, 8), block_b) - B
     if pad_b:
@@ -92,10 +100,10 @@ def bilstm_recurrence_pallas(xproj: jax.Array, w_hh: jax.Array,
         out_specs=pl.BlockSpec((1, 2, block_b, H),
                                lambda b, t: (t, 0, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 2, Bp, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 2, Bp, H), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, H), jnp.float32),   # h
-            pltpu.VMEM((2, block_b, H), jnp.float32),   # c
+            pltpu.VMEM((2, block_b, H), dtype),         # h (matmul input)
+            pltpu.VMEM((2, block_b, H), jnp.float32),   # c (f32 state)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -106,7 +114,7 @@ def bilstm_recurrence_pallas(xproj: jax.Array, w_hh: jax.Array,
             transcendentals=T * 2 * Bp * H * 4,
         ),
         interpret=interpret,
-    )(xproj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(xproj.astype(dtype), w_hh.astype(dtype))
     if pad_b:
         out = out[:, :, :B, :]
     return out
