@@ -1,0 +1,61 @@
+"""Long-tail coverage: RNA mode, combine_freq_files CLI, freq gzip input."""
+import gzip
+
+import numpy as np
+import pytest
+
+from deepsignal_plant_tpu.cli import main as cli_main
+from deepsignal_plant_tpu.pipeline.extract import (ExtractContext,
+                                                   ExtractOptions)
+from deepsignal_plant_tpu.utils.bases import complement_seq
+from deepsignal_plant_tpu.utils.motifs import expand_motifs
+
+
+def test_rna_mode_motifs_and_complement():
+    """is_dna=no expands motifs over the RNA alphabet (reference
+    process_utils.py:42-47) and complements with U."""
+    assert set(expand_motifs("CG", is_dna=False)) == {"CG"}
+    # Y = C/U in RNA (C/T in DNA)
+    assert set(expand_motifs("CY", is_dna=False)) == {"CC", "CU"}
+    assert set(expand_motifs("CY", is_dna=True)) == {"CC", "CT"}
+    assert complement_seq("ACGU", "RNA") == "ACGU"
+    ctx = ExtractContext.build(ExtractOptions(motifs="CY"), is_dna=False)
+    assert set(ctx.motif_seqs) == {"CC", "CU"}
+
+
+def _freq_row(chrom, pos, met, unmet):
+    cov = met + unmet
+    return "%s\t%d\t+\t%d\t%.3f\t%.3f\t%d\t%d\t%d\t%.4f\t%s" % (
+        chrom, pos, pos, float(met), float(unmet), met, unmet, cov,
+        met / cov, "ACGCGTACGCGTA")
+
+
+def test_combine_freq_files_cli(tmp_path):
+    f1 = tmp_path / "a.freq.txt"
+    f2 = tmp_path / "b.freq.txt"
+    f1.write_text(_freq_row("c1", 5, 2, 1) + "\n")
+    f2.write_text(_freq_row("c1", 5, 1, 2) + "\n" +
+                  _freq_row("c2", 9, 3, 0) + "\n")
+    out = str(tmp_path / "combined.txt")
+    cli_main(["tools", "combine_freq_files", "--modspath", str(f1),
+              "--modspath", str(f2), "--wfile", out, "--sort"])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 2
+    w = lines[0].split("\t")
+    assert w[0] == "c1" and int(w[6]) == 3 and int(w[8]) == 6
+    assert float(w[9]) == pytest.approx(0.5)
+
+
+def test_call_freq_reads_gzip_calls(tmp_path):
+    calls = tmp_path / "calls.tsv.gz"
+    rows = []
+    for i in range(4):
+        rows.append("\t".join(["c1", str(i), "+", str(i), "r", "t",
+                               "0.1", "0.9", "1", "ACGCG"]))
+    with gzip.open(calls, "wt") as wf:
+        wf.write("\n".join(rows) + "\n")
+    out = str(tmp_path / "freq.tsv")
+    cli_main(["call_freq", "-i", str(calls), "-o", out, "--sort"])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 4
+    assert all(l.split("\t")[6] == "1" for l in lines)   # all met
