@@ -5,12 +5,17 @@ ambiguous calls (|p0-p1| < prob_cf), accumulate per-site probability sums /
 met / unmet / coverage, emit an 11-column TSV or bedMethyl, optionally
 sorted, optionally contig-parallel.
 
-Design here: a vectorized per-contig accumulator — rows are parsed in
-blocks with numpy, ambiguity-filtered as a vector, and reduced with
-np.unique + np.add.at segment sums instead of a per-row Python dict. The
-first-seen strand/pos_in_strand/kmer per site (the reference keeps the
-first record's metadata, call_mods_freq.py:55-59) is tracked with a
-first-occurrence index. Contig-parallel mode uses a process pool over
+Design here: a vectorized per-contig accumulator. Byte blocks are parsed
+by the native row parser (featparse.cpp dsp_parse_calls; Python split
+fallback), ambiguity-filtered as a vector, block-deduped with np.unique,
+and segment-summed with np.add.at into flat per-site arrays — the Python
+dict holds only site-key -> array-index, touched once per *block-unique*
+site instead of ~8 attribute updates per row. np.add.at iterates in row
+order, so per-site float sums associate exactly like the reference's
+sequential accumulation (call_mods_freq.py:60-66). The first-seen
+strand/pos_in_strand/kmer per site (the reference keeps the first
+record's metadata, call_mods_freq.py:55-59) comes from np.unique's
+first-occurrence indices. Contig-parallel mode uses a process pool over
 contigs like the reference, without the temp-file demux pass.
 """
 from __future__ import annotations
@@ -18,8 +23,6 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from collections import OrderedDict
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -27,72 +30,128 @@ from ..utils.fasta import get_contig_names, is_genome_fasta
 from ..utils.formats import (format_bed_row, format_freq_row, gzip_path,
                              open_text)
 
-
-@dataclass
-class SiteAgg:
-    """Accumulated stats of one genomic site (txt_formater.py:34)."""
-    strand: str
-    pos_in_strand: int
-    kmer: str
-    prob0: float = 0.0
-    prob1: float = 0.0
-    met: int = 0
-    unmet: int = 0
-    coverage: int = 0
+# site key = chrom_id * 2^40 + pos: positions fit well under 2^40 for any
+# genome; 2^23 contigs headroom in a signed int64
+_KEY_SHIFT = np.int64(1) << 40
 
 
-@dataclass
 class FreqAccumulator:
     """Streaming per-site accumulator over call_mods rows."""
-    prob_cf: float = 0.5
-    contig: str | None = None
-    sites: "OrderedDict[tuple[str, int], SiteAgg]" = field(
-        default_factory=OrderedDict)
-    count: int = 0
-    used: int = 0
 
-    def add_file(self, path: str, block_lines: int = 200_000) -> None:
-        with open_text(path) as rf:
-            block: list[str] = []
-            for line in rf:
-                block.append(line)
-                if len(block) >= block_lines:
-                    self._add_block(block)
-                    block = []
-            if block:
-                self._add_block(block)
+    def __init__(self, prob_cf: float = 0.5, contig: str | None = None):
+        self.prob_cf = prob_cf
+        self.contig = contig
+        self.count = 0
+        self.used = 0
+        self._chrom2gid: dict[str, int] = {}
+        self._chroms: list[str] = []
+        self._key2idx: dict[int, int] = {}
+        self.n_sites = 0
+        cap = 1024
+        self._gid = np.empty(cap, np.int64)
+        self._pos = np.empty(cap, np.int64)
+        self._strand = np.empty(cap, np.uint8)
+        self._pis = np.empty(cap, np.int64)
+        self._prob0 = np.zeros(cap, np.float64)
+        self._prob1 = np.zeros(cap, np.float64)
+        self._met = np.zeros(cap, np.int64)
+        self._coverage = np.zeros(cap, np.int64)
+        self._kmers: list[str] = []
 
-    def _add_block(self, lines: list[str]) -> None:
-        n = len(lines)
-        self.count += n
-        cols = [ln.rstrip("\n").split("\t") for ln in lines]
+    def _grow(self, extra: int) -> None:
+        need = self.n_sites + extra
+        cap = len(self._pos)
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        for name in ("_gid", "_pos", "_strand", "_pis", "_prob0", "_prob1",
+                     "_met", "_coverage"):
+            old = getattr(self, name)
+            new = (np.zeros if old.dtype != np.uint8 else np.empty)(
+                cap, old.dtype)
+            new[:self.n_sites] = old[:self.n_sites]
+            setattr(self, name, new)
+
+    def add_file(self, path: str, block_bytes: int = 8 << 20) -> None:
+        from ..io.batching import iter_byte_blocks
+        from ..utils.fastparse import parse_call_bytes
+        for raw in iter_byte_blocks(path, block_bytes):
+            cb = parse_call_bytes(raw)
+            if cb is None:
+                cb = _parse_calls_py(raw)
+            self._add_block(cb)
+
+    def _add_block(self, cb) -> None:
+        n = len(cb)
+        if n == 0:
+            return
+        # block-local chrom ids -> global ids
+        lg2g = np.empty(len(cb.chroms), np.int64)
+        for j, name in enumerate(cb.chroms):
+            g = self._chrom2gid.get(name)
+            if g is None:
+                g = len(self._chroms)
+                self._chrom2gid[name] = g
+                self._chroms.append(name)
+            lg2g[j] = g
+        gids = lg2g[cb.chrom_ids]
+
+        keep = np.abs(cb.p0 - cb.p1) >= self.prob_cf
         if self.contig is not None:
-            cols = [w for w in cols if w[0] == self.contig]
-            if not cols:
+            # off-contig rows are skipped before counting
+            # (call_mods_freq.py:52-53 continues before count += 1)
+            try:
+                target = cb.chroms.index(self.contig)
+            except ValueError:
                 return
-        p0 = np.fromiter((w[6] for w in cols), dtype=np.float64,
-                         count=len(cols))
-        p1 = np.fromiter((w[7] for w in cols), dtype=np.float64,
-                         count=len(cols))
-        keep = np.abs(p0 - p1) >= self.prob_cf
+            on_contig = cb.chrom_ids == target
+            self.count += int(on_contig.sum())
+            keep &= on_contig
+        else:
+            self.count += n
         self.used += int(keep.sum())
-        labels = np.fromiter((w[8] for w in cols), dtype=np.int64,
-                             count=len(cols))
-        sites = self.sites
-        for i in np.nonzero(keep)[0]:
-            w = cols[i]
-            key = (w[0], int(w[1]))
-            agg = sites.get(key)
-            if agg is None:
-                agg = SiteAgg(w[2], int(w[3]), w[9])
-                sites[key] = agg
-            agg.prob0 += p0[i]
-            agg.prob1 += p1[i]
-            agg.coverage += 1
-            if labels[i] == 1:
-                agg.met += 1
-            else:
-                agg.unmet += 1
+        rows = np.nonzero(keep)[0]
+        if len(rows) == 0:
+            return
+
+        keys = gids[rows] * _KEY_SHIFT + cb.pos[rows]
+        ukeys, first_idx, inverse = np.unique(
+            keys, return_index=True, return_inverse=True)
+        # resolve block-unique keys against the global site table
+        g_of_u = np.empty(len(ukeys), np.int64)
+        k2i = self._key2idx
+        new_local: list[int] = []
+        for j, k in enumerate(ukeys.tolist()):
+            gi = k2i.get(k)
+            if gi is None:
+                new_local.append(j)
+                gi = -1
+            g_of_u[j] = gi
+        if new_local:
+            # append new sites in first-occurrence (file) order — the
+            # reference's insertion-ordered dict contract
+            new_local.sort(key=lambda j: first_idx[j])
+            base = self.n_sites
+            self._grow(len(new_local))
+            nl = np.asarray(new_local)
+            g_of_u[nl] = base + np.arange(len(new_local))
+            for t, j in enumerate(new_local):
+                k2i[int(ukeys[j])] = base + t
+            src = rows[first_idx[nl]]
+            sl = slice(base, base + len(new_local))
+            self._gid[sl] = gids[src]
+            self._pos[sl] = cb.pos[src]
+            self._strand[sl] = cb.strand[src]
+            self._pis[sl] = cb.pos_in_strand[src]
+            self._kmers.extend(cb.kmer_at(int(r)) for r in src)
+            self.n_sites += len(new_local)
+
+        ridx = g_of_u[inverse]
+        np.add.at(self._prob0, ridx, cb.p0[rows])
+        np.add.at(self._prob1, ridx, cb.p1[rows])
+        np.add.at(self._met, ridx, cb.label[rows])
+        np.add.at(self._coverage, ridx, 1)
 
     def report(self) -> str:
         pct = self.used / float(self.count) * 100 if self.count else 0.0
@@ -101,30 +160,82 @@ class FreqAccumulator:
             pct, self.used, self.count, tag)
 
 
-def write_freq(sites: "OrderedDict[tuple[str, int], SiteAgg]",
-               result_file: str, is_sort: bool, is_bed: bool,
-               is_gzip: bool) -> None:
+class _PyCallBlock:
+    """Python-parsed stand-in for fastparse.CallBlock."""
+
+    def __init__(self, cols: list[list[str]]):
+        self.chroms: list[str] = []
+        chrom2id: dict[str, int] = {}
+        ids = np.empty(len(cols), np.int32)
+        for i, w in enumerate(cols):
+            c = w[0]
+            g = chrom2id.get(c)
+            if g is None:
+                g = len(self.chroms)
+                chrom2id[c] = g
+                self.chroms.append(c)
+            ids[i] = g
+        self.chrom_ids = ids
+        n = len(cols)
+        self.pos = np.fromiter((w[1] for w in cols), np.int64, n)
+        self.strand = np.fromiter((ord(w[2][0]) for w in cols), np.uint8, n)
+        self.pos_in_strand = np.fromiter((w[3] for w in cols), np.int64, n)
+        self.p0 = np.fromiter((w[6] for w in cols), np.float64, n)
+        self.p1 = np.fromiter((w[7] for w in cols), np.float64, n)
+        self.label = np.fromiter((w[8] for w in cols), np.int32, n)
+        self._cols = cols
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def kmer_at(self, i: int) -> str:
+        return self._cols[i][9]
+
+
+def _parse_calls_py(raw: bytes) -> _PyCallBlock:
+    lines = raw.decode().splitlines()
+    return _PyCallBlock([ln.split("\t") for ln in lines if ln])
+
+
+def write_freq(acc: FreqAccumulator, result_file: str, is_sort: bool,
+               is_bed: bool, is_gzip: bool) -> None:
     """Emit the accumulated sites (call_mods_freq.py:77-122 formats)."""
-    keys = sorted(sites.keys()) if is_sort else list(sites.keys())
+    n = acc.n_sites
+    gid = acc._gid[:n]
+    pos = acc._pos[:n]
+    chrom_names = np.array(acc._chroms, dtype=str)[gid] if n else \
+        np.empty(0, dtype="U1")
+    if is_sort:
+        # reference sorts (chrom_str, pos) tuples: string-major
+        order = np.lexsort((pos, chrom_names))
+    else:
+        order = np.arange(n)
+    coverage = acc._coverage[:n]
+    met = acc._met[:n]
+    unmet = coverage - met
+    prob0 = acc._prob0[:n]
+    prob1 = acc._prob1[:n]
+    strand = acc._strand[:n]
+    pis = acc._pis[:n]
+    kmers = acc._kmers
     path = gzip_path(result_file) if is_gzip else result_file
     wf = open_text(path, "wt") if is_gzip else open(path, "w")
     try:
-        for key in keys:
-            chrom, pos = key
-            s = sites[key]
-            assert s.coverage == s.met + s.unmet
-            if s.coverage <= 0:
-                print(f"{chrom} {pos} has no coverage..")
+        for i in order.tolist():
+            cov = int(coverage[i])
+            if cov <= 0:
+                print(f"{chrom_names[i]} {pos[i]} has no coverage..")
                 continue
-            rmet = float(s.met) / s.coverage
+            rmet = float(met[i]) / cov
             if is_bed:
-                wf.write(format_bed_row(chrom, pos, s.strand, s.coverage,
-                                        rmet) + "\n")
+                wf.write(format_bed_row(str(chrom_names[i]), int(pos[i]),
+                                        chr(strand[i]), cov, rmet) + "\n")
             else:
-                wf.write(format_freq_row(chrom, pos, s.strand,
-                                         s.pos_in_strand, s.prob0, s.prob1,
-                                         s.met, s.unmet, s.coverage, rmet,
-                                         s.kmer) + "\n")
+                wf.write(format_freq_row(
+                    str(chrom_names[i]), int(pos[i]), chr(strand[i]),
+                    int(pis[i]), float(prob0[i]), float(prob1[i]),
+                    int(met[i]), int(unmet[i]), cov, rmet,
+                    kmers[i]) + "\n")
     finally:
         wf.close()
 
@@ -139,7 +250,7 @@ def _freq_one_contig(contig: str, mods_files: list[str], prob_cf: float,
     print(acc.report())
     fname, fext = os.path.splitext(result_file)
     c_file = fname + "." + contig + "." + str(uuid.uuid1()) + fext
-    write_freq(acc.sites, c_file, issort, isbed, False)
+    write_freq(acc, c_file, issort, isbed, False)
     return c_file
 
 
@@ -202,7 +313,7 @@ def call_mods_frequency_to_file(args) -> None:
         for f in mods_files:
             acc.add_file(f)
         print(acc.report())
-        write_freq(acc.sites, args.result_file, args.sort, args.bed,
+        write_freq(acc, args.result_file, args.sort, args.bed,
                    args.gzip)
     else:
         print("start processing {} contigs..".format(len(contigs)))

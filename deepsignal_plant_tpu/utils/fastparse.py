@@ -40,6 +40,10 @@ def _configure(lib) -> None:
     lib.dsp_format_feature_cols.argtypes = [f64p, f64p, i32p, f64p, i64,
                                             i32, i32, u8p, i32p]
     lib.dsp_format_feature_cols.restype = i64
+    lib.dsp_parse_calls.argtypes = [
+        c_char_p, i64, i32p, i64p, u8p, i64p, f64p, f64p, i32p, i64p,
+        i32p, ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32)]
+    lib.dsp_parse_calls.restype = i64
     _configured = True
 
 
@@ -84,6 +88,68 @@ def parse_feature_bytes(block: bytes, kmer_len: int = 13,
                 if with_read_ids else [])
     return FeatureBatch(sampleinfo, kmer[:n], means[:n], stds[:n],
                         slens[:n], signals[:n], labels[:n], read_ids)
+
+
+class CallBlock:
+    """Parsed call_mods rows (struct-of-arrays) from one byte block."""
+    __slots__ = ("chroms", "chrom_ids", "pos", "strand", "pos_in_strand",
+                 "p0", "p1", "label", "kmer_off", "kmer_len", "raw")
+
+    def __init__(self, chroms, chrom_ids, pos, strand, pos_in_strand, p0,
+                 p1, label, kmer_off, kmer_len, raw):
+        self.chroms = chroms            # list[str], block-local intern table
+        self.chrom_ids = chrom_ids      # (n,) int32 indexes into chroms
+        self.pos = pos                  # (n,) int64
+        self.strand = strand            # (n,) uint8 ('+' / '-' ordinals)
+        self.pos_in_strand = pos_in_strand  # (n,) int64
+        self.p0 = p0                    # (n,) float64
+        self.p1 = p1                    # (n,) float64
+        self.label = label              # (n,) int32 called label
+        self.kmer_off = kmer_off        # (n,) int64 offsets into raw
+        self.kmer_len = kmer_len        # (n,) int32
+        self.raw = raw                  # the input bytes (kmer storage)
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def kmer_at(self, i: int) -> str:
+        off = int(self.kmer_off[i])
+        return self.raw[off:off + int(self.kmer_len[i])].decode()
+
+
+def parse_call_bytes(block: bytes) -> CallBlock | None:
+    """Parse a newline-terminated call_mods byte block natively; None when
+    the native library is unavailable (callers fall back to Python)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    n_max = lib.dsp_count_lines(block, len(block))
+    chrom_ids = np.empty(n_max, np.int32)
+    pos = np.empty(n_max, np.int64)
+    strand = np.empty(n_max, np.uint8)
+    pis = np.empty(n_max, np.int64)
+    p0 = np.empty(n_max, np.float64)
+    p1 = np.empty(n_max, np.float64)
+    label = np.empty(n_max, np.int32)
+    kmer_off = np.empty(n_max, np.int64)
+    kmer_len = np.empty(n_max, np.int32)
+    cap = 4 << 20
+    chrom_buf = ctypes.create_string_buffer(cap)
+    n_chroms = ctypes.c_int32(0)
+    n = lib.dsp_parse_calls(block, len(block), chrom_ids, pos, strand, pis,
+                            p0, p1, label, kmer_off, kmer_len, chrom_buf,
+                            cap, ctypes.byref(n_chroms))
+    if n == np.iinfo(np.int64).min:
+        raise ValueError("chromosome-name table exceeded 4 MiB")
+    if n < 0:
+        raise ValueError(f"malformed call_mods row at line {-n - 1}")
+    n = int(n)
+    names = chrom_buf.raw[:chrom_buf.raw.index(b"\x00")].decode()
+    chroms = names.split("\n")[:n_chroms.value] if n else []
+    return CallBlock(chroms, chrom_ids[:n], pos[:n], strand[:n], pis[:n],
+                     p0[:n], p1[:n], label[:n], kmer_off[:n], kmer_len[:n],
+                     block)
 
 
 def format_feature_cols(means: np.ndarray, stds: np.ndarray,

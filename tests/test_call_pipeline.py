@@ -131,3 +131,82 @@ def test_tools_split_and_freq2bed(small_ckpt, features_file, tmp_path):
         w = ln.split("\t")
         assert len(w) == 11
         assert int(w[1]) + 1 == int(w[2])
+
+
+def _synth_call_rows(rng, n_rows):
+    """Synthetic call_mods rows: several contigs, both strands, repeated
+    sites (coverage), -1 pos_in_strand, 6dp probs like the real emitter."""
+    chroms = ["chr1", "chr10", "chr2", "scaffold_9"]
+    rows = []
+    for i in range(n_rows):
+        c = chroms[int(rng.integers(len(chroms)))]
+        pos = int(rng.integers(0, 500))
+        strand = "+" if rng.random() < 0.5 else "-"
+        pis = -1 if rng.random() < 0.1 else pos
+        p1 = round(float(rng.random()), 6)
+        p0 = round(1.0 - p1, 6)
+        label = 0 if p0 >= p1 else 1
+        rows.append("\t".join([c, str(pos), strand, str(pis),
+                               f"read{i % 37}", "t", str(p0), str(p1),
+                               str(label), "ACGTACCGTACGT"]))
+    return rows
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_call_freq_accumulator_vs_reference_multiblock(
+        reference_importable, tmp_path, monkeypatch, native):
+    """Vectorized accumulator == reference oracle byte-for-byte on a file
+    spanning several parse blocks, in every output mode, through both the
+    native and the Python-fallback row parsers."""
+    from deepsignal_plant_tpu.pipeline import call_freq as cf
+
+    if not native:
+        monkeypatch.setattr(
+            "deepsignal_plant_tpu.utils.fastparse.parse_call_bytes",
+            lambda raw: None)
+
+    rng = np.random.default_rng(7)
+    calls = str(tmp_path / "calls.tsv")
+    with open(calls, "w") as f:
+        f.write("\n".join(_synth_call_rows(rng, 4000)) + "\n")
+
+    from deepsignal_plant.call_mods_freq import (calculate_mods_frequency,
+                                                 write_sitekey2stats)
+    for is_sort in (False, True):
+        for is_bed in (False, True):
+            acc = cf.FreqAccumulator(prob_cf=0.2)
+            # tiny blocks force multi-block accumulation + cross-block
+            # site merging
+            acc.add_file(calls, block_bytes=1 << 12)
+            ours = str(tmp_path / "ours.out")
+            cf.write_freq(acc, ours, is_sort, is_bed, False)
+
+            stats = calculate_mods_frequency([calls], 0.2)
+            theirs = str(tmp_path / "ref.out")
+            write_sitekey2stats(stats, theirs, is_sort, is_bed, False)
+            assert open(ours).read() == open(theirs).read(), \
+                (is_sort, is_bed)
+
+
+def test_call_freq_accumulator_contig_counts(reference_importable,
+                                             tmp_path):
+    """Contig mode counts only on-contig rows (call_mods_freq.py:52-57)."""
+    from deepsignal_plant_tpu.pipeline import call_freq as cf
+    rng = np.random.default_rng(3)
+    calls = str(tmp_path / "calls.tsv")
+    with open(calls, "w") as f:
+        f.write("\n".join(_synth_call_rows(rng, 1000)) + "\n")
+    acc = cf.FreqAccumulator(prob_cf=0.2, contig="chr2")
+    acc.add_file(calls, block_bytes=1 << 12)
+    n_chr2 = sum(1 for ln in open(calls) if ln.split("\t")[0] == "chr2")
+    assert acc.count == n_chr2
+    assert 0 < acc.used <= n_chr2
+
+    from deepsignal_plant.call_mods_freq import (calculate_mods_frequency,
+                                                 write_sitekey2stats)
+    ours = str(tmp_path / "ours.tsv")
+    cf.write_freq(acc, ours, True, False, False)
+    stats = calculate_mods_frequency([calls], 0.2, "chr2")
+    theirs = str(tmp_path / "ref.tsv")
+    write_sitekey2stats(stats, theirs, True, False, False)
+    assert open(ours).read() == open(theirs).read()
