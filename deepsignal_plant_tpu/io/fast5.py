@@ -18,6 +18,46 @@ import numpy as np
 
 READS_GROUP = "Raw/Reads"
 
+# ONT's VBZ compression plugin (registered HDF5 filter id). Most real
+# nanopore fast5s are VBZ-compressed; reading them requires the
+# ont-vbz-hdf5-plugin shared library on HDF5_PLUGIN_PATH
+# (reference README.md:239).
+VBZ_FILTER_ID = 32020
+
+
+class VBZPluginError(OSError):
+    """Raised when a dataset needs the VBZ plugin and it isn't loaded."""
+
+
+def vbz_plugin_available() -> bool:
+    """Whether HDF5 can decode VBZ (filter 32020) in this process."""
+    try:
+        return bool(h5py.h5z.filter_avail(VBZ_FILTER_ID))
+    except Exception:
+        return False
+
+
+def _read_dataset(dset, path: str, name: str):
+    """Read a dataset, mapping the opaque HDF5 filter error for
+    VBZ-compressed data to an actionable message."""
+    try:
+        return dset[()]
+    except OSError as exc:
+        try:
+            filters = dset._filters or {}
+        except Exception:
+            filters = {}
+        if any(str(k) == str(VBZ_FILTER_ID) for k in filters) or \
+                ("32020" in str(exc)):
+            raise VBZPluginError(
+                f"{path}: dataset '{name}' is VBZ-compressed (HDF5 filter "
+                f"{VBZ_FILTER_ID}) but the vbz plugin is not loaded. "
+                "Install ont-vbz-hdf5-plugin and point HDF5_PLUGIN_PATH at "
+                "the directory containing libvbz_hdf_plugin.so "
+                "(see ONT's vbz_compression releases)."
+            ) from exc
+        raise
+
 
 def _attr_str(v) -> str:
     """HDF5 attrs may be bytes or str depending on writer version
@@ -59,7 +99,7 @@ def read_tombo_fast5(path: str,
         first_read = next(iter(h5[READS_GROUP].keys()))
         raw_grp = h5[f"{READS_GROUP}/{first_read}"]
         readname = _attr_str(raw_grp.attrs["read_id"])
-        raw = raw_grp["Signal"][()]
+        raw = _read_dataset(raw_grp["Signal"], path, "Signal")
 
         align_attrs = h5[f"{corr_path}/Alignment"].attrs
         alignstrand = _attr_str(align_attrs["mapped_strand"])
@@ -69,9 +109,10 @@ def read_tombo_fast5(path: str,
 
         events = h5[f"{corr_path}/Events"]
         rel = int(events.attrs["read_start_rel_to_raw"])
-        starts = events["start"][()].astype(np.int64) + rel
-        lengths = events["length"][()].astype(np.int64)
-        bases = events["base"][()]
+        table = _read_dataset(events, path, "Events")
+        starts = table["start"].astype(np.int64) + rel
+        lengths = table["length"].astype(np.int64)
+        bases = table["base"]
         seq = b"".join(bases).decode("utf-8") \
             if bases.dtype.kind == "S" else "".join(map(str, bases))
 

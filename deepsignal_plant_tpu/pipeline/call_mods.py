@@ -40,10 +40,19 @@ class CallStats:
     sites: int = 0
     batches: int = 0
     seconds: float = 0.0
+    # accuracy of called labels vs the features' label column — meaningful
+    # only on labeled features (reference computes this per batch,
+    # call_modifications.py:171-173; its report print is commented out at
+    # :257-258, so we report the exact global equivalent instead)
+    label_correct: int = 0
 
     @property
     def sites_per_s(self) -> float:
         return self.sites / self.seconds if self.seconds else 0.0
+
+    @property
+    def label_accuracy(self) -> float:
+        return self.label_correct / self.sites if self.sites else 0.0
 
 
 class CallModsEngine:
@@ -160,6 +169,9 @@ class CallModsEngine:
                         probs[:, 1], kmer_strs))
             stats.sites += n_valid
             stats.batches += 1
+            called = probs[:, 1] > probs[:, 0]
+            stats.label_correct += int(
+                (called == (fb.labels[:n_valid] == 1)).sum())
         writer.close()
         stats.seconds = time.time() - t0
         return stats
@@ -221,4 +233,8 @@ def call_mods(args) -> CallStats:
     print("[main] call_mods costs %.2f seconds.. "
           "(%d sites, %.0f sites/s)" % (time.time() - t0, stats.sites,
                                         stats.sites_per_s))
+    if stats.sites:
+        print("[main] accuracy vs label column: %.4f "
+              "(meaningful only on labeled features)" %
+              stats.label_accuracy)
     return stats

@@ -28,8 +28,8 @@ from ..utils.bases import seq_to_codes
 from ..utils.fasta import get_contig2len
 from ..utils.fileio import get_fast5s
 from ..utils.formats import FeatureBatch, format_feature_row, gzip_path
-from ..utils.motifs import (KEY_SEP, expand_motifs, motif_locs_in_codes,
-                            parse_region, read_position_file)
+from ..utils.motifs import (PositionIndex, expand_motifs,
+                            motif_locs_in_codes, parse_region)
 
 # MAD consistency constant: Gaussian.ppf(3/4), the statsmodels robust.mad
 # default the reference relies on (extract_features.py:183)
@@ -151,7 +151,7 @@ class ExtractContext:
     extract_features.py:532-553)."""
     motif_seqs: list[str]
     chrom2len: dict | None
-    positions: set | None
+    positions: PositionIndex | None
     regioninfo: tuple
     opts: ExtractOptions
 
@@ -163,7 +163,7 @@ class ExtractContext:
         motif_seqs = expand_motifs(opts.motifs, is_dna)
         chrom2len = (get_contig2len(opts.reference_path)
                      if opts.reference_path else None)
-        positions = (read_position_file(opts.positions)
+        positions = (PositionIndex(opts.positions)
                      if opts.positions else None)
         regioninfo = parse_region(opts.region)
         return cls(motif_seqs, chrom2len, positions, regioninfo, opts)
@@ -215,11 +215,7 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
     if rg_chrom is not None:
         keep &= (pos >= read_rg_start) & (pos < read_rg_end)
     if ctx.positions is not None:
-        for i, p in enumerate(pos):
-            if keep[i] and KEY_SEP.join(
-                    [read.chrom, str(int(p)), read.alignstrand]) \
-                    not in ctx.positions:
-                keep[i] = False
+        keep &= ctx.positions.mask(read.chrom, read.alignstrand, pos)
     locs, pos, pos_in_strand = locs[keep], pos[keep], pos_in_strand[keep]
     if len(locs) == 0:
         return None
@@ -428,6 +424,12 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     t0 = time.time()
     if not os.path.isdir(fast5_dir):
         raise ValueError("--fast5_dir is not a directory!")
+    from ..io.fast5 import vbz_plugin_available
+    if not vbz_plugin_available():
+        print("[warn] HDF5 VBZ plugin (filter 32020) not loaded — "
+              "VBZ-compressed fast5s will fail to read. Install "
+              "ont-vbz-hdf5-plugin and set HDF5_PLUGIN_PATH if your reads "
+              "are VBZ-compressed.")
     fast5s = shard_for_host(get_fast5s(fast5_dir, is_recursive))
     print("{} fast5 files in total (this host)..".format(len(fast5s)))
     # hosts must not clobber each other's output
@@ -541,6 +543,9 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
         writer.write_rows(rows)
         stats.sites += n_valid
         stats.batches += 1
+        called = probs[:, 1] > probs[:, 0]
+        stats.label_correct += int(
+            (called == (fb.labels[:n_valid] == 1)).sum())
 
     def _dispatch(fb, n_valid):
         probs = engine.predict_probs(fb)

@@ -140,3 +140,35 @@ def read_position_file(position_file: str) -> set[str]:
                                  "It must be tab-separated.")
             positions.add(KEY_SEP.join(words[:3]))
     return positions
+
+
+class PositionIndex:
+    """Vectorized (chrom, strand) -> sorted-position lookup for the
+    --positions filter: replaces the per-site key-string membership test
+    (reference extract_features.py:352-355) with one np.searchsorted per
+    read. Same file format as read_position_file."""
+
+    def __init__(self, position_file: str):
+        import numpy as np
+        by_cs: dict[tuple[str, str], list[int]] = {}
+        with open(position_file) as rf:
+            for line in rf:
+                words = line.strip().split("\t")
+                if len(words) < 3:
+                    raise ValueError("--positions file in wrong format. "
+                                     "It must be tab-separated.")
+                by_cs.setdefault((words[0], words[2]), []).append(
+                    int(words[1]))
+        self._by_cs = {k: np.unique(np.asarray(v, dtype=np.int64))
+                       for k, v in by_cs.items()}
+
+    def mask(self, chrom: str, strand: str, pos) -> "object":
+        """Boolean membership mask over a position array."""
+        import numpy as np
+        pos = np.asarray(pos, dtype=np.int64)
+        arr = self._by_cs.get((chrom, strand))
+        if arr is None or len(arr) == 0:
+            return np.zeros(len(pos), dtype=bool)
+        loc = np.searchsorted(arr, pos)
+        loc[loc == len(arr)] = 0
+        return arr[loc] == pos

@@ -232,3 +232,27 @@ def test_extract_region_and_positions_filters(fast5_env, tmp_path):
             (r.split("\t") for r in rows_p)}
     want = {(w[0], w[1], w[2]) for w in first}
     assert keys == want
+
+
+def test_position_index_matches_key_set(tmp_path):
+    """PositionIndex.mask == per-site string-key membership (the reference
+    filter, extract_features.py:352-355) on random queries."""
+    import numpy as np
+    from deepsignal_plant_tpu.utils.motifs import (KEY_SEP, PositionIndex,
+                                                   read_position_file)
+    rng = np.random.default_rng(5)
+    pf = str(tmp_path / "pos.tsv")
+    with open(pf, "w") as f:
+        for _ in range(500):
+            chrom = f"chr{rng.integers(1, 4)}"
+            strand = "+" if rng.random() < 0.5 else "-"
+            f.write(f"{chrom}\t{int(rng.integers(0, 1000))}\t{strand}\n")
+    idx = PositionIndex(pf)
+    keys = read_position_file(pf)
+    for chrom in ("chr1", "chr2", "chr3", "chrX"):
+        for strand in ("+", "-"):
+            q = rng.integers(0, 1100, size=300)
+            got = idx.mask(chrom, strand, q)
+            want = np.array([KEY_SEP.join([chrom, str(int(p)), strand])
+                             in keys for p in q])
+            assert (got == want).all()

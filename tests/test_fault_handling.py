@@ -55,3 +55,36 @@ def test_fast5_without_alignment_skipped(tmp_path, rng):
     total, errors = extract_features(f5dir, True, ctx, out, nproc=1)
     assert total == 3
     assert errors == 0  # skip, not error — matches reference semantics
+
+
+class _FakeVbzDset:
+    _filters = {"32020": (1, "vbz")}
+
+    def __getitem__(self, key):
+        raise OSError("Can't read data (can't open directory: "
+                      "/usr/local/hdf5/lib/plugin)")
+
+
+class _FakePlainDset:
+    _filters = {}
+
+    def __getitem__(self, key):
+        raise OSError("truncated file")
+
+
+def test_vbz_missing_plugin_actionable_error():
+    """VBZ-compressed datasets without the plugin raise an error naming
+    HDF5_PLUGIN_PATH (reference README.md:239 requirement surfaced)."""
+    import pytest
+    from deepsignal_plant_tpu.io import fast5 as f5
+    with pytest.raises(f5.VBZPluginError, match="HDF5_PLUGIN_PATH"):
+        f5._read_dataset(_FakeVbzDset(), "/x/read.fast5", "Signal")
+    # non-VBZ read errors pass through untranslated
+    with pytest.raises(OSError) as ei:
+        f5._read_dataset(_FakePlainDset(), "/x/read.fast5", "Signal")
+    assert not isinstance(ei.value, f5.VBZPluginError)
+
+
+def test_vbz_probe_is_bool():
+    from deepsignal_plant_tpu.io.fast5 import vbz_plugin_available
+    assert isinstance(vbz_plugin_available(), bool)
