@@ -167,12 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".ckpt (torch) or .ckpt.npz (native) checkpoint")
     _add_model_args(p, dropout_default=0.0)
     p.add_argument("--batch_size", "-b", type=int, default=512)
-    p.add_argument("--device_batch", type=int, default=32768,
+    p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")
     p.add_argument("--transfer_dtype", type=str, default="float16",
                    choices=["float16", "float32"],
                    help="host->device wire format; float32 for exact-parity "
                         "runs")
+    p.add_argument("--parse_workers", type=int, default=None,
+                   help="host parser threads (default: cores, max 4)")
     p.add_argument("--dispatch_workers", type=int, default=2,
                    help="concurrent device dispatches (overlaps per-call "
                         "transfer latency on remote-attached runtimes)")

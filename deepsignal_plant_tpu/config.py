@@ -67,10 +67,12 @@ class ModelConfig:
 class CallConfig:
     """Inference-engine settings (reference CALL/PARALLEL arg groups)."""
     batch_size: int = 512
-    device_batch: int = 32768     # per-step padded device batch; large
-                                  # batches amortize per-dispatch latency
+    # per-step padded device batch; large batches amortize per-dispatch
+    # latency. None = auto: sized from the input so small files don't pay
+    # full 32768-row padding
+    device_batch: int | None = None
     f5_batch_size: int = 30
-    num_parse_workers: int = 2
+    num_parse_workers: int | None = None  # None = auto (cores, <=4)
     dispatch_workers: int = 2     # concurrent jit dispatches (overlaps
                                   # per-call transfer latency)
     # wire format host->device: "float16" halves transfer bytes (the model
@@ -80,8 +82,8 @@ class CallConfig:
     def __post_init__(self):
         if self.dispatch_workers < 1:
             raise ValueError("dispatch_workers must be >= 1")
-        if self.device_batch < 1:
-            raise ValueError("device_batch must be >= 1")
+        if self.device_batch is not None and self.device_batch < 1:
+            raise ValueError("device_batch must be >= 1 (or None = auto)")
 
 
 @dataclass(frozen=True)

@@ -114,8 +114,17 @@ def pad_feature_batch(fb: FeatureBatch, target: int) -> PaddedBatch:
     return PaddedBatch(padded, n)
 
 
+def default_parse_workers() -> int:
+    """Host-side parser thread count: all cores up to 4 (the ctypes parse
+    releases the GIL; beyond ~4 threads the GIL-held merge/format work on
+    the main thread becomes the binding constraint)."""
+    import os
+    return max(2, min(4, os.cpu_count() or 2))
+
+
 def batches_from_features_file(path: str, device_batch: int,
                                kmer_len: int = 13, signal_len: int = 16,
+                               parse_workers: int | None = None,
                                ) -> Iterator[PaddedBatch]:
     """Parse a features TSV into fixed-size PaddedBatches.
 
@@ -125,14 +134,16 @@ def batches_from_features_file(path: str, device_batch: int,
     from ..utils.fastparse import native_available, parse_feature_bytes
     from ..utils.formats import feature_npz_paths, load_feature_npz
 
+    w = parse_workers or default_parse_workers()
     npz_files = feature_npz_paths(path)
     if npz_files is not None:
-        blocks = bounded_thread_map(load_feature_npz, npz_files,
-                                    workers=2, depth=4)
+        blocks = bounded_thread_map(
+            lambda f: load_feature_npz(f, with_read_ids=False), npz_files,
+            workers=w, depth=2 * w)
     elif native_available():
         blocks = bounded_thread_map(
             lambda raw: parse_feature_bytes(raw, kmer_len, signal_len),
-            iter_byte_blocks(path, 4 << 20), workers=3, depth=6)
+            iter_byte_blocks(path, 4 << 20), workers=w, depth=2 * w)
     else:
         blocks = (parse_feature_lines(block, kmer_len, signal_len)
                   for block in iter_line_blocks(path, device_batch))

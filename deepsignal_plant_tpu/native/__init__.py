@@ -55,4 +55,9 @@ def get_native_lib():
             _lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             _lib = None
+    if _lib is not None:
+        # the native parse path allocates large per-block numpy buffers;
+        # heap reuse is what lets parser threads scale (see jaxinit)
+        from ..utils.jaxinit import tune_host_allocator
+        tune_host_allocator()
     return _lib

@@ -55,16 +55,53 @@ class CallStats:
         return self.label_correct / self.sites if self.sites else 0.0
 
 
+def _estimate_rows(input_path: str) -> int | None:
+    """Cheap row-count estimate of a features input (TSV or npz set):
+    file size / sampled bytes-per-row. None when not estimable (gzip,
+    empty)."""
+    import os
+
+    from ..utils.formats import feature_npz_paths
+    npz_files = feature_npz_paths(input_path)
+    if npz_files is not None:
+        try:
+            with np.load(npz_files[0]) as z:
+                per_file = int(z["labels"].shape[0])
+            return per_file * len(npz_files)
+        except Exception:
+            return None
+    if input_path.endswith(".gz") or not os.path.isfile(input_path):
+        return None
+    size = os.path.getsize(input_path)
+    if size == 0:
+        return 0
+    with open(input_path, "rb") as fh:
+        sample = fh.read(1 << 18)
+    nl = sample.count(b"\n")
+    if nl == 0:
+        return 1
+    return int(size / (len(sample) / nl)) + 1
+
+
 class CallModsEngine:
     """Loads a checkpoint once and serves jitted batch inference."""
+
+    #: auto device_batch search space: powers of two keep the jit shape
+    #: cache small across runs; 32768 is the measured dispatch-latency
+    #: sweet spot on remote-attached TPUs, 2048 bounds padding waste on
+    #: tiny inputs
+    AUTO_MAX_BATCH = 32768
+    AUTO_MIN_BATCH = 2048
 
     def __init__(self, model_path: str, model_cfg: ModelConfig,
                  call_cfg: CallConfig | None = None, mesh=None):
         self.model_cfg = model_cfg.with_(dropout_rate=0.0)
         self.call_cfg = call_cfg or CallConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.device_batch = local_batch_target(self.call_cfg.device_batch,
-                                               self.mesh)
+        # device_batch None/0 = auto: sized per input in run_features_file
+        requested = self.call_cfg.device_batch or self.AUTO_MAX_BATCH
+        self.device_batch = local_batch_target(requested, self.mesh)
+        self._auto_batch = not self.call_cfg.device_batch
         self.params = jax.device_put(
             load_any_checkpoint(model_path, self.model_cfg))
         # single-device meshes take the plain jit path: XLA's SPMD
@@ -123,6 +160,21 @@ class CallModsEngine:
                     self._step = self._build_step()
             return self._step(self.params, batch)
 
+    def _resolve_target(self, input_path: str) -> int:
+        """Auto device_batch: next power of two covering the estimated row
+        count, clamped to [AUTO_MIN_BATCH, AUTO_MAX_BATCH] — tiny inputs
+        skip full-width padding, big inputs get the latency-amortizing
+        width. Explicit --device_batch always wins."""
+        if not self._auto_batch:
+            return self.device_batch
+        est = _estimate_rows(input_path)
+        if est is None:
+            return self.device_batch
+        t = self.AUTO_MIN_BATCH
+        while t < est and t < self.AUTO_MAX_BATCH:
+            t *= 2
+        return local_batch_target(t, self.mesh)
+
     def run_features_file(self, input_path: str, result_path: str,
                           is_gzip: bool = False) -> CallStats:
         """features TSV -> call_mods TSV (reference else-branch,
@@ -132,9 +184,11 @@ class CallModsEngine:
         cfg = self.model_cfg
         stats = CallStats()
         t0 = time.time()
+        target = self._resolve_target(input_path)
         batches = PrefetchIterator(
-            batches_from_features_file(input_path, self.device_batch,
-                                       cfg.seq_len, cfg.signal_len),
+            batches_from_features_file(input_path, target,
+                                       cfg.seq_len, cfg.signal_len,
+                                       self.call_cfg.num_parse_workers),
             depth=4)
         writer = AsyncWriter(result_path, is_gzip)
 
@@ -197,10 +251,12 @@ def call_mods(args) -> CallStats:
         recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),
                                       allow_multi_device=True))
     call_cfg = CallConfig(batch_size=args.batch_size,
-                          device_batch=getattr(args, "device_batch", 32768),
+                          device_batch=getattr(args, "device_batch", None),
                           f5_batch_size=args.f5_batch_size,
                           transfer_dtype=getattr(args, "transfer_dtype",
                                                  "float16"),
+                          num_parse_workers=getattr(args, "parse_workers",
+                                                    None),
                           dispatch_workers=getattr(args, "dispatch_workers",
                                                    2))
 

@@ -121,11 +121,17 @@ def format_feature_row(chrom: str, pos: int, strand: str, pos_in_strand: int,
                       sig_text, str(methy_label)])
 
 
-def save_feature_npz(path: str, fb: FeatureBatch) -> None:
+def save_feature_npz(path: str, fb: FeatureBatch,
+                     compress: bool = False) -> None:
     """Binary feature container: one .npz per batch — the TPU-native
     alternative to the 12-column TSV (no text codec on the hot path).
-    Compact dtypes on disk; exact values (floats stay float32)."""
-    np.savez_compressed(
+    Compact dtypes on disk; exact values (floats stay float32).
+
+    Uncompressed by default: zlib inflate (~100 MB/s/core) would bound
+    the binary data plane far below the device rate; ``compress=True``
+    trades load speed for ~2-3x smaller files."""
+    save = np.savez_compressed if compress else np.savez
+    save(
         path,
         sampleinfo=np.array(fb.sampleinfo, dtype=np.bytes_),
         kmer=fb.kmer.astype(np.int8),
@@ -136,7 +142,8 @@ def save_feature_npz(path: str, fb: FeatureBatch) -> None:
         labels=fb.labels.astype(np.int8))
 
 
-def load_feature_npz(path: str) -> FeatureBatch:
+def load_feature_npz(path: str, with_read_ids: bool = True
+                     ) -> FeatureBatch:
     with np.load(path) as z:
         sampleinfo = [s.decode() for s in z["sampleinfo"]]
         return FeatureBatch(
@@ -147,7 +154,8 @@ def load_feature_npz(path: str) -> FeatureBatch:
             z["base_signal_lens"].astype(np.float32),
             z["signals"].astype(np.float32),
             z["labels"].astype(np.int32),
-            [s.rsplit("\t", 2)[1] for s in sampleinfo])
+            [s.rsplit("\t", 2)[1] for s in sampleinfo]
+            if with_read_ids else [])
 
 
 def feature_npz_paths(path: str) -> list[str] | None:

@@ -3,12 +3,41 @@ from __future__ import annotations
 
 import os
 
+_allocator_tuned = False
+
+
+def tune_host_allocator() -> bool:
+    """Keep large freed numpy buffers on the glibc heap instead of
+    mmap/munmap per batch.
+
+    The host feed allocates ~10-30 MB arrays per parsed block; glibc's
+    default M_MMAP_THRESHOLD (128 KB) serves them with fresh mmaps, so
+    every batch pays soft page faults on first touch and all parser
+    threads serialize on the kernel's mmap lock (measured: 171k -> 260k
+    rows/s single-thread, 247k -> 846k with 4 threads on this rig).
+    Bounded pipeline depth keeps the retained heap small. No-op off
+    glibc/Linux."""
+    global _allocator_tuned
+    if _allocator_tuned:
+        return True
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok = bool(libc.mallopt(M_MMAP_THRESHOLD, 1 << 28)) and \
+            bool(libc.mallopt(M_TRIM_THRESHOLD, 1 << 28))
+        _allocator_tuned = ok
+        return ok
+    except Exception:
+        return False
+
 
 def setup_jax(compilation_cache: bool = True) -> None:
     """Enable the persistent XLA compilation cache so repeated CLI
     invocations skip recompiles (TPU compiles of the full model can take
     minutes through remote-attached runtimes)."""
     import jax
+    tune_host_allocator()
     if compilation_cache:
         cache_dir = os.environ.get(
             "DSP_TPU_COMPILE_CACHE",
