@@ -122,8 +122,15 @@ class CallModsEngine:
 
         if self._single:
             return jax.jit(_step)
-        return jax.jit(_step, in_shardings=(None, self._sharding),
-                       out_shardings=self._sharding)
+        # multi-device: explicit SPMD via shard_map — each device runs the
+        # whole forward (pallas kernels included; GSPMD cannot partition an
+        # opaque pallas_call) on its local batch shard. Parity tests:
+        # tests/test_pallas_shardmap.py
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        return jax.jit(jax.shard_map(
+            _step, mesh=self.mesh, in_specs=(P(), P(axis)),
+            out_specs=P(axis), check_vma=False))
 
     def predict_probs(self, fb) -> np.ndarray:
         """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""

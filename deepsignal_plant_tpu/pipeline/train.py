@@ -52,17 +52,23 @@ def weighted_ce(logits: jax.Array, labels: jax.Array,
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     class_weights: np.ndarray, clip_grad: float,
                     sharding=None):
-    """Build the jitted (params, opt_state, step, batch, labels, mask, rng)
-    -> (params, opt_state, loss) update."""
+    """Build the jitted (params, opt_state, batch, labels, mask, rng)
+    -> (params, opt_state, loss) update.
+
+    Multi-device: explicit SPMD via shard_map — each device computes the
+    weighted-CE terms and grads on its batch shard, psums the numerator/
+    denominator and grads over "dp", then every device applies the same
+    (replicated) clipped update. This keeps pallas recurrence kernels
+    usable under multi-device training (GSPMD cannot partition an opaque
+    pallas_call); parity: tests/test_pallas_shardmap.py,
+    tests/test_multichip.py."""
     cw = jnp.asarray(class_weights, jnp.float32)
 
     def loss_fn(params, batch, labels, mask, rng):
         logits, _ = forward(params, batch, cfg, train=True, dropout_rng=rng)
         return weighted_ce(logits, labels, cw, mask)
 
-    def train_step(params, opt_state, batch, labels, mask, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, labels,
-                                                  mask, rng)
+    def _update(params, opt_state, loss, grads):
         # global-norm clip at 0.5 (reference train.py:127)
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, clip_grad / jnp.maximum(gnorm, 1e-12))
@@ -71,9 +77,43 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    in_shardings = (None, None, sharding, sharding, sharding, None) \
-        if sharding is not None else None
-    return jax.jit(train_step, in_shardings=in_shardings, donate_argnums=(0, 1))
+    if sharding is None:
+        def train_step(params, opt_state, batch, labels, mask, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, batch, labels, mask, rng)
+            return _update(params, opt_state, loss, grads)
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    from jax.sharding import PartitionSpec as P
+    mesh = sharding.mesh
+    axis = mesh.axis_names[0]
+
+    def train_step_local(params, opt_state, batch, labels, mask, rng):
+        # distinct dropout masks per shard (one rng would repeat masks
+        # across devices)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def local_loss(p):
+            logits, _ = forward(p, batch, cfg, train=True, dropout_rng=rng)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            w = cw[labels] * mask
+            num = jnp.sum(w * ce)
+            # weight sum has no param dependence, so the psum is grad-inert
+            den = jax.lax.psum(jnp.sum(w), axis)
+            return num / jnp.maximum(den, 1e-12)
+
+        lloss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(lloss, axis)
+        grads = jax.lax.psum(grads, axis)
+        return _update(params, opt_state, loss, grads)
+
+    smapped = jax.shard_map(
+        train_step_local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0, 1))
 
 
 def make_eval_step(cfg: ModelConfig, sharding=None):
@@ -81,8 +121,13 @@ def make_eval_step(cfg: ModelConfig, sharding=None):
         logits, probs = forward(params, batch, cfg, train=False)
         return jnp.argmax(probs, axis=1), probs, logits
 
-    in_shardings = (None, sharding) if sharding is not None else None
-    return jax.jit(eval_step, in_shardings=in_shardings)
+    if sharding is None:
+        return jax.jit(eval_step)
+    from jax.sharding import PartitionSpec as P
+    axis = sharding.mesh.axis_names[0]
+    return jax.jit(jax.shard_map(
+        eval_step, mesh=sharding.mesh, in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
 
 
 def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
@@ -90,14 +135,11 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
     """Eval step returning replicated metric counts — outputs stay scalar
     so multi-host eval never gathers sharded arrays to one host.
     -> [weighted_ce, correct, total, tp, fp, fn]"""
-    from jax.sharding import NamedSharding, PartitionSpec as P
     cw = jnp.asarray(class_weights, jnp.float32)
 
-    def counts_step(params, batch, labels, mask):
-        logits, probs = forward(params, batch, cfg, train=False)
+    def _counts(logits, probs, labels, mask, loss):
         pred = jnp.argmax(probs, axis=1)
         valid = mask > 0
-        loss = weighted_ce(logits, labels, cw, mask)
         correct = jnp.sum((pred == labels) & valid)
         total = jnp.sum(valid)
         tp = jnp.sum(valid & (pred == 1) & (labels == 1))
@@ -109,11 +151,33 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
                           fn.astype(jnp.float32)])
 
     if sharding is None:
+        def counts_step(params, batch, labels, mask):
+            logits, probs = forward(params, batch, cfg, train=False)
+            loss = weighted_ce(logits, labels, cw, mask)
+            return _counts(logits, probs, labels, mask, loss)
+
         return jax.jit(counts_step)
-    replicated = NamedSharding(sharding.mesh, P())
-    return jax.jit(counts_step,
-                   in_shardings=(None, sharding, sharding, sharding),
-                   out_shardings=replicated)
+
+    from jax.sharding import PartitionSpec as P
+    mesh = sharding.mesh
+    axis = mesh.axis_names[0]
+
+    def counts_step_local(params, batch, labels, mask):
+        logits, probs = forward(params, batch, cfg, train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        w = cw[labels] * mask
+        num = jax.lax.psum(jnp.sum(w * ce), axis)
+        den = jax.lax.psum(jnp.sum(w), axis)
+        loss = num / jnp.maximum(den, 1e-12)
+        local = _counts(logits, probs, labels, mask, 0.0)
+        counts = jax.lax.psum(local.at[0].set(0.0), axis)
+        return counts.at[0].set(loss)
+
+    return jax.jit(jax.shard_map(
+        counts_step_local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(), check_vma=False))
 
 
 def evaluate(params, dataset: FeatureDataset, eval_step, batch_size: int,

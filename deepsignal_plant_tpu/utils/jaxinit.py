@@ -54,14 +54,16 @@ def setup_jax(compilation_cache: bool = True) -> None:
 
 
 def resolve_recurrence(choice: str = "auto",
-                       allow_multi_device: bool = False) -> str:
+                       allow_multi_device: bool = True) -> str:
     """Map the CLI's --recurrence auto|scan|pallas to a concrete impl.
 
     auto selects the fused pallas kernels on TPU backends (axon = tunneled
-    TPU), scan elsewhere. Pallas inside a GSPMD-sharded jit over several
-    devices is unvalidated on this project's hardware, so auto stays with
-    scan on multi-device meshes unless the caller has a runtime fallback
-    (the call engine does; training does not)."""
+    TPU), scan elsewhere. Multi-device meshes run the kernels too: every
+    multi-device code path (inference engine, train/eval steps) wraps the
+    forward in jax.shard_map, so each device executes the kernel on its
+    local batch shard (validated in tests/test_pallas_shardmap.py;
+    ``allow_multi_device=False`` restores the round-1 conservative
+    scan-on-multi-device behavior for callers outside those paths)."""
     if choice != "auto":
         return choice
     import jax
