@@ -7,10 +7,12 @@ host-local numpy batches lifted into global arrays with
 ``jax.make_array_from_process_local_data`` — XLA then inserts the gradient
 psum over ICI/DCN.
 
-Validated in this repo in degenerate single-process mode and on the
-virtual multi-device CPU mesh (this rig has one TPU chip and its jaxlib
-has no multi-process CPU collectives); the code paths are the standard
-ones and carry no rig-specific assumptions.
+Validated with a REAL 2-process jax.distributed run (CPU + gloo
+collectives) in tests/test_dist_2proc.py — process_count()==2, global
+mesh, to_global feeding, psum'd eval counts, broadcast resume, and the
+cross-host call_freq reduction. Rig notes for reproducing: set
+jax_cpu_collectives_implementation=gloo and strip the axon sitecustomize
+from PYTHONPATH (it breaks jax.distributed; see the test docstring).
 """
 from __future__ import annotations
 
@@ -45,6 +47,25 @@ def to_global(sharding: NamedSharding, local_tree,
         return jax.make_array_from_process_local_data(sharding, x, gshape)
 
     return jax.tree.map(lift, local_tree)
+
+
+def allgather_bytes(data: bytes) -> list[bytes]:
+    """All-gather one variable-length byte payload per process (returned
+    in process order, identical on every host). Rides the device
+    collectives via multihost_utils.process_allgather: payloads are
+    length-broadcast, zero-padded to the max, and gathered as uint8
+    arrays."""
+    from jax.experimental import multihost_utils as mhu
+    if jax.process_count() == 1:
+        return [data]
+    sizes = np.asarray(mhu.process_allgather(
+        np.array([len(data)], np.int64))).reshape(-1)
+    maxn = int(sizes.max())
+    buf = np.zeros(maxn, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(mhu.process_allgather(buf))
+    return [gathered[i, :int(sizes[i])].tobytes()
+            for i in range(jax.process_count())]
 
 
 def global_scalar_sum(values: np.ndarray, mesh: Mesh) -> np.ndarray:

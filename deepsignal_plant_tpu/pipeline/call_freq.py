@@ -153,11 +153,96 @@ class FreqAccumulator:
         np.add.at(self._met, ridx, cb.label[rows])
         np.add.at(self._coverage, ridx, 1)
 
+    def merge_table(self, chroms: list[str], gids_l, pos, strand, pis,
+                    prob0, prob1, met, coverage, kmers: list[str]) -> None:
+        """Merge a pre-aggregated per-site table (one site per row, keys
+        unique within the table) — the cross-host reduction step."""
+        if len(pos) == 0:
+            return
+        lg2g = np.empty(len(chroms), np.int64)
+        for j, name in enumerate(chroms):
+            g = self._chrom2gid.get(name)
+            if g is None:
+                g = len(self._chroms)
+                self._chrom2gid[name] = g
+                self._chroms.append(name)
+            lg2g[j] = g
+        gids = lg2g[np.asarray(gids_l)]
+        keys = gids * _KEY_SHIFT + np.asarray(pos)
+        g_of = np.empty(len(keys), np.int64)
+        k2i = self._key2idx
+        new_rows: list[int] = []
+        for j, k in enumerate(keys.tolist()):
+            gi = k2i.get(k)
+            if gi is None:
+                new_rows.append(j)
+                gi = -1
+            g_of[j] = gi
+        if new_rows:
+            base = self.n_sites
+            self._grow(len(new_rows))
+            nr = np.asarray(new_rows)
+            g_of[nr] = base + np.arange(len(new_rows))
+            for t, j in enumerate(new_rows):
+                k2i[int(keys[j])] = base + t
+            sl = slice(base, base + len(new_rows))
+            self._gid[sl] = gids[nr]
+            self._pos[sl] = np.asarray(pos)[nr]
+            self._strand[sl] = np.asarray(strand)[nr]
+            self._pis[sl] = np.asarray(pis)[nr]
+            self._kmers.extend(kmers[int(j)] for j in new_rows)
+            self.n_sites += len(new_rows)
+        np.add.at(self._prob0, g_of, prob0)
+        np.add.at(self._prob1, g_of, prob1)
+        np.add.at(self._met, g_of, met)
+        np.add.at(self._coverage, g_of, coverage)
+
+    def state_payload(self) -> dict:
+        """Picklable aggregation state (for cross-host gathering)."""
+        n = self.n_sites
+        return {"chroms": self._chroms, "gid": self._gid[:n].copy(),
+                "pos": self._pos[:n].copy(),
+                "strand": self._strand[:n].copy(),
+                "pis": self._pis[:n].copy(),
+                "prob0": self._prob0[:n].copy(),
+                "prob1": self._prob1[:n].copy(),
+                "met": self._met[:n].copy(),
+                "coverage": self._coverage[:n].copy(),
+                "kmers": self._kmers, "count": self.count,
+                "used": self.used}
+
     def report(self) -> str:
         pct = self.used / float(self.count) * 100 if self.count else 0.0
         tag = "" if self.contig is None else f" for {self.contig}"
         return "{:.2f}% ({} of {}) calls used{}..".format(
             pct, self.used, self.count, tag)
+
+
+def merge_across_hosts(acc: FreqAccumulator) -> FreqAccumulator:
+    """Reduce per-host accumulators into one identical global accumulator
+    on every host — the TPU-native equivalent of the reference's
+    "run per node, merge the files later" multi-node story (SURVEY.md
+    §5.8: cross-host aggregation over collectives). Each host's site
+    table rides a device all-gather (parallel/multihost.allgather_bytes);
+    the merge walks hosts in process order so first-seen metadata and
+    unsorted output order are deterministic."""
+    import jax
+    if jax.process_count() == 1:
+        return acc
+    import pickle
+
+    from ..parallel.multihost import allgather_bytes
+    payloads = allgather_bytes(pickle.dumps(acc.state_payload()))
+    merged = FreqAccumulator(prob_cf=acc.prob_cf, contig=acc.contig)
+    for raw in payloads:
+        pl = pickle.loads(raw)
+        merged.merge_table(pl["chroms"], pl["gid"], pl["pos"],
+                           pl["strand"], pl["pis"], pl["prob0"],
+                           pl["prob1"], pl["met"], pl["coverage"],
+                           pl["kmers"])
+        merged.count += pl["count"]
+        merged.used += pl["used"]
+    return merged
 
 
 class _PyCallBlock:
@@ -312,9 +397,19 @@ def call_mods_frequency_to_file(args) -> None:
         acc = FreqAccumulator(prob_cf=args.prob_cf)
         for f in mods_files:
             acc.add_file(f)
-        print(acc.report())
-        write_freq(acc, args.result_file, args.sort, args.bed,
-                   args.gzip)
+        import jax
+        if jax.process_count() > 1:
+            # pod mode: each host aggregated its own input shard; reduce
+            # over collectives and let process 0 write the single output
+            acc = merge_across_hosts(acc)
+            print(acc.report())
+            if jax.process_index() == 0:
+                write_freq(acc, args.result_file, args.sort, args.bed,
+                           args.gzip)
+        else:
+            print(acc.report())
+            write_freq(acc, args.result_file, args.sort, args.bed,
+                       args.gzip)
     else:
         print("start processing {} contigs..".format(len(contigs)))
         import multiprocessing as mp
