@@ -30,6 +30,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# keep a CPU backend available alongside the TPU: tiny host-side jax work
+# (param init) must not pay per-op tunnel latency on remote-attached rigs
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and "cpu" not in _plat:
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
 DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "32768"))
@@ -158,7 +164,17 @@ def main() -> None:
         make_features_file(features_path, N_ROWS)
         cfg = ModelConfig(dropout_rate=0.0)
         ckpt = os.path.join(td, "bench.ckpt.npz")
-        save_checkpoint(ckpt, init_params(jax.random.PRNGKey(0), cfg), cfg)
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except Exception:
+            cpu0 = None
+        if cpu0 is not None:
+            with jax.default_device(cpu0):
+                params = jax.device_get(init_params(jax.random.PRNGKey(0),
+                                                    cfg))
+        else:
+            params = init_params(jax.random.PRNGKey(0), cfg)
+        save_checkpoint(ckpt, params, cfg)
 
         engine = build_engine(ckpt)
         tsv_rates = measure_passes(engine, features_path, DEVICE_BATCH,
