@@ -125,6 +125,7 @@ def default_parse_workers() -> int:
 def batches_from_features_file(path: str, device_batch: int,
                                kmer_len: int = 13, signal_len: int = 16,
                                parse_workers: int | None = None,
+                               out_dtype: str = "float32",
                                ) -> Iterator[PaddedBatch]:
     """Parse a features TSV into fixed-size PaddedBatches.
 
@@ -142,7 +143,8 @@ def batches_from_features_file(path: str, device_batch: int,
             workers=w, depth=2 * w)
     elif native_available():
         blocks = bounded_thread_map(
-            lambda raw: parse_feature_bytes(raw, kmer_len, signal_len),
+            lambda raw: parse_feature_bytes(raw, kmer_len, signal_len,
+                                            out_dtype=out_dtype),
             iter_byte_blocks(path, 4 << 20), workers=w, depth=2 * w)
     else:
         blocks = (parse_feature_lines(block, kmer_len, signal_len)

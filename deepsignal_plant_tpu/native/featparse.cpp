@@ -92,11 +92,19 @@ int64_t dsp_count_lines(const char* buf, int64_t len) {
     return n;
 }
 
-int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
-                           int signal_len, int32_t* kmer, float* means,
-                           float* stds, float* slens, float* signals,
-                           int32_t* labels, int64_t* row_starts,
-                           int64_t* info_ends) {
+}  // extern "C"
+
+namespace {
+
+// templated core so one parser emits float32 (KT=int32 kmer codes) or the
+// model's exact wire format (FT=_Float16, KT=int8) with no Python-side
+// astype pass over ~260 values/row
+template <typename FT, typename KT>
+int64_t parse_features_impl(const char* buf, int64_t len, int kmer_len,
+                            int signal_len, KT* kmer, FT* means,
+                            FT* stds, FT* slens, FT* signals,
+                            int32_t* labels, int64_t* row_starts,
+                            int64_t* info_ends) {
     const char* p = buf;
     const char* end = buf + len;
     int64_t row = 0;
@@ -120,7 +128,7 @@ int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
         info_ends[row] = (q - 1) - buf;
 
         // col 6: kmer
-        int32_t* krow = kmer + row * L;
+        KT* krow = kmer + row * L;
         for (int i = 0; i < L; ++i) {
             if (q >= line_end || *q == '\t') return -(row + 1);
             krow[i] = base_code(*q++);
@@ -130,11 +138,11 @@ int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
 
         bool ok = true;
         // cols 7-9: csv float vectors of length L
-        float* vecs[3] = {means + row * L, stds + row * L, slens + row * L};
+        FT* vecs[3] = {means + row * L, stds + row * L, slens + row * L};
         for (int v = 0; v < 3; ++v) {
-            float* out = vecs[v];
+            FT* out = vecs[v];
             for (int i = 0; i < L; ++i) {
-                out[i] = float(parse_float(q, line_end, ok));
+                out[i] = FT(parse_float(q, line_end, ok));
                 if (!ok) return -(row + 1);
                 if (i + 1 < L) {
                     if (q >= line_end || *q != ',') return -(row + 1);
@@ -145,10 +153,10 @@ int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
             ++q;
         }
         // col 10: L rows of S csv floats joined by ';'
-        float* srow = signals + row * int64_t(L) * S;
+        FT* srow = signals + row * int64_t(L) * S;
         for (int i = 0; i < L; ++i) {
             for (int j = 0; j < S; ++j) {
-                srow[i * S + j] = float(parse_float(q, line_end, ok));
+                srow[i * S + j] = FT(parse_float(q, line_end, ok));
                 if (!ok) return -(row + 1);
                 if (j + 1 < S) {
                     if (q >= line_end || *q != ',') return -(row + 1);
@@ -178,6 +186,37 @@ int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
         p = line_end + 1;
     }
     return row;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t dsp_parse_features(const char* buf, int64_t len, int kmer_len,
+                           int signal_len, int32_t* kmer, float* means,
+                           float* stds, float* slens, float* signals,
+                           int32_t* labels, int64_t* row_starts,
+                           int64_t* info_ends) {
+    return parse_features_impl<float, int32_t>(
+        buf, len, kmer_len, signal_len, kmer, means, stds, slens, signals,
+        labels, row_starts, info_ends);
+}
+
+// wire-format output: float16 feature values (uint16 bit pattern) and
+// int8 base codes — exactly what the f16 transfer path sends to the TPU
+int64_t dsp_parse_features_f16(const char* buf, int64_t len, int kmer_len,
+                               int signal_len, int8_t* kmer,
+                               uint16_t* means, uint16_t* stds,
+                               uint16_t* slens, uint16_t* signals,
+                               int32_t* labels, int64_t* row_starts,
+                               int64_t* info_ends) {
+    return parse_features_impl<_Float16, int8_t>(
+        buf, len, kmer_len, signal_len, kmer,
+        reinterpret_cast<_Float16*>(means),
+        reinterpret_cast<_Float16*>(stds),
+        reinterpret_cast<_Float16*>(slens),
+        reinterpret_cast<_Float16*>(signals),
+        labels, row_starts, info_ends);
 }
 
 }  // extern "C"

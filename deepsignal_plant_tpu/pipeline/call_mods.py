@@ -137,13 +137,21 @@ class CallModsEngine:
         if self.call_cfg.transfer_dtype == "float16":
             # shrink the host->device wire format: int8 base codes + f16
             # floats (values are 6-decimal-rounded, |x| < ~1e3; f16 rel
-            # error ~5e-4 is far below call-decision scale)
-            batch = Batch(kmer=fb.kmer.astype(np.int8),
-                          base_means=fb.base_means.astype(np.float16),
-                          base_stds=fb.base_stds.astype(np.float16),
-                          base_signal_lens=fb.base_signal_lens.astype(
-                              np.float16),
-                          signals=fb.signals.astype(np.float16))
+            # error ~5e-4 is far below call-decision scale). The native
+            # parser can emit this layout directly (out_dtype="float16"),
+            # in which case the casts below are no-ops skipped entirely.
+            if fb.signals.dtype == np.float16:
+                batch = Batch(kmer=fb.kmer, base_means=fb.base_means,
+                              base_stds=fb.base_stds,
+                              base_signal_lens=fb.base_signal_lens,
+                              signals=fb.signals)
+            else:
+                batch = Batch(kmer=fb.kmer.astype(np.int8),
+                              base_means=fb.base_means.astype(np.float16),
+                              base_stds=fb.base_stds.astype(np.float16),
+                              base_signal_lens=fb.base_signal_lens.astype(
+                                  np.float16),
+                              signals=fb.signals.astype(np.float16))
         else:
             batch = Batch(kmer=fb.kmer, base_means=fb.base_means,
                           base_stds=fb.base_stds,
@@ -193,9 +201,12 @@ class CallModsEngine:
         t0 = time.time()
         target = self._resolve_target(input_path)
         batches = PrefetchIterator(
-            batches_from_features_file(input_path, target,
-                                       cfg.seq_len, cfg.signal_len,
-                                       self.call_cfg.num_parse_workers),
+            batches_from_features_file(
+                input_path, target, cfg.seq_len, cfg.signal_len,
+                self.call_cfg.num_parse_workers,
+                out_dtype=("float16"
+                           if self.call_cfg.transfer_dtype == "float16"
+                           else "float32")),
             depth=4)
         writer = AsyncWriter(result_path, is_gzip)
 

@@ -44,6 +44,12 @@ def _configure(lib) -> None:
         c_char_p, i64, i32p, i64p, u8p, i64p, f64p, f64p, i32p, i64p,
         i32p, ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32)]
     lib.dsp_parse_calls.restype = i64
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.dsp_parse_features_f16.argtypes = [
+        c_char_p, i64, i32, i32, i8p, u16p, u16p, u16p, u16p, i32p,
+        i64p, i64p]
+    lib.dsp_parse_features_f16.restype = i64
     _configured = True
 
 
@@ -53,32 +59,49 @@ def native_available() -> bool:
 
 def parse_feature_bytes(block: bytes, kmer_len: int = 13,
                         signal_len: int = 16,
-                        with_read_ids: bool = False) -> FeatureBatch | None:
+                        with_read_ids: bool = False,
+                        out_dtype: str = "float32"
+                        ) -> FeatureBatch | None:
+    """Parse a features byte block natively.
+
+    out_dtype "float16" fills the engine's exact f16 wire format (int8
+    base codes, _Float16 values written by the parser itself) so the hot
+    path never runs an astype pass over ~260 values/row."""
     lib = get_native_lib()
     if lib is None:
         return None
     _configure(lib)
 
+    f16 = out_dtype == "float16"
+    fdt = np.float16 if f16 else np.float32
+    kdt = np.int8 if f16 else np.int32
     n_max = lib.dsp_count_lines(block, len(block))
     if n_max == 0:
-        return FeatureBatch([], np.empty((0, kmer_len), np.int32),
-                            np.empty((0, kmer_len), np.float32),
-                            np.empty((0, kmer_len), np.float32),
-                            np.empty((0, kmer_len), np.float32),
-                            np.empty((0, kmer_len, signal_len), np.float32),
+        return FeatureBatch([], np.empty((0, kmer_len), kdt),
+                            np.empty((0, kmer_len), fdt),
+                            np.empty((0, kmer_len), fdt),
+                            np.empty((0, kmer_len), fdt),
+                            np.empty((0, kmer_len, signal_len), fdt),
                             np.empty(0, np.int32))
-    kmer = np.empty((n_max, kmer_len), np.int32)
-    means = np.empty((n_max, kmer_len), np.float32)
-    stds = np.empty((n_max, kmer_len), np.float32)
-    slens = np.empty((n_max, kmer_len), np.float32)
-    signals = np.empty((n_max, kmer_len, signal_len), np.float32)
+    kmer = np.empty((n_max, kmer_len), kdt)
+    means = np.empty((n_max, kmer_len), fdt)
+    stds = np.empty((n_max, kmer_len), fdt)
+    slens = np.empty((n_max, kmer_len), fdt)
+    signals = np.empty((n_max, kmer_len, signal_len), fdt)
     labels = np.empty(n_max, np.int32)
     row_starts = np.empty(n_max, np.int64)
     info_ends = np.empty(n_max, np.int64)
 
-    n = lib.dsp_parse_features(block, len(block), kmer_len, signal_len,
-                               kmer, means, stds, slens, signals, labels,
-                               row_starts, info_ends)
+    if f16:
+        n = lib.dsp_parse_features_f16(
+            block, len(block), kmer_len, signal_len, kmer,
+            means.view(np.uint16), stds.view(np.uint16),
+            slens.view(np.uint16), signals.view(np.uint16), labels,
+            row_starts, info_ends)
+    else:
+        n = lib.dsp_parse_features(block, len(block), kmer_len, signal_len,
+                                   kmer, means, stds, slens, signals,
+                                   labels, row_starts, info_ends)
     if n < 0:
         raise ValueError(f"malformed features row at line {-n - 1}")
     n = int(n)
