@@ -298,10 +298,14 @@ class AsyncWriter:
     reference's writer process (call_modifications.py:262-282)."""
 
     def __init__(self, path: str, is_gzip: bool = False, depth: int = 64):
+        import gzip
+
         from ..utils.formats import gzip_path
         self._path = gzip_path(path) if is_gzip else path
-        self._fh = open_text(self._path, "wt") if is_gzip else open(
-            self._path, "w")
+        # binary handles: text rows are encoded on the writer thread, and
+        # the native emitter's pre-built byte blocks pass straight through
+        self._fh = gzip.open(self._path, "wb") if is_gzip else open(
+            self._path, "wb")
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
         self._t = threading.Thread(target=self._run, daemon=True)
@@ -313,11 +317,13 @@ class AsyncWriter:
                 rows = self._q.get()
                 if rows is _SENTINEL:
                     break
-                if isinstance(rows, str):   # pre-joined block
+                if isinstance(rows, bytes):  # native-emitted block
                     self._fh.write(rows)
+                elif isinstance(rows, str):  # pre-joined block
+                    self._fh.write(rows.encode())
                 else:
-                    self._fh.write("\n".join(rows))
-                    self._fh.write("\n")
+                    self._fh.write("\n".join(rows).encode())
+                    self._fh.write(b"\n")
         except BaseException as exc:
             self._err = exc
             # keep draining so producers blocked on a full queue (and
@@ -342,6 +348,13 @@ class AsyncWriter:
             raise self._err
         if text:
             self._q.put(text)
+
+    def write_bytes(self, block: bytes):
+        """Write a pre-built, newline-terminated byte block."""
+        if self._err is not None:
+            raise self._err
+        if block:
+            self._q.put(block)
 
     def close(self):
         self._q.put(_SENTINEL)

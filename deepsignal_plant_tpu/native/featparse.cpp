@@ -497,6 +497,45 @@ int64_t dsp_format_feature_cols(const double* means, const double* stds,
     return p - out;
 }
 
+// Zero-Python-strings emission: writes complete call_mods rows —
+// the untouched input info prefix (cols 0-5, sliced straight from the
+// features byte block via row_starts/info_ends) followed by the computed
+// "\tp0\tp1\tlabel\tkmer5\n" suffix. kmer: int8 codes (the f16 wire
+// layout). out must hold sum(info lengths) + n*40 bytes. Returns total
+// bytes written.
+int64_t dsp_emit_call_rows(const char* buf, const int64_t* row_starts,
+                           const int64_t* info_ends, const float* probs,
+                           const int8_t* kmer, int64_t n, int kmer_len,
+                           char* out) {
+    char* p = out;
+    int center = kmer_len / 2;
+    int lo = center - 2 > 0 ? center - 2 : 0;
+    int hi = center + 3 < kmer_len ? center + 3 : kmer_len;
+    for (int64_t i = 0; i < n; ++i) {
+        size_t ilen = size_t(info_ends[i] - row_starts[i]);
+        memcpy(p, buf + row_starts[i], ilen);
+        p += ilen;
+        double p0 = probs[2 * i];
+        double p1 = probs[2 * i + 1];
+        int64_t r0 = round6(p0 / (p0 + p1));
+        int64_t r1 = 1000000 - r0;
+        *p++ = '\t';
+        p = write_prob(p, r0);
+        *p++ = '\t';
+        p = write_prob(p, r1);
+        *p++ = '\t';
+        *p++ = (p0 >= p1) ? '0' : '1';
+        *p++ = '\t';
+        const int8_t* k = kmer + i * kmer_len;
+        for (int j = lo; j < hi; ++j) {
+            int8_t c = k[j];
+            *p++ = (c >= 0 && c < 16) ? kBases[c] : 'N';
+        }
+        *p++ = '\n';
+    }
+    return p - out;
+}
+
 // probs: (n, 2) float32; kmer: (n, L) int32; out: buffer of >= n*40 bytes.
 // Writes n suffix lines "\tp0\tp1\tlabel\tkmer5\n"; fills out_lens[i] with
 // each line's byte length. Returns total bytes written.

@@ -157,6 +157,11 @@ class CallModsEngine:
                           base_stds=fb.base_stds,
                           base_signal_lens=fb.base_signal_lens,
                           signals=fb.signals)
+        return self._predict(batch)
+
+    def _predict(self, batch: Batch):
+        """Dispatch one wire-ready Batch (with the pallas->scan runtime
+        fallback)."""
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
         try:
@@ -190,16 +195,130 @@ class CallModsEngine:
             t *= 2
         return local_batch_target(t, self.mesh)
 
+    def _run_fast_tsv(self, input_path: str, result_path: str,
+                      is_gzip: bool, target: int) -> CallStats:
+        """Zero-Python-strings TSV path: the native parser keeps byte
+        spans for cols 0-5, batches are assembled from array views, and
+        complete output rows are emitted natively (memcpy'd info prefix +
+        computed suffix). No per-row Python objects exist anywhere."""
+        from collections import deque
+
+        from ..io.batching import (PrefetchIterator, bounded_thread_map,
+                                   default_parse_workers, iter_byte_blocks)
+        from ..utils.fastparse import emit_call_rows, parse_raw_feature_block
+        from ..utils.prof import PROFILER
+        cfg = self.model_cfg
+        stats = CallStats()
+        t0 = time.time()
+        pw = self.call_cfg.num_parse_workers or default_parse_workers()
+        blocks = PrefetchIterator(bounded_thread_map(
+            lambda raw: parse_raw_feature_block(raw, cfg.seq_len,
+                                                cfg.signal_len),
+            iter_byte_blocks(input_path, 8 << 20), workers=pw,
+            depth=2 * pw), depth=4)
+        writer = AsyncWriter(result_path, is_gzip)
+
+        def gen_batches():
+            """Yield (Batch, segments, labels, n_valid) with segments =
+            [(RawFeatureBlock, lo, hi)] covering the batch rows in
+            order."""
+            fifo: deque = deque()   # [rb, consumed]
+            pending = 0
+
+            def take(nrows: int, pad_to: int | None):
+                segs = []
+                need = nrows
+                while need:
+                    ent = fifo[0]
+                    rb, lo = ent
+                    k = min(need, rb.n - lo)
+                    segs.append((rb, lo, lo + k))
+                    ent[1] += k
+                    if ent[1] == rb.n:
+                        fifo.popleft()
+                    need -= k
+                parts = lambda name: [getattr(rb, name)[a:b]  # noqa: E731
+                                      for rb, a, b in segs]
+                cat = (lambda name: parts(name)[0]            # noqa: E731
+                       if len(segs) == 1 else
+                       np.concatenate(parts(name)))
+                kmer = cat("kmer")
+                means = cat("means")
+                stds = cat("stds")
+                slens = cat("slens")
+                signals = cat("signals")
+                labels = cat("labels")
+                if pad_to is not None and pad_to > nrows:
+                    p = pad_to - nrows
+
+                    def _pad(a):
+                        w = [(0, p)] + [(0, 0)] * (a.ndim - 1)
+                        return np.pad(a, w)
+                    kmer, means, stds, slens, signals = map(
+                        _pad, (kmer, means, stds, slens, signals))
+                batch = Batch(kmer=kmer, base_means=means, base_stds=stds,
+                              base_signal_lens=slens, signals=signals)
+                return batch, segs, labels, nrows
+
+            for rb in blocks:
+                if rb.n == 0:
+                    continue
+                fifo.append([rb, 0])
+                pending += rb.n
+                while pending >= target:
+                    pending -= target
+                    yield take(target, None)
+            if pending:
+                yield take(pending, target)
+
+        def _dispatch(item):
+            batch, segs, labels, nv = item
+            with PROFILER.stage("dispatch", nv):
+                return self._predict(batch), segs, labels, nv
+
+        for probs, segs, labels, nv in bounded_thread_map(
+                _dispatch, gen_batches(),
+                workers=self.call_cfg.dispatch_workers,
+                depth=2 * self.call_cfg.dispatch_workers):
+            with PROFILER.stage("fetch", nv):
+                probs = np.asarray(probs)[:nv]
+            with PROFILER.stage("format", nv):
+                off = 0
+                out = []
+                for rb, lo, hi in segs:
+                    out.append(emit_call_rows(rb, lo, hi,
+                                              probs[off:off + hi - lo]))
+                    off += hi - lo
+                writer.write_bytes(b"".join(out))
+            stats.sites += nv
+            stats.batches += 1
+            called = probs[:, 1] > probs[:, 0]
+            stats.label_correct += int((called == (labels == 1)).sum())
+        writer.close()
+        stats.seconds = time.time() - t0
+        return stats
+
     def run_features_file(self, input_path: str, result_path: str,
-                          is_gzip: bool = False) -> CallStats:
+                          is_gzip: bool = False,
+                          use_fast_path: bool = True) -> CallStats:
         """features TSV -> call_mods TSV (reference else-branch,
         call_modifications.py:584-636)."""
+        import os
+
         from ..io.batching import bounded_thread_map
+        from ..utils.fastparse import native_available
+        from ..utils.formats import feature_npz_paths
         from ..utils.prof import PROFILER
         cfg = self.model_cfg
         stats = CallStats()
         t0 = time.time()
         target = self._resolve_target(input_path)
+        if (use_fast_path and native_available()
+                and os.path.isfile(input_path)
+                and feature_npz_paths(input_path) is None
+                and self.call_cfg.transfer_dtype == "float16"):
+            return self._run_fast_tsv(input_path, result_path, is_gzip,
+                                      target)
         batches = PrefetchIterator(
             batches_from_features_file(
                 input_path, target, cfg.seq_len, cfg.signal_len,

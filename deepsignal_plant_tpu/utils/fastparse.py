@@ -50,6 +50,9 @@ def _configure(lib) -> None:
         c_char_p, i64, i32, i32, i8p, u16p, u16p, u16p, u16p, i32p,
         i64p, i64p]
     lib.dsp_parse_features_f16.restype = i64
+    lib.dsp_emit_call_rows.argtypes = [c_char_p, i64p, i64p, f32p, i8p,
+                                       i64, i32, u8p]
+    lib.dsp_emit_call_rows.restype = i64
     _configured = True
 
 
@@ -111,6 +114,82 @@ def parse_feature_bytes(block: bytes, kmer_len: int = 13,
                 if with_read_ids else [])
     return FeatureBatch(sampleinfo, kmer[:n], means[:n], stds[:n],
                         slens[:n], signals[:n], labels[:n], read_ids)
+
+
+class RawFeatureBlock:
+    """Wire-format parsed features with byte spans instead of decoded
+    sampleinfo strings — the zero-Python-strings call_mods fast path.
+    Output rows are later emitted natively by memcpy'ing cols 0-5 straight
+    from ``raw`` (dsp_emit_call_rows)."""
+    __slots__ = ("raw", "row_starts", "info_ends", "kmer", "means", "stds",
+                 "slens", "signals", "labels")
+
+    def __init__(self, raw, row_starts, info_ends, kmer, means, stds,
+                 slens, signals, labels):
+        self.raw = raw
+        self.row_starts = row_starts    # (n,) int64 offsets into raw
+        self.info_ends = info_ends      # (n,) int64
+        self.kmer = kmer                # (n, L) int8
+        self.means = means              # (n, L) f16
+        self.stds = stds
+        self.slens = slens
+        self.signals = signals          # (n, L, S) f16
+        self.labels = labels            # (n,) int32
+
+    @property
+    def n(self) -> int:
+        return len(self.labels)
+
+
+def parse_raw_feature_block(block: bytes, kmer_len: int = 13,
+                            signal_len: int = 16
+                            ) -> RawFeatureBlock | None:
+    """Parse a features byte block into wire-format arrays + info spans
+    (no per-row Python strings). None when the native lib is missing."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    n_max = lib.dsp_count_lines(block, len(block))
+    kmer = np.empty((n_max, kmer_len), np.int8)
+    means = np.empty((n_max, kmer_len), np.float16)
+    stds = np.empty((n_max, kmer_len), np.float16)
+    slens = np.empty((n_max, kmer_len), np.float16)
+    signals = np.empty((n_max, kmer_len, signal_len), np.float16)
+    labels = np.empty(n_max, np.int32)
+    row_starts = np.empty(n_max, np.int64)
+    info_ends = np.empty(n_max, np.int64)
+    if n_max:
+        n = lib.dsp_parse_features_f16(
+            block, len(block), kmer_len, signal_len, kmer,
+            means.view(np.uint16), stds.view(np.uint16),
+            slens.view(np.uint16), signals.view(np.uint16), labels,
+            row_starts, info_ends)
+        if n < 0:
+            raise ValueError(f"malformed features row at line {-n - 1}")
+        n = int(n)
+    else:
+        n = 0
+    return RawFeatureBlock(block, row_starts[:n], info_ends[:n], kmer[:n],
+                           means[:n], stds[:n], slens[:n], signals[:n],
+                           labels[:n])
+
+
+def emit_call_rows(rb: RawFeatureBlock, lo: int, hi: int,
+                   probs: np.ndarray) -> bytes:
+    """Emit complete call_mods rows for rb rows [lo, hi) natively."""
+    lib = get_native_lib()
+    _configure(lib)
+    n = hi - lo
+    starts = np.ascontiguousarray(rb.row_starts[lo:hi])
+    ends = np.ascontiguousarray(rb.info_ends[lo:hi])
+    kmer = np.ascontiguousarray(rb.kmer[lo:hi])
+    probs = np.ascontiguousarray(probs, np.float32)
+    cap = int((ends - starts).sum()) + n * 40
+    out = np.empty(cap, np.uint8)
+    total = lib.dsp_emit_call_rows(rb.raw, starts, ends, probs, kmer, n,
+                                   rb.kmer.shape[1], out)
+    return out[:total].tobytes()
 
 
 class CallBlock:

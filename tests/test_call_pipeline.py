@@ -210,3 +210,44 @@ def test_call_freq_accumulator_contig_counts(reference_importable,
     theirs = str(tmp_path / "ref.tsv")
     write_sitekey2stats(stats, theirs, True, False, False)
     assert open(ours).read() == open(theirs).read()
+
+
+def test_fast_tsv_path_matches_classic(small_ckpt, features_file,
+                                       tmp_path):
+    """The zero-Python-strings fast path (native span emit) produces
+    byte-identical output to the classic FeatureBatch path at the same
+    f16 wire format, including across multi-segment batches and the
+    padded final batch."""
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    ckpt_path, cfg = small_ckpt
+    feat_path, n_rows = features_file
+    eng = CallModsEngine(ckpt_path, cfg,
+                         CallConfig(device_batch=64, dispatch_workers=2))
+    fast = str(tmp_path / "fast.tsv")
+    st_fast = eng.run_features_file(feat_path, fast)
+    classic = str(tmp_path / "classic.tsv")
+    st_classic = eng.run_features_file(feat_path, classic,
+                                       use_fast_path=False)
+    assert open(fast).read() == open(classic).read()
+    assert st_fast.sites == st_classic.sites == n_rows
+    assert st_fast.label_correct == st_classic.label_correct
+
+
+def test_fast_tsv_path_gzip_roundtrip(small_ckpt, features_file, tmp_path):
+    import gzip as gz
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    ckpt_path, cfg = small_ckpt
+    feat_path, n_rows = features_file
+    eng = CallModsEngine(ckpt_path, cfg, CallConfig(device_batch=64))
+    out = str(tmp_path / "calls.tsv")
+    eng.run_features_file(feat_path, out, is_gzip=True)
+    with gz.open(out + ".gz", "rt") as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) == n_rows
+    assert all(len(ln.split("\t")) == 10 for ln in lines)
