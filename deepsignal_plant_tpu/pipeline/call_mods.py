@@ -201,21 +201,39 @@ class CallModsEngine:
         spans for cols 0-5, batches are assembled from array views, and
         complete output rows are emitted natively (memcpy'd info prefix +
         computed suffix). No per-row Python objects exist anywhere."""
-        from collections import deque
-
-        from ..io.batching import (PrefetchIterator, bounded_thread_map,
+        from ..io.batching import (bounded_thread_map,
                                    default_parse_workers, iter_byte_blocks)
-        from ..utils.fastparse import emit_call_rows, parse_raw_feature_block
-        from ..utils.prof import PROFILER
+        from ..utils.fastparse import parse_raw_feature_block
         cfg = self.model_cfg
-        stats = CallStats()
-        t0 = time.time()
         pw = self.call_cfg.num_parse_workers or default_parse_workers()
-        blocks = PrefetchIterator(bounded_thread_map(
+        blocks = bounded_thread_map(
             lambda raw: parse_raw_feature_block(raw, cfg.seq_len,
                                                 cfg.signal_len),
             iter_byte_blocks(input_path, 8 << 20), workers=pw,
-            depth=2 * pw), depth=4)
+            depth=2 * pw)
+        return self._run_fast(blocks, result_path, is_gzip, target)
+
+    def _run_fast_wire_npz(self, npz_files: list, result_path: str,
+                           is_gzip: bool, target: int) -> CallStats:
+        """Wire-format .npz batches -> calls: zero parsing anywhere (the
+        container already holds the f16 transfer layout + info blob)."""
+        from ..io.batching import bounded_thread_map, default_parse_workers
+        from ..utils.formats import load_wire_npz
+        pw = self.call_cfg.num_parse_workers or default_parse_workers()
+        blocks = bounded_thread_map(load_wire_npz, npz_files, workers=pw,
+                                    depth=2 * pw)
+        return self._run_fast(blocks, result_path, is_gzip, target)
+
+    def _run_fast(self, raw_blocks, result_path: str, is_gzip: bool,
+                  target: int) -> CallStats:
+        from collections import deque
+
+        from ..io.batching import PrefetchIterator, bounded_thread_map
+        from ..utils.fastparse import emit_call_rows
+        from ..utils.prof import PROFILER
+        stats = CallStats()
+        t0 = time.time()
+        blocks = PrefetchIterator(raw_blocks, depth=4)
         writer = AsyncWriter(result_path, is_gzip)
 
         def gen_batches():
@@ -314,11 +332,15 @@ class CallModsEngine:
         t0 = time.time()
         target = self._resolve_target(input_path)
         if (use_fast_path and native_available()
-                and os.path.isfile(input_path)
-                and feature_npz_paths(input_path) is None
                 and self.call_cfg.transfer_dtype == "float16"):
-            return self._run_fast_tsv(input_path, result_path, is_gzip,
-                                      target)
+            from ..utils.formats import is_wire_npz
+            npz_files = feature_npz_paths(input_path)
+            if npz_files is not None and is_wire_npz(npz_files[0]):
+                return self._run_fast_wire_npz(npz_files, result_path,
+                                               is_gzip, target)
+            if npz_files is None and os.path.isfile(input_path):
+                return self._run_fast_tsv(input_path, result_path, is_gzip,
+                                          target)
         batches = PrefetchIterator(
             batches_from_features_file(
                 input_path, target, cfg.seq_len, cfg.signal_len,

@@ -435,8 +435,11 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     # hosts must not clobber each other's output
     write_path = host_output_path(write_path)
 
-    as_npz = out_format == "npz"
+    as_npz = out_format in ("npz", "npz_wire")
     if as_npz:
+        from ..utils.formats import save_wire_npz
+        save_fn = (save_wire_npz if out_format == "npz_wire"
+                   else save_feature_npz)
         if os.path.isfile(write_path):
             raise FileExistsError(f"{write_path} exists as a file")
         os.makedirs(write_path, exist_ok=True)
@@ -446,7 +449,7 @@ def extract_features(fast5_dir: str, is_recursive: bool,
             if fb is not None and len(fb):
                 # named by batch index: output set is deterministic
                 # regardless of worker completion order
-                save_feature_npz(
+                save_fn(
                     os.path.join(write_path, f"{batch_idx:06d}.npz"), fb)
             return err
 

@@ -145,6 +145,11 @@ def save_feature_npz(path: str, fb: FeatureBatch,
 def load_feature_npz(path: str, with_read_ids: bool = True
                      ) -> FeatureBatch:
     with np.load(path) as z:
+        if "sampleinfo" not in z.files:
+            raise ValueError(
+                f"{path} is a wire-format (v2) inference container; "
+                "training and tools need the v1 container "
+                "(save_feature_npz)")
         sampleinfo = [s.decode() for s in z["sampleinfo"]]
         return FeatureBatch(
             sampleinfo,
@@ -156,6 +161,53 @@ def load_feature_npz(path: str, with_read_ids: bool = True
             z["labels"].astype(np.int32),
             [s.rsplit("\t", 2)[1] for s in sampleinfo]
             if with_read_ids else [])
+
+
+def save_wire_npz(path: str, fb: FeatureBatch) -> None:
+    """Wire-format inference container (.npz v2): the engine's exact f16
+    transfer layout (int8 base codes, f16 values) plus the untouched
+    cols-0..5 text as one concatenated byte blob with per-row offsets.
+    Loads straight into a RawFeatureBlock — zero parsing, zero per-row
+    Python strings end to end (native emitter memcpys the blob slices).
+    For training/archival use the v1 container (save_feature_npz)."""
+    infos = [s.encode() for s in fb.sampleinfo]
+    lens = np.fromiter((len(b) for b in infos), np.int64, len(infos))
+    row_starts = np.zeros(len(infos), np.int64)
+    if len(infos) > 1:
+        np.cumsum(lens[:-1], out=row_starts[1:])
+    blob = b"".join(infos)
+    np.savez(path,
+             wire_version=np.uint8(2),
+             info_blob=np.frombuffer(blob, np.uint8),
+             row_starts=row_starts,
+             info_ends=row_starts + lens,
+             kmer=fb.kmer.astype(np.int8),
+             base_means=fb.base_means.astype(np.float16),
+             base_stds=fb.base_stds.astype(np.float16),
+             base_signal_lens=fb.base_signal_lens.astype(np.float16),
+             signals=fb.signals.astype(np.float16),
+             labels=fb.labels.astype(np.int32))
+
+
+def load_wire_npz(path: str):
+    """Load a wire-format .npz batch as a fastparse.RawFeatureBlock."""
+    from .fastparse import RawFeatureBlock
+    with np.load(path) as z:
+        return RawFeatureBlock(
+            z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
+            z["kmer"], z["base_means"], z["base_stds"],
+            z["base_signal_lens"], z["signals"],
+            z["labels"].astype(np.int32))
+
+
+def is_wire_npz(path: str) -> bool:
+    """Cheap container-version check (zip directory read only)."""
+    import zipfile
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return "wire_version.npy" in zf.namelist()
+    except Exception:
+        return False
 
 
 def feature_npz_paths(path: str) -> list[str] | None:

@@ -93,3 +93,78 @@ def test_call_mods_from_npz_dir(tmp_path, rng):
     lines = open(out).read().splitlines()
     assert len(lines) == len(rows)
     assert all(len(l.split("\t")) == 10 for l in lines)
+
+
+def test_wire_npz_roundtrip(tmp_path, rng):
+    import pytest
+    from deepsignal_plant_tpu.utils.formats import (is_wire_npz,
+                                                    load_wire_npz,
+                                                    save_wire_npz)
+    rows = synth_feature_rows(rng, 3, 10)
+    fb = parse_feature_lines([r + "\n" for r in rows])
+    wp = str(tmp_path / "w.npz")
+    save_wire_npz(wp, fb)
+    vp = str(tmp_path / "v1.npz")
+    save_feature_npz(vp, fb)
+    assert is_wire_npz(wp) and not is_wire_npz(vp)
+
+    rb = load_wire_npz(wp)
+    assert rb.n == len(fb)
+    for i, s in enumerate(fb.sampleinfo):
+        assert rb.raw[rb.row_starts[i]:rb.info_ends[i]].decode() == s
+    np.testing.assert_array_equal(rb.kmer, fb.kmer.astype(np.int8))
+    np.testing.assert_array_equal(rb.labels, fb.labels)
+    np.testing.assert_array_equal(
+        rb.signals, fb.signals.astype(np.float16))
+    # the v1 loader refuses wire files with an actionable message
+    with pytest.raises(ValueError, match="wire-format"):
+        load_feature_npz(wp)
+
+
+def test_engine_wire_npz_path(tmp_path, rng):
+    """Engine over a wire-npz dir == engine over the source TSV (info
+    columns byte-equal; probs within f16 double-rounding tolerance)."""
+    import jax
+    import pytest
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.io.batching import batches_from_features_file
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    from deepsignal_plant_tpu.utils.formats import save_wire_npz
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rows = synth_feature_rows(rng, 6, 20)
+    feat = str(tmp_path / "f.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    wire_dir = tmp_path / "wire"
+    wire_dir.mkdir()
+    for i, pb in enumerate(batches_from_features_file(feat, 48)):
+        from deepsignal_plant_tpu.io.batching import _split
+        fb = pb.features
+        if pb.n_valid < len(fb.labels):
+            fb, _ = _split(fb, pb.n_valid)
+        save_wire_npz(str(wire_dir / f"{i:03d}.npz"), fb)
+
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params, cfg)
+    eng = CallModsEngine(ckpt, cfg, CallConfig(device_batch=64))
+
+    out_tsv = str(tmp_path / "calls_tsv.tsv")
+    eng.run_features_file(feat, out_tsv)
+    out_wire = str(tmp_path / "calls_wire.tsv")
+    st = eng.run_features_file(str(wire_dir), out_wire)
+    assert st.sites == len(rows)
+
+    a = open(out_tsv).read().splitlines()
+    b = open(out_wire).read().splitlines()
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        wa, wb = la.split("\t"), lb.split("\t")
+        assert wa[:6] == wb[:6] and wa[9] == wb[9]
+        assert abs(float(wa[6]) - float(wb[6])) < 3e-4
