@@ -59,3 +59,57 @@ def test_call_freq_reads_gzip_calls(tmp_path):
     lines = open(out).read().splitlines()
     assert len(lines) == 4
     assert all(l.split("\t")[6] == "1" for l in lines)   # all met
+
+
+def test_estimate_rows_tsv_and_npz(tmp_path, rng):
+    from make_synthetic import synth_feature_rows
+    from deepsignal_plant_tpu.pipeline.call_mods import _estimate_rows
+    from deepsignal_plant_tpu.utils.formats import (parse_feature_lines,
+                                                    save_feature_npz)
+    rows = synth_feature_rows(rng, 4, 32)   # 128 rows
+    feat = str(tmp_path / "f.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    est = _estimate_rows(feat)
+    assert 64 <= est <= 256   # within 2x of 128
+
+    d = tmp_path / "npz"
+    d.mkdir()
+    fb = parse_feature_lines([r + "\n" for r in rows])
+    save_feature_npz(str(d / "000.npz"), fb)
+    assert _estimate_rows(str(d)) == 128
+    assert _estimate_rows(str(tmp_path / "missing.tsv")) is None
+
+
+def test_auto_device_batch_sizing(tmp_path, rng):
+    """device_batch=None sizes the step to the input: tiny files get a
+    small padded batch, not the 32768 maximum."""
+    import jax
+    from make_synthetic import synth_feature_rows
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(1), cfg), cfg)
+    eng = CallModsEngine(ckpt, cfg, CallConfig())   # auto
+    assert eng._auto_batch
+
+    rows = synth_feature_rows(rng, 2, 20)   # 40 rows
+    feat = str(tmp_path / "f.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    target = eng._resolve_target(feat)
+    assert target == eng.AUTO_MIN_BATCH        # tiny input -> floor
+    assert eng._resolve_target("/nope.tsv") == eng.device_batch
+
+    # explicit width always wins
+    eng2 = CallModsEngine(ckpt, cfg, CallConfig(device_batch=64))
+    assert not eng2._auto_batch
+    assert eng2._resolve_target(feat) == 64
+
+    out = str(tmp_path / "calls.tsv")
+    st = eng.run_features_file(feat, out)
+    assert st.sites == 40
+    assert len(open(out).read().splitlines()) == 40
