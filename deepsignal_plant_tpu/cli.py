@@ -207,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort", action="store_true", default=False)
     p.add_argument("--prob_cf", type=float, default=0.5)
     p.add_argument("--gzip", action="store_true", default=False)
+    p.add_argument("--device_agg", action="store_true", default=False,
+                   help="offload the per-block site sort + integer "
+                        "segment sums to the accelerator (for "
+                        "direct-attached chips on genome-scale runs); "
+                        "output is byte-identical to the host path")
     p.set_defaults(func=main_call_freq)
 
     # ---- train ----

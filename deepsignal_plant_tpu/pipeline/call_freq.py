@@ -38,9 +38,14 @@ _KEY_SHIFT = np.int64(1) << 40
 class FreqAccumulator:
     """Streaming per-site accumulator over call_mods rows."""
 
-    def __init__(self, prob_cf: float = 0.5, contig: str | None = None):
+    def __init__(self, prob_cf: float = 0.5, contig: str | None = None,
+                 device_agg: bool = False):
         self.prob_cf = prob_cf
         self.contig = contig
+        #: offload the per-block site-key sort + integer segment sums to
+        #: the accelerator (ops/segment_agg; SURVEY.md §7 step 5). Float
+        #: prob sums stay host float64 so output is byte-identical.
+        self.device_agg = device_agg
         self.count = 0
         self.used = 0
         self._chrom2gid: dict[str, int] = {}
@@ -114,6 +119,9 @@ class FreqAccumulator:
         rows = np.nonzero(keep)[0]
         if len(rows) == 0:
             return
+        if self.device_agg:
+            self._add_rows_device(cb, gids, rows)
+            return
 
         keys = gids[rows] * _KEY_SHIFT + cb.pos[rows]
         ukeys, first_idx, inverse = np.unique(
@@ -152,6 +160,53 @@ class FreqAccumulator:
         np.add.at(self._prob1, ridx, cb.p1[rows])
         np.add.at(self._met, ridx, cb.label[rows])
         np.add.at(self._coverage, ridx, 1)
+
+    def _add_rows_device(self, cb, gids, rows) -> None:
+        """Device-offloaded block aggregation (SURVEY.md §7 step 5): a
+        jitted XLA kernel sorts the kept rows by (chrom, pos) and returns
+        exact integer segment sums; the host resolves block-unique sites
+        against the global table and drives float64 ``np.add.at`` with
+        the sorted order. A stable sort keeps file order within each
+        site, so the float partial sums associate exactly like
+        ``_add_block`` and the reference's sequential accumulation —
+        output stays byte-identical across all three paths."""
+        from ..ops.segment_agg import sort_segment_reduce
+        order, seg, cov_seg, met_seg, nu = sort_segment_reduce(
+            gids[rows].astype(np.int32), cb.pos[rows].astype(np.int32),
+            cb.label[rows].astype(np.int32))
+        srows = rows[order]          # site-sorted, file order within site
+        first_rows = srows[np.flatnonzero(np.diff(seg, prepend=-1))]
+        ukeys = gids[first_rows] * _KEY_SHIFT + cb.pos[first_rows]
+        g_of_u = np.empty(nu, np.int64)
+        k2i = self._key2idx
+        new_local: list[int] = []
+        for j, k in enumerate(ukeys.tolist()):
+            gi = k2i.get(k)
+            if gi is None:
+                new_local.append(j)
+                gi = -1
+            g_of_u[j] = gi
+        if new_local:
+            # first-seen (file) order, the insertion-order contract
+            new_local.sort(key=lambda j: first_rows[j])
+            base = self.n_sites
+            self._grow(len(new_local))
+            nl = np.asarray(new_local)
+            g_of_u[nl] = base + np.arange(len(new_local))
+            for t, j in enumerate(new_local):
+                k2i[int(ukeys[j])] = base + t
+            src = first_rows[nl]
+            sl = slice(base, base + len(new_local))
+            self._gid[sl] = gids[src]
+            self._pos[sl] = cb.pos[src]
+            self._strand[sl] = cb.strand[src]
+            self._pis[sl] = cb.pos_in_strand[src]
+            self._kmers.extend(cb.kmer_at(int(r)) for r in src)
+            self.n_sites += len(new_local)
+        np.add.at(self._prob0, g_of_u[seg], cb.p0[srows])
+        np.add.at(self._prob1, g_of_u[seg], cb.p1[srows])
+        self._met[g_of_u] += met_seg
+        self._coverage[g_of_u] += cov_seg
 
     def merge_table(self, chroms: list[str], gids_l, pos, strand, pis,
                     prob0, prob1, met, coverage, kmers: list[str]) -> None:
@@ -326,10 +381,12 @@ def write_freq(acc: FreqAccumulator, result_file: str, is_sort: bool,
 
 
 def _freq_one_contig(contig: str, mods_files: list[str], prob_cf: float,
-                     result_file: str, issort: bool, isbed: bool) -> str:
+                     result_file: str, issort: bool, isbed: bool,
+                     device_agg: bool = False) -> str:
     """Worker: aggregate one contig into its own temp result file
     (reference _call_and_write_modsfreq_process, call_mods_freq.py:175)."""
-    acc = FreqAccumulator(prob_cf=prob_cf, contig=contig)
+    acc = FreqAccumulator(prob_cf=prob_cf, contig=contig,
+                          device_agg=device_agg)
     for f in mods_files:
         acc.add_file(f)
     print(acc.report())
@@ -392,9 +449,10 @@ def call_mods_frequency_to_file(args) -> None:
     mods_files = collect_mods_files(args.input_path, args.file_uid)
     print("get {} input file(s)..".format(len(mods_files)))
     contigs = resolve_contigs(args.contigs)
+    device_agg = getattr(args, "device_agg", False)
 
     if contigs is None:
-        acc = FreqAccumulator(prob_cf=args.prob_cf)
+        acc = FreqAccumulator(prob_cf=args.prob_cf, device_agg=device_agg)
         for f in mods_files:
             acc.add_file(f)
         import jax
@@ -420,7 +478,7 @@ def call_mods_frequency_to_file(args) -> None:
             for c in contigs:
                 resfiles.append(_freq_one_contig(
                     c, mods_files, args.prob_cf, args.result_file,
-                    args.sort, args.bed))
+                    args.sort, args.bed, device_agg))
         else:
             # spawn: fork is unsafe once JAX's thread pools exist
             with ProcessPoolExecutor(max_workers=nproc,
@@ -428,7 +486,7 @@ def call_mods_frequency_to_file(args) -> None:
                                      ) as pool:
                 futs = [pool.submit(_freq_one_contig, c, mods_files,
                                     args.prob_cf, args.result_file,
-                                    args.sort, args.bed)
+                                    args.sort, args.bed, device_agg)
                         for c in contigs]
                 resfiles = [f.result() for f in futs]
         print("combine results of {} contigs..".format(len(resfiles)))

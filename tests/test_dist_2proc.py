@@ -22,7 +22,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 from make_synthetic import synth_feature_rows, write_feature_file
 
@@ -87,7 +86,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_train_loop_with_resume(tmp_path):
     data = tmp_path / "data"
     data.mkdir()
