@@ -172,9 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")
     p.add_argument("--transfer_dtype", type=str, default="float16",
-                   choices=["float16", "float32"],
+                   choices=["float32", "float16", "int8"],
                    help="host->device wire format; float32 for exact-parity "
-                        "runs")
+                        "runs, int8 (quantized, dequant on device) for "
+                        "bandwidth-starved remote-attached links")
     p.add_argument("--parse_workers", type=int, default=None,
                    help="host parser threads (default: cores, max 4)")
     p.add_argument("--dispatch_workers", type=int, default=2,

@@ -76,10 +76,15 @@ class CallConfig:
     dispatch_workers: int = 2     # concurrent jit dispatches (overlaps
                                   # per-call transfer latency)
     # wire format host->device: "float16" halves transfer bytes (the model
-    # computes in compute_dtype regardless); "float32" for exact parity
+    # computes in compute_dtype regardless); "float32" for exact parity;
+    # "int8" quantizes means/stds/signals with per-batch scales dequantized
+    # on device (~1.8x fewer bytes again — for bandwidth-starved
+    # remote-attached links; tiny prob shift, see docs/BENCH.md)
     transfer_dtype: str = "float16"
 
     def __post_init__(self):
+        if self.transfer_dtype not in ("float32", "float16", "int8"):
+            raise ValueError("transfer_dtype must be float32|float16|int8")
         if self.dispatch_workers < 1:
             raise ValueError("dispatch_workers must be >= 1")
         if self.device_batch is not None and self.device_batch < 1:

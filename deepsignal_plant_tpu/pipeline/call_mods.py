@@ -35,6 +35,41 @@ from ..utils.bases import CODE2BASE_DNA
 from ..utils.formats import format_call_rows
 
 
+def quantize_for_wire(batch: Batch):
+    """int8 wire: symmetric per-batch-per-field quantization of the float
+    features (means, stds, signals); signal_lens stay f16 (integer-valued,
+    up to hundreds), kmer is int8 codes already. Returns the int8 Batch
+    plus the (3,) f32 dequant scales the device step multiplies back.
+    ~1.8x fewer wire bytes than f16 (507 -> 286 B/site) — the lever when
+    a remote-attached link's aggregate MB/s, not the chip, bounds
+    throughput. Worst-case added input noise is amax/254 per field."""
+    def q(a):
+        a32 = np.asarray(a, np.float32)
+        amax = float(np.max(np.abs(a32))) if a32.size else 0.0
+        scale = (amax / 127.0) or 1.0
+        return np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8), \
+            scale
+    qm, sm = q(batch.base_means)
+    qs, ss = q(batch.base_stds)
+    qg, sg = q(batch.signals)
+    lens = batch.base_signal_lens
+    if lens.dtype != np.float16:
+        lens = lens.astype(np.float16)
+    return (Batch(kmer=np.asarray(batch.kmer, np.int8), base_means=qm,
+                  base_stds=qs, base_signal_lens=lens, signals=qg),
+            np.array([sm, ss, sg], np.float32))
+
+
+def _start_fetch(arr):
+    """Complete the device->host readback inside the dispatch worker
+    thread so consecutive round trips overlap each other (and in-flight
+    dispatches). Measured on the remote-attached rig: the serialized
+    main-thread fetch was ~0.25-0.38 s per batch — the pipeline's binding
+    stage; `copy_to_host_async` is a no-op through the tunnel, so the
+    worker blocks on the full copy instead."""
+    return np.asarray(arr)
+
+
 @dataclass
 class CallStats:
     sites: int = 0
@@ -111,14 +146,31 @@ class CallModsEngine:
 
         import threading
         self._fallback_lock = threading.Lock()
+        self._quant = self.call_cfg.transfer_dtype == "int8"
         self._step = self._build_step()
+        # jit wrappers are lazy — only the variant actually called compiles
+        self._step_q = self._build_step(quantized=True)
 
-    def _build_step(self):
+    def _build_step(self, quantized: bool = False):
         cfg = self.model_cfg
 
-        def _step(params, batch: Batch):
-            logits, probs = forward(params, batch, cfg, train=False)
-            return probs
+        if quantized:
+            import jax.numpy as jnp
+
+            def _step(params, batch: Batch, scales):
+                b = Batch(
+                    kmer=batch.kmer,
+                    base_means=batch.base_means.astype(jnp.float32)
+                    * scales[0],
+                    base_stds=batch.base_stds.astype(jnp.float32)
+                    * scales[1],
+                    base_signal_lens=batch.base_signal_lens,
+                    signals=batch.signals.astype(jnp.float32) * scales[2])
+                return forward(params, b, cfg, train=False)[1]
+        else:
+            def _step(params, batch: Batch):
+                logits, probs = forward(params, batch, cfg, train=False)
+                return probs
 
         if self._single:
             return jax.jit(_step)
@@ -128,13 +180,14 @@ class CallModsEngine:
         # tests/test_pallas_shardmap.py
         from jax.sharding import PartitionSpec as P
         axis = self.mesh.axis_names[0]
+        in_specs = (P(), P(axis)) + ((P(),) if quantized else ())
         return jax.jit(jax.shard_map(
-            _step, mesh=self.mesh, in_specs=(P(), P(axis)),
+            _step, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(axis), check_vma=False))
 
     def predict_probs(self, fb) -> np.ndarray:
         """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""
-        if self.call_cfg.transfer_dtype == "float16":
+        if self.call_cfg.transfer_dtype in ("float16", "int8"):
             # shrink the host->device wire format: int8 base codes + f16
             # floats (values are 6-decimal-rounded, |x| < ~1e3; f16 rel
             # error ~5e-4 is far below call-decision scale). The native
@@ -161,11 +214,21 @@ class CallModsEngine:
 
     def _predict(self, batch: Batch):
         """Dispatch one wire-ready Batch (with the pallas->scan runtime
-        fallback)."""
+        fallback). int8 mode quantizes here, in the calling dispatch
+        thread, so the host-side passes overlap in-flight transfers."""
+        scales = None
+        if self._quant:
+            batch, scales = quantize_for_wire(batch)
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
-        try:
+
+        def _run():
+            if scales is not None:
+                return self._step_q(self.params, batch, scales)
             return self._step(self.params, batch)
+
+        try:
+            return _run()
         except Exception as exc:
             if self.model_cfg.recurrence != "pallas":
                 raise
@@ -178,7 +241,8 @@ class CallModsEngine:
                               type(exc).__name__, exc))
                     self.model_cfg = self.model_cfg.with_(recurrence="scan")
                     self._step = self._build_step()
-            return self._step(self.params, batch)
+                    self._step_q = self._build_step(quantized=True)
+            return _run()
 
     def _resolve_target(self, input_path: str) -> int:
         """Auto device_batch: next power of two covering the estimated row
@@ -292,7 +356,7 @@ class CallModsEngine:
         def _dispatch(item):
             batch, segs, labels, nv = item
             with PROFILER.stage("dispatch", nv):
-                return self._predict(batch), segs, labels, nv
+                return _start_fetch(self._predict(batch)), segs, labels, nv
 
         for probs, segs, labels, nv in bounded_thread_map(
                 _dispatch, gen_batches(),
@@ -332,7 +396,7 @@ class CallModsEngine:
         t0 = time.time()
         target = self._resolve_target(input_path)
         if (use_fast_path and native_available()
-                and self.call_cfg.transfer_dtype == "float16"):
+                and self.call_cfg.transfer_dtype in ("float16", "int8")):
             from ..utils.formats import is_wire_npz
             npz_files = feature_npz_paths(input_path)
             if npz_files is not None and is_wire_npz(npz_files[0]):
@@ -345,9 +409,9 @@ class CallModsEngine:
             batches_from_features_file(
                 input_path, target, cfg.seq_len, cfg.signal_len,
                 self.call_cfg.num_parse_workers,
-                out_dtype=("float16"
-                           if self.call_cfg.transfer_dtype == "float16"
-                           else "float32")),
+                out_dtype=("float32"
+                           if self.call_cfg.transfer_dtype == "float32"
+                           else "float16")),
             depth=4)
         writer = AsyncWriter(result_path, is_gzip)
 
@@ -358,7 +422,7 @@ class CallModsEngine:
         # while later steps are in flight.
         def _dispatch(pb):
             with PROFILER.stage("dispatch", pb.n_valid):
-                return self.predict_probs(pb.features), pb
+                return _start_fetch(self.predict_probs(pb.features)), pb
 
         for probs, pb in bounded_thread_map(
                 _dispatch, batches,

@@ -1,0 +1,111 @@
+"""int8 transfer wire: quantized means/stds/signals with on-device
+dequant (pipeline/call_mods.quantize_for_wire + the quantized step).
+
+The int8 wire trades ~1.8x transfer bytes for bounded input noise
+(amax/254 per float field); with random-weight models probs sit near the
+0.5 decision boundary (worst case for call flips), so the agreement
+threshold here is deliberately conservative.
+"""
+import os
+
+import numpy as np
+
+from make_synthetic import synth_feature_rows, write_feature_file
+
+
+def _mk_ckpt(tmp_path):
+    import jax
+
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    cfg = ModelConfig(dropout_rate=0.0)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, jax.device_get(params), cfg)
+    return ckpt, cfg
+
+
+def test_quantize_roundtrip_bounds():
+    from deepsignal_plant_tpu.models.bilstm import Batch
+    from deepsignal_plant_tpu.pipeline.call_mods import quantize_for_wire
+    rng = np.random.default_rng(0)
+    n = 64
+    b = Batch(kmer=rng.integers(0, 4, (n, 13)).astype(np.int8),
+              base_means=rng.normal(size=(n, 13)).astype(np.float16),
+              base_stds=np.abs(rng.normal(size=(n, 13))).astype(np.float16),
+              base_signal_lens=rng.integers(1, 300, (n, 13)).astype(
+                  np.float16),
+              signals=rng.normal(size=(n, 13, 16)).astype(np.float16))
+    qb, scales = quantize_for_wire(b)
+    assert qb.base_means.dtype == np.int8
+    assert qb.signals.dtype == np.int8
+    assert qb.base_signal_lens.dtype == np.float16   # not quantized
+    assert scales.shape == (3,) and scales.dtype == np.float32
+    for q, s, orig in ((qb.base_means, scales[0], b.base_means),
+                       (qb.base_stds, scales[1], b.base_stds),
+                       (qb.signals, scales[2], b.signals)):
+        deq = q.astype(np.float32) * s
+        err = np.abs(deq - np.asarray(orig, np.float32)).max()
+        # symmetric quant: error bounded by scale/2 (+ f16 input rounding)
+        assert err <= s / 2 + 1e-3
+    # wire shrink: ~1.8x fewer bytes than the f16 layout
+    f16_bytes = sum(np.asarray(a).nbytes for a in b)
+    q_bytes = sum(np.asarray(a).nbytes for a in qb) + scales.nbytes
+    assert q_bytes < 0.62 * f16_bytes
+
+
+def test_quantize_zero_field():
+    from deepsignal_plant_tpu.models.bilstm import Batch
+    from deepsignal_plant_tpu.pipeline.call_mods import quantize_for_wire
+    n = 8
+    z = np.zeros((n, 13), np.float16)
+    b = Batch(kmer=np.zeros((n, 13), np.int8), base_means=z, base_stds=z,
+              base_signal_lens=z, signals=np.zeros((n, 13, 16), np.float16))
+    qb, scales = quantize_for_wire(b)
+    assert np.all(qb.signals == 0) and np.all(scales > 0)
+
+
+def test_int8_engine_agreement_vs_f32(tmp_path):
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    ckpt, _ = _mk_ckpt(tmp_path)
+    rng = np.random.default_rng(5)
+    feat = str(tmp_path / "f.tsv")
+    write_feature_file(feat, synth_feature_rows(rng, 40, 64))
+
+    outs = {}
+    probs = {}
+    for dt in ("float32", "int8"):
+        eng = CallModsEngine(ckpt, ModelConfig(dropout_rate=0.0),
+                             CallConfig(device_batch=1024,
+                                        transfer_dtype=dt))
+        out = str(tmp_path / f"o_{dt}.tsv")
+        st = eng.run_features_file(feat, out)
+        assert st.sites == 2560
+        rows = [ln.split("\t") for ln in open(out).read().splitlines()]
+        outs[dt] = {tuple(r[:5]): (r[8] == "1") for r in rows}
+        probs[dt] = {tuple(r[:5]): float(r[7]) for r in rows}
+    keys = sorted(outs["float32"])
+    assert keys == sorted(outs["int8"])
+    agree = np.mean([outs["float32"][k] == outs["int8"][k] for k in keys])
+    mae = np.mean([abs(probs["float32"][k] - probs["int8"][k])
+                   for k in keys])
+    # random weights put probs near 0.5 — the boundary-heavy worst case
+    assert mae < 5e-3, mae
+    assert agree >= 0.97, agree
+
+
+def test_int8_cli(tmp_path):
+    from deepsignal_plant_tpu.cli import main as cli_main
+    ckpt, _ = _mk_ckpt(tmp_path)
+    rng = np.random.default_rng(6)
+    feat = str(tmp_path / "f.tsv")
+    write_feature_file(feat, synth_feature_rows(rng, 8, 32))
+    out = str(tmp_path / "calls.tsv")
+    cli_main(["call_mods", "-i", feat, "-m", ckpt, "-o", out,
+              "--transfer_dtype", "int8", "--device_batch", "512"])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 256
+    assert all(len(ln.split("\t")) == 10 for ln in lines)
+    assert os.path.getsize(out) > 0
