@@ -18,8 +18,10 @@ association issue and come straight off the device.
 
 TPU notes:
 - int64 is unavailable (jax x64 off), so the (chrom-id, position) key is
-  sorted as a two-pass stable 32-bit lexsort (secondary key first) —
-  positions fit int32 for any genome, chrom ids trivially.
+  sorted as a two-pass stable 32-bit lexsort (secondary key first).
+  Positions fit int32 for all but giant-chromosome assemblies; the
+  caller (pipeline/call_freq._add_block) routes blocks with positions
+  past 2**31-1 to the host path.
 - Padding rows carry a sentinel key larger than any real key, sort to
   the tail, and form segments past the real ones; callers slice to the
   real segment count.

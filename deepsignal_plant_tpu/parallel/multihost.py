@@ -49,23 +49,54 @@ def to_global(sharding: NamedSharding, local_tree,
     return jax.tree.map(lift, local_tree)
 
 
-def allgather_bytes(data: bytes) -> list[bytes]:
+def split_i64(v: int) -> list[int]:
+    """An int64 as two non-negative int31 words (collective-safe: jax
+    silently canonicalizes int64 arrays to int32 when x64 is off, which
+    would wrap values >= 2**31 — e.g. byte lengths of >=2 GiB payloads)."""
+    return [v >> 31, v & 0x7FFFFFFF]
+
+
+def join_i64(words) -> np.ndarray:
+    """Inverse of split_i64 over a trailing axis of word pairs."""
+    w = np.asarray(words, np.int64)
+    return (w[..., 0] << 31) + w[..., 1]
+
+
+def allgather_bytes(data: bytes, chunk_bytes: int = 256 << 20,
+                    keep: bool = True) -> list[bytes]:
     """All-gather one variable-length byte payload per process (returned
-    in process order, identical on every host). Rides the device
-    collectives via multihost_utils.process_allgather: payloads are
-    length-broadcast, zero-padded to the max, and gathered as uint8
-    arrays."""
+    in process order). Rides the device collectives via
+    multihost_utils.process_allgather: payload lengths are exchanged as
+    int31 word pairs (int64 would be canonicalized to int32 and wrap for
+    >=2 GiB payloads), then the zero-padded uint8 payloads ride in
+    ``chunk_bytes`` rounds so peak transient memory is bounded by
+    ``pcount * chunk_bytes`` per round. A host that only participates to
+    satisfy the collective passes ``keep=False`` and gets ``[]`` back
+    without ever materializing the other hosts' full payloads."""
     from jax.experimental import multihost_utils as mhu
-    if jax.process_count() == 1:
-        return [data]
-    sizes = np.asarray(mhu.process_allgather(
-        np.array([len(data)], np.int64))).reshape(-1)
+    pcount = jax.process_count()
+    if pcount == 1:
+        return [data] if keep else []
+    n = len(data)
+    words = np.asarray(mhu.process_allgather(
+        np.array(split_i64(n), np.int32)))
+    sizes = join_i64(words.reshape(pcount, 2))
     maxn = int(sizes.max())
-    buf = np.zeros(maxn, np.uint8)
-    buf[:len(data)] = np.frombuffer(data, np.uint8)
-    gathered = np.asarray(mhu.process_allgather(buf))
-    return [gathered[i, :int(sizes[i])].tobytes()
-            for i in range(jax.process_count())]
+    src = np.frombuffer(data, np.uint8)
+    out = [bytearray() for _ in range(pcount)] if keep else None
+    for off in range(0, maxn, chunk_bytes):
+        w = int(min(chunk_bytes, maxn - off))
+        buf = np.zeros(w, np.uint8)
+        if off < n:
+            k = min(w, n - off)
+            buf[:k] = src[off:off + k]
+        g = np.asarray(mhu.process_allgather(buf))
+        if keep:
+            for i in range(pcount):
+                take = int(min(max(int(sizes[i]) - off, 0), w))
+                if take:
+                    out[i] += g[i, :take].tobytes()
+    return [bytes(b) for b in out] if keep else []
 
 
 def global_scalar_sum(values: np.ndarray, mesh: Mesh) -> np.ndarray:

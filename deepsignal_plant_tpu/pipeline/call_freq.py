@@ -87,20 +87,58 @@ class FreqAccumulator:
                 cb = _parse_calls_py(raw)
             self._add_block(cb)
 
-    def _add_block(self, cb) -> None:
-        n = len(cb)
-        if n == 0:
-            return
-        # block-local chrom ids -> global ids
-        lg2g = np.empty(len(cb.chroms), np.int64)
-        for j, name in enumerate(cb.chroms):
+    def _intern_chroms(self, names: list[str]) -> np.ndarray:
+        """Map block-local chrom names to global ids (interning new
+        ones), returned as a local-id -> global-id lookup table."""
+        lg2g = np.empty(len(names), np.int64)
+        for j, name in enumerate(names):
             g = self._chrom2gid.get(name)
             if g is None:
                 g = len(self._chroms)
                 self._chrom2gid[name] = g
                 self._chroms.append(name)
             lg2g[j] = g
-        gids = lg2g[cb.chrom_ids]
+        return lg2g
+
+    def _resolve_and_append(self, ukeys, order_vals, gid_u, pos_u,
+                            strand_u, pis_u, kmer_of) -> np.ndarray:
+        """Map unique site keys to global table rows, appending unseen
+        sites in ascending ``order_vals`` order (the first-occurrence /
+        insertion-order contract, reference call_mods_freq.py:55-59).
+        Metadata arrays are per-unique-key; ``kmer_of(j)`` returns key
+        j's kmer string. Shared by the host block path, the device block
+        path, and the cross-host table merge."""
+        g_of = np.empty(len(ukeys), np.int64)
+        k2i = self._key2idx
+        new_local: list[int] = []
+        for j, k in enumerate(ukeys.tolist()):
+            gi = k2i.get(k)
+            if gi is None:
+                new_local.append(j)
+                gi = -1
+            g_of[j] = gi
+        if new_local:
+            new_local.sort(key=lambda j: order_vals[j])
+            base = self.n_sites
+            self._grow(len(new_local))
+            nl = np.asarray(new_local)
+            g_of[nl] = base + np.arange(len(new_local))
+            for t, j in enumerate(new_local):
+                k2i[int(ukeys[j])] = base + t
+            sl = slice(base, base + len(new_local))
+            self._gid[sl] = gid_u[nl]
+            self._pos[sl] = pos_u[nl]
+            self._strand[sl] = strand_u[nl]
+            self._pis[sl] = pis_u[nl]
+            self._kmers.extend(kmer_of(int(j)) for j in new_local)
+            self.n_sites += len(new_local)
+        return g_of
+
+    def _add_block(self, cb) -> None:
+        n = len(cb)
+        if n == 0:
+            return
+        gids = self._intern_chroms(cb.chroms)[cb.chrom_ids]
 
         keep = np.abs(cb.p0 - cb.p1) >= self.prob_cf
         if self.contig is not None:
@@ -119,42 +157,20 @@ class FreqAccumulator:
         rows = np.nonzero(keep)[0]
         if len(rows) == 0:
             return
-        if self.device_agg:
+        # int32 device keys can't carry positions past 2**31-1
+        # (giant-chromosome assemblies); such blocks take the host path
+        if self.device_agg and int(cb.pos[rows].max()) < 2**31:
             self._add_rows_device(cb, gids, rows)
             return
 
         keys = gids[rows] * _KEY_SHIFT + cb.pos[rows]
         ukeys, first_idx, inverse = np.unique(
             keys, return_index=True, return_inverse=True)
-        # resolve block-unique keys against the global site table
-        g_of_u = np.empty(len(ukeys), np.int64)
-        k2i = self._key2idx
-        new_local: list[int] = []
-        for j, k in enumerate(ukeys.tolist()):
-            gi = k2i.get(k)
-            if gi is None:
-                new_local.append(j)
-                gi = -1
-            g_of_u[j] = gi
-        if new_local:
-            # append new sites in first-occurrence (file) order — the
-            # reference's insertion-ordered dict contract
-            new_local.sort(key=lambda j: first_idx[j])
-            base = self.n_sites
-            self._grow(len(new_local))
-            nl = np.asarray(new_local)
-            g_of_u[nl] = base + np.arange(len(new_local))
-            for t, j in enumerate(new_local):
-                k2i[int(ukeys[j])] = base + t
-            src = rows[first_idx[nl]]
-            sl = slice(base, base + len(new_local))
-            self._gid[sl] = gids[src]
-            self._pos[sl] = cb.pos[src]
-            self._strand[sl] = cb.strand[src]
-            self._pis[sl] = cb.pos_in_strand[src]
-            self._kmers.extend(cb.kmer_at(int(r)) for r in src)
-            self.n_sites += len(new_local)
-
+        src_rows = rows[first_idx]
+        g_of_u = self._resolve_and_append(
+            ukeys, first_idx, gids[src_rows], cb.pos[src_rows],
+            cb.strand[src_rows], cb.pos_in_strand[src_rows],
+            lambda j: cb.kmer_at(int(src_rows[j])))
         ridx = g_of_u[inverse]
         np.add.at(self._prob0, ridx, cb.p0[rows])
         np.add.at(self._prob1, ridx, cb.p1[rows])
@@ -177,32 +193,10 @@ class FreqAccumulator:
         srows = rows[order]          # site-sorted, file order within site
         first_rows = srows[np.flatnonzero(np.diff(seg, prepend=-1))]
         ukeys = gids[first_rows] * _KEY_SHIFT + cb.pos[first_rows]
-        g_of_u = np.empty(nu, np.int64)
-        k2i = self._key2idx
-        new_local: list[int] = []
-        for j, k in enumerate(ukeys.tolist()):
-            gi = k2i.get(k)
-            if gi is None:
-                new_local.append(j)
-                gi = -1
-            g_of_u[j] = gi
-        if new_local:
-            # first-seen (file) order, the insertion-order contract
-            new_local.sort(key=lambda j: first_rows[j])
-            base = self.n_sites
-            self._grow(len(new_local))
-            nl = np.asarray(new_local)
-            g_of_u[nl] = base + np.arange(len(new_local))
-            for t, j in enumerate(new_local):
-                k2i[int(ukeys[j])] = base + t
-            src = first_rows[nl]
-            sl = slice(base, base + len(new_local))
-            self._gid[sl] = gids[src]
-            self._pos[sl] = cb.pos[src]
-            self._strand[sl] = cb.strand[src]
-            self._pis[sl] = cb.pos_in_strand[src]
-            self._kmers.extend(cb.kmer_at(int(r)) for r in src)
-            self.n_sites += len(new_local)
+        g_of_u = self._resolve_and_append(
+            ukeys, first_rows, gids[first_rows], cb.pos[first_rows],
+            cb.strand[first_rows], cb.pos_in_strand[first_rows],
+            lambda j: cb.kmer_at(int(first_rows[j])))
         np.add.at(self._prob0, g_of_u[seg], cb.p0[srows])
         np.add.at(self._prob1, g_of_u[seg], cb.p1[srows])
         self._met[g_of_u] += met_seg
@@ -214,39 +208,11 @@ class FreqAccumulator:
         unique within the table) — the cross-host reduction step."""
         if len(pos) == 0:
             return
-        lg2g = np.empty(len(chroms), np.int64)
-        for j, name in enumerate(chroms):
-            g = self._chrom2gid.get(name)
-            if g is None:
-                g = len(self._chroms)
-                self._chrom2gid[name] = g
-                self._chroms.append(name)
-            lg2g[j] = g
-        gids = lg2g[np.asarray(gids_l)]
+        gids = self._intern_chroms(chroms)[np.asarray(gids_l)]
         keys = gids * _KEY_SHIFT + np.asarray(pos)
-        g_of = np.empty(len(keys), np.int64)
-        k2i = self._key2idx
-        new_rows: list[int] = []
-        for j, k in enumerate(keys.tolist()):
-            gi = k2i.get(k)
-            if gi is None:
-                new_rows.append(j)
-                gi = -1
-            g_of[j] = gi
-        if new_rows:
-            base = self.n_sites
-            self._grow(len(new_rows))
-            nr = np.asarray(new_rows)
-            g_of[nr] = base + np.arange(len(new_rows))
-            for t, j in enumerate(new_rows):
-                k2i[int(keys[j])] = base + t
-            sl = slice(base, base + len(new_rows))
-            self._gid[sl] = gids[nr]
-            self._pos[sl] = np.asarray(pos)[nr]
-            self._strand[sl] = np.asarray(strand)[nr]
-            self._pis[sl] = np.asarray(pis)[nr]
-            self._kmers.extend(kmers[int(j)] for j in new_rows)
-            self.n_sites += len(new_rows)
+        g_of = self._resolve_and_append(
+            keys, np.arange(len(keys)), gids, np.asarray(pos),
+            np.asarray(strand), np.asarray(pis), lambda j: kmers[j])
         np.add.at(self._prob0, g_of, prob0)
         np.add.at(self._prob1, g_of, prob1)
         np.add.at(self._met, g_of, met)
@@ -274,20 +240,27 @@ class FreqAccumulator:
 
 
 def merge_across_hosts(acc: FreqAccumulator) -> FreqAccumulator:
-    """Reduce per-host accumulators into one identical global accumulator
-    on every host — the TPU-native equivalent of the reference's
-    "run per node, merge the files later" multi-node story (SURVEY.md
-    §5.8: cross-host aggregation over collectives). Each host's site
-    table rides a device all-gather (parallel/multihost.allgather_bytes);
-    the merge walks hosts in process order so first-seen metadata and
-    unsorted output order are deterministic."""
+    """Reduce per-host accumulators over collectives — the TPU-native
+    equivalent of the reference's "run per node, merge the files later"
+    multi-node story (SURVEY.md §5.8). Each host's site table rides a
+    chunked device all-gather (parallel/multihost.allgather_bytes);
+    process 0 — the one writer — walks hosts in process order so
+    first-seen metadata and unsorted output order are deterministic.
+    Non-zero processes never materialize the other hosts' tables (peak
+    memory there is bounded by the gather chunk, not pcount * table);
+    they return an accumulator carrying only the exact global
+    count/used, so ``report()`` agrees on every host."""
     import jax
     if jax.process_count() == 1:
         return acc
     import pickle
 
-    from ..parallel.multihost import allgather_bytes
-    payloads = allgather_bytes(pickle.dumps(acc.state_payload()))
+    from jax.experimental import multihost_utils as mhu
+
+    from ..parallel.multihost import allgather_bytes, join_i64, split_i64
+    root = jax.process_index() == 0
+    payloads = allgather_bytes(pickle.dumps(acc.state_payload()),
+                               keep=root)
     merged = FreqAccumulator(prob_cf=acc.prob_cf, contig=acc.contig)
     for raw in payloads:
         pl = pickle.loads(raw)
@@ -295,8 +268,12 @@ def merge_across_hosts(acc: FreqAccumulator) -> FreqAccumulator:
                            pl["strand"], pl["pis"], pl["prob0"],
                            pl["prob1"], pl["met"], pl["coverage"],
                            pl["kmers"])
-        merged.count += pl["count"]
-        merged.used += pl["used"]
+    # exact global counts on every host (int31 word pairs: int64 arrays
+    # are canonicalized to int32 and genome-scale call counts overflow)
+    words = np.asarray(mhu.process_allgather(np.array(
+        split_i64(acc.count) + split_i64(acc.used), np.int32)))
+    totals = join_i64(words.reshape(-1, 2, 2)).sum(axis=0)
+    merged.count, merged.used = int(totals[0]), int(totals[1])
     return merged
 
 
@@ -469,15 +446,32 @@ def call_mods_frequency_to_file(args) -> None:
             write_freq(acc, args.result_file, args.sort, args.bed,
                        args.gzip)
     else:
+        import jax
+        result_file = args.result_file
+        if jax.process_count() > 1:
+            # pod mode: shard the contig list across hosts; each host
+            # writes its own suffixed output (the reference's multi-node
+            # story — merge downstream with `tools combine_freq_files`)
+            from ..parallel.dist import host_output_path, shard_for_host
+            contigs = shard_for_host(contigs)
+            result_file = host_output_path(result_file)
+            print("pod mode: this host takes {} contig(s) -> {}".format(
+                len(contigs), result_file))
         print("start processing {} contigs..".format(len(contigs)))
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
         nproc = max(1, args.nproc)
+        if device_agg and nproc > 1 and len(contigs) > 1:
+            # accelerators are process-exclusive; spawn-pool workers must
+            # not each bring up their own backend
+            print("[warn] --device_agg is disabled under contig-parallel "
+                  "workers (-p > 1); aggregating on the host instead")
+            device_agg = False
         resfiles: list[str] = []
-        if nproc == 1:
+        if nproc == 1 or len(contigs) == 1:
             for c in contigs:
                 resfiles.append(_freq_one_contig(
-                    c, mods_files, args.prob_cf, args.result_file,
+                    c, mods_files, args.prob_cf, result_file,
                     args.sort, args.bed, device_agg))
         else:
             # spawn: fork is unsafe once JAX's thread pools exist
@@ -485,10 +479,10 @@ def call_mods_frequency_to_file(args) -> None:
                                      mp_context=mp.get_context("spawn")
                                      ) as pool:
                 futs = [pool.submit(_freq_one_contig, c, mods_files,
-                                    args.prob_cf, args.result_file,
+                                    args.prob_cf, result_file,
                                     args.sort, args.bed, device_agg)
                         for c in contigs]
                 resfiles = [f.result() for f in futs]
         print("combine results of {} contigs..".format(len(resfiles)))
-        _concat_results(resfiles, args.result_file, args.gzip)
+        _concat_results(resfiles, result_file, args.gzip)
     print("[main]call_freq costs %.1f seconds.." % (time.time() - t0))

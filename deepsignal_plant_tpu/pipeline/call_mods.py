@@ -395,16 +395,28 @@ class CallModsEngine:
         stats = CallStats()
         t0 = time.time()
         target = self._resolve_target(input_path)
+        from ..utils.formats import is_wire_npz
+        npz_files = feature_npz_paths(input_path)
+        if npz_files is not None and is_wire_npz(npz_files[0]):
+            # wire-format (v2) containers hold the finished f16 transfer
+            # layout + info byte blob; there is no slow path behind them,
+            # and float32 transfer would gain nothing (the arrays were
+            # f16 on disk), so the fast engine serves every
+            # transfer_dtype
+            if not native_available():
+                raise ValueError(
+                    "{} holds wire-format (v2) .npz batches, which need "
+                    "the native featparse library (not built on this "
+                    "host). Reinstall with a working C++ toolchain, or "
+                    "regenerate features as TSV or v1 .npz "
+                    "(extract --w_format npz).".format(input_path))
+            return self._run_fast_wire_npz(npz_files, result_path,
+                                           is_gzip, target)
         if (use_fast_path and native_available()
-                and self.call_cfg.transfer_dtype in ("float16", "int8")):
-            from ..utils.formats import is_wire_npz
-            npz_files = feature_npz_paths(input_path)
-            if npz_files is not None and is_wire_npz(npz_files[0]):
-                return self._run_fast_wire_npz(npz_files, result_path,
-                                               is_gzip, target)
-            if npz_files is None and os.path.isfile(input_path):
-                return self._run_fast_tsv(input_path, result_path, is_gzip,
-                                          target)
+                and self.call_cfg.transfer_dtype in ("float16", "int8")
+                and npz_files is None and os.path.isfile(input_path)):
+            return self._run_fast_tsv(input_path, result_path, is_gzip,
+                                      target)
         batches = PrefetchIterator(
             batches_from_features_file(
                 input_path, target, cfg.seq_len, cfg.signal_len,

@@ -71,6 +71,31 @@ def test_device_agg_byte_identical_to_host(tmp_path, is_sort, is_bed):
     assert open(a).read() == open(b).read()
 
 
+def test_device_agg_huge_positions_take_host_path(tmp_path):
+    """Positions past int32 can't ride the device kernel's int32 keys;
+    such blocks fall back to the host path with identical output."""
+    from deepsignal_plant_tpu.pipeline import call_freq as cf
+    base = 2**31 + 7
+    calls = str(tmp_path / "calls.tsv")
+    with open(calls, "w") as f:
+        for j in range(200):
+            pos = base + (j * 13 % 50)
+            p1 = round((j * 41 % 100) / 100, 6)
+            p0 = round(1 - p1, 6)
+            f.write(f"chrG\t{pos}\t+\t{pos}\tr{j}\tt\t{p0}\t{p1}\t"
+                    f"{int(p1 > 0.5)}\tACGTACCGTACGT\n")
+    host = cf.FreqAccumulator(prob_cf=0.0)
+    host.add_file(calls)
+    dev = cf.FreqAccumulator(prob_cf=0.0, device_agg=True)
+    dev.add_file(calls)
+    assert dev.n_sites == host.n_sites == 50
+    assert int(dev._pos[:dev.n_sites].min()) >= base
+    a, b = str(tmp_path / "host.out"), str(tmp_path / "dev.out")
+    cf.write_freq(host, a, True, False, False)
+    cf.write_freq(dev, b, True, False, False)
+    assert open(a).read() == open(b).read()
+
+
 def test_device_agg_vs_reference_oracle(reference_importable, tmp_path):
     from deepsignal_plant.call_mods_freq import (calculate_mods_frequency,
                                                  write_sitekey2stats)

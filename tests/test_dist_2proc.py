@@ -65,16 +65,29 @@ checksum = float(sum(abs(x).sum() for x in leaves))
 print("RUN2 pid=%d epochs=%d checksum=%.6f" % (pid, res2["epochs_run"],
                                                checksum), flush=True)
 
+# chunked variable-length all-gather (lengths differ across hosts and
+# exceed the chunk, so the int31-word size exchange + multi-round
+# padded gather both execute)
+from deepsignal_plant_tpu.parallel.multihost import allgather_bytes
+payload = bytes([65 + pid]) * (1000 + 300 * pid)
+g = allgather_bytes(payload, chunk_bytes=256)
+assert len(g) == 2 and g[pid] == payload, [len(x) for x in g]
+assert g[1 - pid] == bytes([65 + (1 - pid)]) * (1000 + 300 * (1 - pid))
+assert allgather_bytes(payload, chunk_bytes=256, keep=False) == []
+print("GATHER pid=%d ok" % pid, flush=True)
+
 # cross-host call_freq reduction: each host aggregates its own call
-# shard, merge_across_hosts reduces over the collectives
+# shard; merge_across_hosts reduces over the collectives onto process 0
+# (the writer), with exact global counts on every host
 from deepsignal_plant_tpu.pipeline.call_freq import (FreqAccumulator,
                                                      merge_across_hosts,
                                                      write_freq)
 acc = FreqAccumulator(prob_cf=0.1)
 acc.add_file(os.path.join(data, "calls_%d.tsv" % pid))
 merged = merge_across_hosts(acc)
-out_freq = os.path.join(out, "freq_p%d.tsv" % pid)
-write_freq(merged, out_freq, True, False, False)
+if pid == 0:
+    write_freq(merged, os.path.join(out, "freq_p0.tsv"), True, False,
+               False)
 print("FREQ pid=%d sites=%d count=%d used=%d" % (
     pid, merged.n_sites, merged.count, merged.used), flush=True)
 '''
@@ -144,8 +157,9 @@ def test_two_process_train_loop_with_resume(tmp_path):
             for ln in o.splitlines() if "checksum=" in ln]
     assert len(sums) == 2 and sums[0] == sums[1], sums
 
-    # cross-host call_freq reduction: both hosts hold the identical merged
-    # table, equal to a single-process aggregation of both shards
+    # cross-host call_freq reduction: process 0 (the writer) holds the
+    # merged table, equal to a single-process aggregation of both
+    # shards; process 1 holds no table but the exact global counts
     from deepsignal_plant_tpu.pipeline.call_freq import (FreqAccumulator,
                                                          write_freq)
     ref_acc = FreqAccumulator(prob_cf=0.1)
@@ -153,9 +167,9 @@ def test_two_process_train_loop_with_resume(tmp_path):
     ref_acc.add_file(str(data / "calls_1.tsv"))
     ref_out = tmp_path / "freq_ref.tsv"
     write_freq(ref_acc, str(ref_out), True, False, False)
-    f0 = (out / "freq_p0.tsv").read_text()
-    assert f0 == (out / "freq_p1.tsv").read_text()
-    assert f0 == ref_out.read_text()
+    assert (out / "freq_p0.tsv").read_text() == ref_out.read_text()
     for i, o in enumerate(outs):
-        assert f"FREQ pid={i} sites={ref_acc.n_sites} " \
+        assert f"GATHER pid={i} ok" in o, o[-1500:]
+        sites = ref_acc.n_sites if i == 0 else 0
+        assert f"FREQ pid={i} sites={sites} " \
                f"count={ref_acc.count} used={ref_acc.used}" in o, o[-1500:]

@@ -32,6 +32,22 @@ def test_to_global_single_process_roundtrip():
     assert len(g["a"].sharding.device_set) == mesh.devices.size
 
 
+def test_split_join_i64_roundtrip():
+    """Lengths/counts ride collectives as int31 word pairs (jax with x64
+    off canonicalizes int64 arrays to int32, wrapping >= 2**31)."""
+    from deepsignal_plant_tpu.parallel.multihost import join_i64, split_i64
+    vals = [0, 1, 2**31 - 1, 2**31, 2**31 + 7, 5 << 31, 2**40 + 123]
+    words = np.array([split_i64(v) for v in vals], np.int32)
+    assert (words >= 0).all()          # canonicalization-safe
+    assert join_i64(words).tolist() == vals
+
+
+def test_allgather_bytes_single_process():
+    from deepsignal_plant_tpu.parallel.multihost import allgather_bytes
+    assert allgather_bytes(b"abc") == [b"abc"]
+    assert allgather_bytes(b"abc", keep=False) == []
+
+
 def test_global_scalar_sum_single_process():
     mesh = global_mesh()
     vals = np.array([1.0, 2.0, 3.0])

@@ -168,3 +168,14 @@ def test_engine_wire_npz_path(tmp_path, rng):
         wa, wb = la.split("\t"), lb.split("\t")
         assert wa[:6] == wb[:6] and wa[9] == wb[9]
         assert abs(float(wa[6]) - float(wb[6])) < 3e-4
+
+    # --transfer_dtype float32 used to fall through to the v1 loader
+    # and crash on wire input; the container is inherently f16, so the
+    # fast path serves every transfer_dtype with identical output
+    eng32 = CallModsEngine(ckpt, cfg,
+                           CallConfig(device_batch=64,
+                                      transfer_dtype="float32"))
+    out32 = str(tmp_path / "calls_wire32.tsv")
+    st32 = eng32.run_features_file(str(wire_dir), out32)
+    assert st32.sites == len(rows)
+    assert open(out32).read() == open(out_wire).read()
