@@ -71,7 +71,7 @@ def build_engine(ckpt_path: str):
                         "auto", allow_multi_device=True)),
         CallConfig(device_batch=DEVICE_BATCH,
                    dispatch_workers=int(os.environ.get(
-                       "BENCH_DISPATCH_WORKERS", "3"))))
+                       "BENCH_DISPATCH_WORKERS", "4"))))
 
 
 def measure_passes(engine, features_path: str, warm_rows: int,

@@ -178,7 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "bandwidth-starved remote-attached links")
     p.add_argument("--parse_workers", type=int, default=None,
                    help="host parser threads (default: cores, max 4)")
-    p.add_argument("--dispatch_workers", type=int, default=2,
+    p.add_argument("--dispatch_workers", type=int, default=4,
                    help="concurrent device dispatches (overlaps per-call "
                         "transfer latency on remote-attached runtimes)")
     p.add_argument("--result_file", "-o", type=str, required=True)

@@ -73,8 +73,11 @@ class CallConfig:
     device_batch: int | None = None
     f5_batch_size: int = 30
     num_parse_workers: int | None = None  # None = auto (cores, <=4)
-    dispatch_workers: int = 2     # concurrent jit dispatches (overlaps
-                                  # per-call transfer latency)
+    dispatch_workers: int = 4     # concurrent jit dispatches (overlaps
+                                  # per-call transfer latency; interleaved
+                                  # sweep on the remote-attached v5e:
+                                  # 2->4 workers +45% end-to-end, 8 adds
+                                  # nothing on a 4-core host)
     # wire format host->device: "float16" halves transfer bytes (the model
     # computes in compute_dtype regardless); "float32" for exact parity;
     # "int8" quantizes means/stds/signals with per-batch scales dequantized

@@ -1,5 +1,7 @@
-"""Multi-host training helpers, validated in degenerate single-process mode
-on the virtual 8-device mesh (this rig cannot run multi-process jax)."""
+"""Multi-host helpers: single-process unit coverage on the virtual
+8-device mesh, plus pod-mode branches simulated by patching
+process_count/process_index. Real 2-process jax.distributed coverage
+lives in test_dist_2proc.py."""
 import numpy as np
 
 import jax
@@ -128,3 +130,48 @@ def test_train_loop_multihost_branch_shapes():
     assert total == n and 0 <= correct <= n
     assert tp + fn == labels.sum()
     assert np.isfinite(loss)
+
+
+def test_call_freq_pod_mode_contig_sharding(tmp_path, monkeypatch):
+    """In pod mode with --contigs, each host takes a disjoint contig
+    shard and writes a .hostK-suffixed output; the union equals the
+    single-process contig run (merged downstream, the reference's
+    multi-node story)."""
+    import argparse
+
+    from deepsignal_plant_tpu.pipeline.call_freq import \
+        call_mods_frequency_to_file
+    rng = np.random.default_rng(23)
+    chroms = ["chr1", "chr10", "chr2", "scaffold_9"]
+    calls = str(tmp_path / "calls.tsv")
+    with open(calls, "w") as f:
+        for i in range(600):
+            c = chroms[int(rng.integers(len(chroms)))]
+            pos = int(rng.integers(0, 300))
+            p1 = round(float(rng.random()), 6)
+            p0 = round(1.0 - p1, 6)
+            f.write(f"{c}\t{pos}\t+\t{pos}\tr{i}\tt\t{p0}\t{p1}\t"
+                    f"{int(p1 > p0)}\tACGTACCGTACGT\n")
+
+    def args_for(result):
+        return argparse.Namespace(
+            input_path=[calls], file_uid=None, contigs=",".join(chroms),
+            prob_cf=0.0, result_file=result, sort=True, bed=False,
+            gzip=False, nproc=1, device_agg=False)
+
+    single = str(tmp_path / "freq_single.tsv")
+    call_mods_frequency_to_file(args_for(single))
+
+    pod = str(tmp_path / "freq_pod.tsv")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    for pid in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        call_mods_frequency_to_file(args_for(pod))
+    h0 = open(str(tmp_path / "freq_pod.host0.tsv")).read()
+    h1 = open(str(tmp_path / "freq_pod.host1.tsv")).read()
+    # disjoint contigs per host, union == the single-process run
+    assert {ln.split("\t")[0] for ln in h0.splitlines()} == {"chr1", "chr2"}
+    assert {ln.split("\t")[0] for ln in h1.splitlines()} == \
+        {"chr10", "scaffold_9"}
+    assert sorted((h0 + h1).splitlines()) == \
+        sorted(open(single).read().splitlines())
