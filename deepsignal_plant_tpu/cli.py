@@ -171,11 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")
-    p.add_argument("--transfer_dtype", type=str, default="float16",
-                   choices=["float32", "float16", "int8"],
-                   help="host->device wire format; float32 for exact-parity "
-                        "runs, int8 (quantized, dequant on device) for "
-                        "bandwidth-starved remote-attached links")
+    p.add_argument("--transfer_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "float16", "int8"],
+                   help="host->device wire format; auto = int8 (quantized, "
+                        "dequant on device) on remote-attached links where "
+                        "wire MB/s binds, float16 on directly-attached "
+                        "backends; float32 for exact-parity runs")
     p.add_argument("--parse_workers", type=int, default=None,
                    help="host parser threads (default: cores, max 4)")
     p.add_argument("--dispatch_workers", type=int, default=4,

@@ -21,6 +21,9 @@
 #include <cstring>
 #include <string_view>
 #include <unordered_map>
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -568,6 +571,113 @@ int64_t dsp_format_call_suffixes(const float* probs, const int32_t* kmer,
         out_lens[i] = int32_t(p - start);
     }
     return p - out;
+}
+
+}  // extern "C"
+
+namespace {
+
+// Round-half-even without touching the FP environment: adding and
+// subtracting 1.5*2^23 forces the mantissa to integer granularity for
+// |x| <= 2^22 (quantized values are bounded by 127, far inside). This is
+// bit-exact with np.rint on the same f32 operand and — unlike
+// nearbyintf — auto-vectorizes at -O3.
+inline float round_even_f32(float x) {
+    const float magic = 12582912.0f;  // 1.5 * 2^23
+    float r = x + magic;
+    return r - magic;
+}
+
+// Symmetric per-array int8 quantization: the int8-wire's host-side hot
+// pass. The numpy equivalent (pipeline/call_mods.quantize_for_wire's
+// inner q()) holds the GIL for ~0.35 s per 32k-row batch and serializes
+// the dispatch pool; this version is SIMD, two streaming passes, and runs
+// GIL-released under ctypes. Bit-exact parity with the numpy path: amax
+// reduced in f32, scale computed in f64 then applied as f32 (numpy weak
+// scalar promotion), f32 division, round-half-even, clip to [-127, 127].
+// Returns the dequant scale (amax/127, or 1.0 for all-zero/empty input).
+template <typename T>
+float quantize_impl(const T* in, int64_t n, int8_t* out) {
+    float amax = 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        float v = fabsf(float(in[i]));
+        if (v > amax) amax = v;
+    }
+    double sd = double(amax) / 127.0;
+    float s = (sd == 0.0) ? 1.0f : float(sd);
+    // division, not inverse-multiply: bit parity with numpy's a32/scale
+    for (int64_t i = 0; i < n; ++i) {
+        float r = round_even_f32(float(in[i]) / s);
+        if (r > 127.0f) r = 127.0f;
+        if (r < -127.0f) r = -127.0f;
+        out[i] = int8_t(r);
+    }
+    return s;
+}
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+// gcc 12 refuses to auto-vectorize mixed _Float16->float loops
+// ("unsupported data-type"), so the f16 hot path is hand-vectorized:
+// vcvtph2ps converts 16 halves/iteration, vdivps keeps IEEE division
+// (bit parity with the scalar/numpy path), vroundscaleps rounds
+// half-even, vpmovdb packs to int8. The scalar template handles the
+// tail and non-AVX512 builds (-O3 fallback without -march=native).
+float quantize_f16_avx512(const _Float16* in, int64_t n, int8_t* out) {
+    const __m512 abs_mask =
+        _mm512_castsi512_ps(_mm512_set1_epi32(0x7fffffff));
+    __m512 vmax = _mm512_setzero_ps();
+    int64_t i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m512 v = _mm512_cvtph_ps(
+            _mm256_loadu_si256((const __m256i*)(in + i)));
+        vmax = _mm512_max_ps(vmax, _mm512_and_ps(v, abs_mask));
+    }
+    float amax = _mm512_reduce_max_ps(vmax);
+    for (; i < n; ++i) {
+        float v = fabsf(float(in[i]));
+        if (v > amax) amax = v;
+    }
+    double sd = double(amax) / 127.0;
+    float s = (sd == 0.0) ? 1.0f : float(sd);
+    const __m512 vs = _mm512_set1_ps(s);
+    const __m512 lo = _mm512_set1_ps(-127.0f);
+    const __m512 hi = _mm512_set1_ps(127.0f);
+    i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m512 v = _mm512_cvtph_ps(
+            _mm256_loadu_si256((const __m256i*)(in + i)));
+        __m512 r = _mm512_roundscale_ps(
+            _mm512_div_ps(v, vs),
+            _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+        r = _mm512_min_ps(_mm512_max_ps(r, lo), hi);
+        _mm_storeu_si128(
+            (__m128i*)(out + i),
+            _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(r)));
+    }
+    for (; i < n; ++i) {
+        float r = round_even_f32(float(in[i]) / s);
+        if (r > 127.0f) r = 127.0f;
+        if (r < -127.0f) r = -127.0f;
+        out[i] = int8_t(r);
+    }
+    return s;
+}
+#endif  // __AVX512F__ && __AVX512BW__
+
+}  // namespace
+
+extern "C" {
+
+float dsp_quantize_i8_f16(const _Float16* in, int64_t n, int8_t* out) {
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    return quantize_f16_avx512(in, n, out);
+#else
+    return quantize_impl(in, n, out);
+#endif
+}
+
+float dsp_quantize_i8_f32(const float* in, int64_t n, int8_t* out) {
+    return quantize_impl(in, n, out);
 }
 
 }  // extern "C"

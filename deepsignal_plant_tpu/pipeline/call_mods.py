@@ -42,8 +42,18 @@ def quantize_for_wire(batch: Batch):
     plus the (3,) f32 dequant scales the device step multiplies back.
     ~1.8x fewer wire bytes than f16 (507 -> 286 B/site) — the lever when
     a remote-attached link's aggregate MB/s, not the chip, bounds
-    throughput. Worst-case added input noise is amax/254 per field."""
+    throughput. Worst-case added input noise is amax/254 per field.
+
+    The hot pass runs in native code when available (SIMD + GIL-released,
+    so concurrent dispatch threads actually overlap; the numpy fallback
+    holds the GIL ~0.35 s per 32k-row batch and serialized the pool —
+    the round-2 engine-level int8 regression)."""
+    from ..utils.fastparse import quantize_int8
+
     def q(a):
+        native = quantize_int8(np.asarray(a))
+        if native is not None:
+            return native
         a32 = np.asarray(a, np.float32)
         amax = float(np.max(np.abs(a32))) if a32.size else 0.0
         scale = (amax / 127.0) or 1.0
@@ -58,6 +68,23 @@ def quantize_for_wire(batch: Batch):
     return (Batch(kmer=np.asarray(batch.kmer, np.int8), base_means=qm,
                   base_stds=qs, base_signal_lens=lens, signals=qg),
             np.array([sm, ss, sg], np.float32))
+
+
+def resolve_transfer_dtype(requested: str, mesh) -> str:
+    """Resolve transfer_dtype "auto" against the attachment of the mesh's
+    devices: remote-attached links (the axon tunnel — detected via the
+    backend's platform_version) are aggregate-MB/s-bound, where the int8
+    wire measured +37% median end-to-end at 100.000% call agreement
+    (docs/BENCH.md); directly-attached TPU/CPU backends get float16 (the
+    link is ~free, so skip the bounded quantization noise entirely)."""
+    if requested != "auto":
+        return requested
+    dev = mesh.devices.flat[0]
+    try:
+        remote = "axon" in getattr(dev.client, "platform_version", "")
+    except Exception:
+        remote = False
+    return "int8" if remote else "float16"
 
 
 def _start_fetch(arr):
@@ -133,6 +160,11 @@ class CallModsEngine:
         self.model_cfg = model_cfg.with_(dropout_rate=0.0)
         self.call_cfg = call_cfg or CallConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
+        if self.call_cfg.transfer_dtype == "auto":
+            from dataclasses import replace
+            self.call_cfg = replace(
+                self.call_cfg,
+                transfer_dtype=resolve_transfer_dtype("auto", self.mesh))
         # device_batch None/0 = auto: sized per input in run_features_file
         requested = self.call_cfg.device_batch or self.AUTO_MAX_BATCH
         self.device_batch = local_batch_target(requested, self.mesh)
@@ -489,7 +521,7 @@ def call_mods(args) -> CallStats:
                           device_batch=getattr(args, "device_batch", None),
                           f5_batch_size=args.f5_batch_size,
                           transfer_dtype=getattr(args, "transfer_dtype",
-                                                 "float16"),
+                                                 "auto"),
                           num_parse_workers=getattr(args, "parse_workers",
                                                     None),
                           dispatch_workers=getattr(args, "dispatch_workers",

@@ -53,7 +53,35 @@ def _configure(lib) -> None:
     lib.dsp_emit_call_rows.argtypes = [c_char_p, i64p, i64p, f32p, i8p,
                                        i64, i32, u8p]
     lib.dsp_emit_call_rows.restype = i64
+    f16p = np.ctypeslib.ndpointer(np.float16, flags="C_CONTIGUOUS")
+    lib.dsp_quantize_i8_f16.argtypes = [f16p, i64, i8p]
+    lib.dsp_quantize_i8_f16.restype = ctypes.c_float
+    lib.dsp_quantize_i8_f32.argtypes = [f32p, i64, i8p]
+    lib.dsp_quantize_i8_f32.restype = ctypes.c_float
     _configured = True
+
+
+def quantize_int8(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
+    """Native symmetric int8 quantization (SIMD, GIL-released).
+
+    Bit-exact with the numpy path in
+    ``pipeline.call_mods.quantize_for_wire`` but ~2 orders of magnitude
+    cheaper and parallel across dispatch threads (the numpy version holds
+    the GIL for ~0.35 s/32k-row batch and *negatively* scales under the
+    dispatch pool). Returns ``(int8 array, dequant scale)``, or None when
+    the native library is missing or the dtype isn't f16/f32 (callers
+    fall back to numpy)."""
+    lib = get_native_lib()
+    if lib is None or arr.dtype not in (np.float16, np.float32):
+        return None
+    _configure(lib)
+    a = np.ascontiguousarray(arr)
+    out = np.empty(a.shape, np.int8)
+    if a.dtype == np.float16:
+        s = lib.dsp_quantize_i8_f16(a.reshape(-1), a.size, out.reshape(-1))
+    else:
+        s = lib.dsp_quantize_i8_f32(a.reshape(-1), a.size, out.reshape(-1))
+    return out, float(s)
 
 
 def native_available() -> bool:

@@ -55,6 +55,62 @@ def test_quantize_roundtrip_bounds():
     assert q_bytes < 0.62 * f16_bytes
 
 
+def test_native_quantizer_bit_exact_vs_numpy():
+    """The native (SIMD, GIL-released) quantizer must match the numpy
+    reference path bit-for-bit — same int8 codes, same f32 scale — across
+    dtypes, shapes (incl. non-multiple-of-16 tails), and the all-zero /
+    empty edge cases."""
+    import pytest
+
+    from deepsignal_plant_tpu.utils.fastparse import (native_available,
+                                                      quantize_int8)
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    cases = [(np.float16, (0,)), (np.float16, (7,)), (np.float16, (17,)),
+             (np.float16, (513, 13)), (np.float16, (300, 13, 16)),
+             (np.float32, (513, 13)), (np.float32, (300, 13, 16))]
+    for dtype, shape in cases:
+        a = (rng.standard_normal(shape) * 3).astype(dtype)
+        out, s = quantize_int8(a)
+        a32 = np.asarray(a, np.float32)
+        amax = float(np.max(np.abs(a32))) if a32.size else 0.0
+        scale = (amax / 127.0) or 1.0
+        ref = np.clip(np.rint(a32 / np.float32(scale)), -127,
+                      127).astype(np.int8)
+        assert np.array_equal(out, ref), (dtype, shape)
+        assert np.float32(s) == np.float32(scale), (dtype, shape)
+    z = np.zeros((33,), np.float16)
+    out, s = quantize_int8(z)
+    assert np.all(out == 0) and s == 1.0
+    assert quantize_int8(np.arange(5, dtype=np.int32)) is None
+
+
+def test_transfer_dtype_auto_resolution():
+    """auto -> float16 on directly-attached backends (this CPU mesh),
+    int8 when the backend's platform_version marks the axon tunnel."""
+    from deepsignal_plant_tpu.config import CallConfig
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    from deepsignal_plant_tpu.pipeline.call_mods import \
+        resolve_transfer_dtype
+    mesh = make_mesh()
+    assert CallConfig().transfer_dtype == "auto"
+    assert resolve_transfer_dtype("auto", mesh) == "float16"
+    assert resolve_transfer_dtype("int8", mesh) == "int8"
+    assert resolve_transfer_dtype("float32", mesh) == "float32"
+
+    class _Client:
+        platform_version = "PJRT C API\naxon 0.1.0; compile-cache v14"
+
+    class _Dev:
+        client = _Client()
+
+    class _Mesh:
+        devices = np.array([_Dev()], dtype=object)
+
+    assert resolve_transfer_dtype("auto", _Mesh()) == "int8"
+
+
 def test_quantize_zero_field():
     from deepsignal_plant_tpu.models.bilstm import Batch
     from deepsignal_plant_tpu.pipeline.call_mods import quantize_for_wire
