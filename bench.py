@@ -158,8 +158,12 @@ def main() -> None:
     from deepsignal_plant_tpu.models.bilstm import init_params
     from deepsignal_plant_tpu.models.convert import save_checkpoint
 
+    # passes are cheap in fast tunnel phases (~1-4 s each) and the budget
+    # caps slow phases, so more passes = better odds of sampling the
+    # pipeline's real capability at least once (the tunnel interleaves
+    # fast phases with multi-minute stalls; see docs/BENCH.md)
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "300"))
-    max_passes = int(os.environ.get("BENCH_PASSES", "5"))
+    max_passes = int(os.environ.get("BENCH_PASSES", "10"))
 
     with tempfile.TemporaryDirectory() as td:
         features_path = os.path.join(td, "bench_features.tsv")
