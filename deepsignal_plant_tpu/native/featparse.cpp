@@ -601,7 +601,9 @@ float quantize_impl(const T* in, int64_t n, int8_t* out) {
     float amax = 0.0f;
     for (int64_t i = 0; i < n; ++i) {
         float v = fabsf(float(in[i]));
-        if (v > amax) amax = v;
+        // NaN propagates like np.max: once amax is NaN it stays NaN
+        // (v > NaN is false for finite v, and NaN reassigns via v != v)
+        if (v > amax || v != v) amax = v;
     }
     double sd = double(amax) / 127.0;
     float s = (sd == 0.0) ? 1.0f : float(sd);
@@ -609,8 +611,10 @@ float quantize_impl(const T* in, int64_t n, int8_t* out) {
     for (int64_t i = 0; i < n; ++i) {
         float r = round_even_f32(float(in[i]) / s);
         if (r > 127.0f) r = 127.0f;
-        if (r < -127.0f) r = -127.0f;
-        out[i] = int8_t(r);
+        else if (r < -127.0f) r = -127.0f;
+        // NaN (NaN input, or inf/inf when amax is inf): numpy's
+        // f32->int8 astype truncates cvttss2si's 0x80000000 to 0
+        out[i] = (r != r) ? int8_t(0) : int8_t(r);
     }
     return s;
 }
@@ -626,16 +630,18 @@ float quantize_f16_avx512(const _Float16* in, int64_t n, int8_t* out) {
     const __m512 abs_mask =
         _mm512_castsi512_ps(_mm512_set1_epi32(0x7fffffff));
     __m512 vmax = _mm512_setzero_ps();
+    __mmask16 any_nan = 0;   // vmaxps drops NaN lanes; track separately
     int64_t i = 0;
     for (; i + 16 <= n; i += 16) {
         __m512 v = _mm512_cvtph_ps(
             _mm256_loadu_si256((const __m256i*)(in + i)));
+        any_nan |= _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
         vmax = _mm512_max_ps(vmax, _mm512_and_ps(v, abs_mask));
     }
-    float amax = _mm512_reduce_max_ps(vmax);
+    float amax = any_nan ? nanf("") : _mm512_reduce_max_ps(vmax);
     for (; i < n; ++i) {
         float v = fabsf(float(in[i]));
-        if (v > amax) amax = v;
+        if (v > amax || v != v) amax = v;   // NaN-propagating, as numpy
     }
     double sd = double(amax) / 127.0;
     float s = (sd == 0.0) ? 1.0f : float(sd);
@@ -649,7 +655,11 @@ float quantize_f16_avx512(const _Float16* in, int64_t n, int8_t* out) {
         __m512 r = _mm512_roundscale_ps(
             _mm512_div_ps(v, vs),
             _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
-        r = _mm512_min_ps(_mm512_max_ps(r, lo), hi);
+        // clamp bound as FIRST operand: vmaxps/vminps return the second
+        // source when either operand is NaN, so NaN survives the clamp
+        // and cvtps_epi32 yields 0x80000000 -> vpmovdb truncates to 0,
+        // matching numpy's f32->int8 astype of NaN
+        r = _mm512_min_ps(hi, _mm512_max_ps(lo, r));
         _mm_storeu_si128(
             (__m128i*)(out + i),
             _mm512_cvtepi32_epi8(_mm512_cvtps_epi32(r)));
@@ -657,8 +667,8 @@ float quantize_f16_avx512(const _Float16* in, int64_t n, int8_t* out) {
     for (; i < n; ++i) {
         float r = round_even_f32(float(in[i]) / s);
         if (r > 127.0f) r = 127.0f;
-        if (r < -127.0f) r = -127.0f;
-        out[i] = int8_t(r);
+        else if (r < -127.0f) r = -127.0f;
+        out[i] = (r != r) ? int8_t(0) : int8_t(r);
     }
     return s;
 }

@@ -76,9 +76,15 @@ def resolve_transfer_dtype(requested: str, mesh) -> str:
     backend's platform_version) are aggregate-MB/s-bound, where the int8
     wire measured +37% median end-to-end at 100.000% call agreement
     (docs/BENCH.md); directly-attached TPU/CPU backends get float16 (the
-    link is ~free, so skip the bounded quantization noise entirely)."""
+    link is ~free, so skip the bounded quantization noise entirely).
+    int8 is only auto-selected when the native quantizer is available —
+    the numpy fallback holds the GIL ~0.35 s/batch and is *slower* than
+    f16 end-to-end (the regression this resolution exists to avoid)."""
     if requested != "auto":
         return requested
+    from ..utils.fastparse import native_available
+    if not native_available():
+        return "float16"
     dev = mesh.devices.flat[0]
     try:
         remote = "axon" in getattr(dev.client, "platform_version", "")

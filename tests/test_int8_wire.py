@@ -84,6 +84,33 @@ def test_native_quantizer_bit_exact_vs_numpy():
     out, s = quantize_int8(z)
     assert np.all(out == 0) and s == 1.0
     assert quantize_int8(np.arange(5, dtype=np.int32)) is None
+    # non-finite inputs (outside the feature domain, but the native and
+    # numpy paths must still agree): NaN poisons the scale like np.max,
+    # quantized codes become astype-of-NaN (0); inf makes finite
+    # elements quantize to 0 and inf/inf (NaN) to 0
+    with np.errstate(invalid="ignore"):
+        for dtype in (np.float16, np.float32):
+            for special in (np.nan, np.inf):
+                a = (np.random.default_rng(3).standard_normal(40) * 2
+                     ).astype(dtype)
+                a[7] = special
+                out, s = quantize_int8(a)
+                a32 = np.asarray(a, np.float32)
+                scale = np.float32(float(np.max(np.abs(a32))) / 127.0)
+                ref = np.clip(np.rint(a32 / scale), -127,
+                              127).astype(np.int8)
+                assert np.array_equal(out, ref), (dtype, special, out, ref)
+                if special is np.inf:
+                    assert np.float32(s) == scale
+                else:
+                    assert np.isnan(s)
+                # the 16-wide AVX lanes (first 32 elements) and the
+                # scalar tail (last 8) must agree on the same input
+                a64 = np.concatenate([a, a[:24]]).astype(dtype)
+                out64, _ = quantize_int8(a64)
+                ref64 = np.clip(np.rint(np.asarray(a64, np.float32)
+                                        / scale), -127, 127).astype(np.int8)
+                assert np.array_equal(out64, ref64)
 
 
 def test_transfer_dtype_auto_resolution():
@@ -109,6 +136,17 @@ def test_transfer_dtype_auto_resolution():
         devices = np.array([_Dev()], dtype=object)
 
     assert resolve_transfer_dtype("auto", _Mesh()) == "int8"
+
+    # without the native quantizer, auto must NOT pick int8 even on a
+    # remote-attached mesh: the numpy quantize fallback is slower than
+    # the f16 wire (GIL-bound, negative thread scaling — docs/BENCH.md)
+    import deepsignal_plant_tpu.utils.fastparse as fp
+    orig = fp.native_available
+    fp.native_available = lambda: False
+    try:
+        assert resolve_transfer_dtype("auto", _Mesh()) == "float16"
+    finally:
+        fp.native_available = orig
 
 
 def test_quantize_zero_field():
