@@ -29,6 +29,12 @@ class VBZPluginError(OSError):
     """Raised when a dataset needs the VBZ plugin and it isn't loaded."""
 
 
+class MultiReadFast5Error(ValueError):
+    """Raised for multi-read fast5 containers. The pipeline (like the
+    reference) works on single-read tombo-resquiggled fast5s; multi-read
+    files must be converted first (reference README.md:177-188)."""
+
+
 def vbz_plugin_available() -> bool:
     """Whether HDF5 can decode VBZ (filter 32020) in this process."""
     try:
@@ -94,6 +100,19 @@ def read_tombo_fast5(path: str,
     with h5py.File(path, "r") as h5:
         corr_path = f"Analyses/{corrected_group}/{basecall_subgroup}"
         if f"{corr_path}/Alignment" not in h5:
+            # distinguish "not resquiggled" (silent skip, reference
+            # behavior extract_features.py:164-176) from "multi-read
+            # container" (top-level read_<uuid> groups, no Raw/Reads):
+            # the latter needs conversion, and a silent skip of every
+            # file would be undebuggable
+            if "Raw" not in h5 and any(
+                    k.startswith("read_") for k in h5.keys()):
+                raise MultiReadFast5Error(
+                    f"{path} is a multi-read fast5 container; this "
+                    "pipeline (like the reference) reads single-read "
+                    "tombo-resquiggled fast5s. Convert with "
+                    "ont_fast5_api's multi_to_single_fast5, then "
+                    "basecall and tombo resquiggle.")
             return None
 
         first_read = next(iter(h5[READS_GROUP].keys()))

@@ -324,8 +324,13 @@ def _batch_rng(batch_idx: int) -> random.Random | None:
     return random.Random(_G_SEED * 1_000_003 + batch_idx)
 
 
+_warned_actionable = False
+
+
 def _extract_batch_feats(paths: list[str], batch_idx: int = 0
                          ) -> tuple[list[dict], int]:
+    from ..io.fast5 import MultiReadFast5Error, VBZPluginError
+    global _warned_actionable
     ctx = _G_CTX
     rng = _batch_rng(batch_idx)
     feats_list: list[dict] = []
@@ -339,6 +344,13 @@ def _extract_batch_feats(paths: list[str], batch_idx: int = 0
             feats = extract_read_features(read, ctx, rng)
             if feats is not None:
                 feats_list.append(feats)
+        except (MultiReadFast5Error, VBZPluginError) as exc:
+            # these failures have a user fix (convert / install plugin);
+            # surface the hint once per process instead of only counting
+            if not _warned_actionable:
+                _warned_actionable = True
+                print(f"[warn] {exc}")
+            errors += 1
         except Exception:
             errors += 1
     return feats_list, errors

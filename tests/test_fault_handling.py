@@ -57,6 +57,39 @@ def test_fast5_without_alignment_skipped(tmp_path, rng):
     assert errors == 0  # skip, not error — matches reference semantics
 
 
+def test_multiread_fast5_actionable_error(tmp_path, rng, capsys):
+    """A multi-read fast5 container (top-level read_<uuid> groups) raises
+    MultiReadFast5Error with the multi_to_single_fast5 conversion hint
+    (reference README.md:177-188); extraction counts it as an error and
+    prints the hint once instead of silently skipping every file."""
+    import h5py
+    import pytest
+
+    from deepsignal_plant_tpu.io.fast5 import (MultiReadFast5Error,
+                                               read_tombo_fast5)
+
+    genome = synth_genome(rng, {"chr1": 1500})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    n = synth_fast5_dir(f5dir, genome, rng, n_reads=2, read_len=100)
+    multi = os.path.join(f5dir, "multi.fast5")
+    with h5py.File(multi, "w") as h5:
+        for rid in ("read_0a1b", "read_9f3c"):
+            g = h5.create_group(f"{rid}/Raw")
+            g.create_dataset("Signal", data=np.zeros(10, np.int16))
+
+    with pytest.raises(MultiReadFast5Error, match="multi_to_single_fast5"):
+        read_tombo_fast5(multi)
+
+    ctx = ExtractContext.build(ExtractOptions(motifs="CG",
+                                              reference_path=fasta))
+    out = str(tmp_path / "features.tsv")
+    total, errors = extract_features(f5dir, True, ctx, out, nproc=1)
+    assert total == n + 1
+    assert errors == 1
+    assert "multi_to_single_fast5" in capsys.readouterr().out
+
+
 class _FakeVbzDset:
     _filters = {"32020": (1, "vbz")}
 
