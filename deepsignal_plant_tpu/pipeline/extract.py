@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 import time
 import multiprocessing as mp
 from concurrent.futures import ProcessPoolExecutor, as_completed
@@ -307,12 +308,20 @@ def features_to_batch(feats_list: list[dict], kmer_len: int,
 
 _G_CTX: ExtractContext | None = None
 _G_SEED: int | None = None
+# pooled-run sink spec: workers write their own output (part files / npz
+# batches) instead of shipping rows through the result queue — the
+# executor's result pipe measured ~15 MB/s effective under concurrent
+# 20 MB string-list payloads, capping 3-worker extraction at 31k rows/s
+# vs 94k+ with worker-side writes (same fixture, same host)
+_G_SINK: tuple | None = None
 
 
-def _init_worker(ctx: ExtractContext, seed: int | None):
-    global _G_CTX, _G_SEED
+def _init_worker(ctx: ExtractContext, seed: int | None,
+                 sink: tuple | None = None):
+    global _G_CTX, _G_SEED, _G_SINK
     _G_CTX = ctx
     _G_SEED = seed
+    _G_SINK = sink
 
 
 def _batch_rng(batch_idx: int) -> random.Random | None:
@@ -374,6 +383,45 @@ def _worker_batch(paths: list[str], batch_idx: int = 0):
                              ctx.opts.signal_len), errors
 
 
+def part_path(part_dir: str, batch_idx: int) -> str:
+    return os.path.join(part_dir, f"{batch_idx:06d}.part")
+
+
+def _worker_rows_part(paths: list[str], batch_idx: int = 0
+                      ) -> tuple[int, int]:
+    """Pooled TSV worker: extract + format + WRITE a part file (gzip
+    member when the output is gzip — concatenated members form a valid
+    gzip stream), returning only (n_rows, n_errors). Keeps multi-MB row
+    payloads out of the executor's result queue."""
+    part_dir, is_gzip = _G_SINK
+    rows, errors = _worker_rows(paths, batch_idx)
+    data = ("\n".join(rows) + "\n").encode() if rows else b""
+    path = part_path(part_dir, batch_idx)
+    if is_gzip:
+        import gzip as _gzip
+        with _gzip.open(path, "wb") as fh:
+            fh.write(data)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(data)
+    return len(rows), errors
+
+
+def _worker_batch_save(paths: list[str], batch_idx: int = 0
+                       ) -> tuple[int, int]:
+    """Pooled npz worker: extract + save the batch-indexed .npz itself
+    (deterministic names regardless of completion order), returning only
+    counts — array payloads never cross the result queue."""
+    from ..utils.formats import save_feature_npz, save_wire_npz
+    write_dir, out_format = _G_SINK
+    fb, errors = _worker_batch(paths, batch_idx)
+    if fb is None or not len(fb):
+        return 0, errors
+    save_fn = save_wire_npz if out_format == "npz_wire" else save_feature_npz
+    save_fn(os.path.join(write_dir, f"{batch_idx:06d}.npz"), fb)
+    return len(fb), errors
+
+
 class _RotatingWriter:
     """Write rows to one file or a rotating directory of batch files
     (extract_features.py:451-517)."""
@@ -419,6 +467,70 @@ class _RotatingWriter:
         self._fh.close()
 
 
+class _PartConcatWriter:
+    """Byte-level sink for pooled runs: workers wrote finished part files
+    (plain text or gzip members); this appends them into the final
+    output — one file or a rotating directory with the same
+    w_batch_num rotation as _RotatingWriter — via os.sendfile
+    (zero-copy), so the main process stays off the CPUs the workers
+    need. Gzip outputs become multi-member streams: every decompressor
+    yields bytes identical to the single-member file."""
+
+    def __init__(self, write_path: str, is_dir: bool, w_batch_num: int,
+                 is_gzip: bool):
+        self._gz = is_gzip
+        self._is_dir = is_dir
+        self._w_batch_num = w_batch_num
+        self._batch_count = 0
+        self._file_count = 0
+        if is_dir:
+            if os.path.exists(write_path) and os.path.isfile(write_path):
+                raise FileExistsError(
+                    f"{write_path} already exists as a file, please use "
+                    "another write_dir")
+            os.makedirs(write_path, exist_ok=True)
+            self._dir = write_path
+            self._fh = self._open_next()
+        else:
+            path = gzip_path(write_path) if is_gzip else write_path
+            self._fh = open(path, "wb")
+
+    def _open_next(self):
+        ext = ".tsv.gz" if self._gz else ".tsv"
+        return open("/".join([self._dir,
+                              str(self._file_count) + ext]), "wb")
+
+    def append_part(self, part: str):
+        if self._is_dir and self._batch_count >= self._w_batch_num:
+            self._fh.close()
+            self._file_count += 1
+            self._fh = self._open_next()
+            self._batch_count = 0
+        with open(part, "rb") as pfh:
+            size = os.fstat(pfh.fileno()).st_size
+            off = 0
+            try:
+                while off < size:
+                    sent = os.sendfile(self._fh.fileno(), pfh.fileno(),
+                                       off, size - off)
+                    if sent == 0:
+                        break
+                    off += sent
+            except OSError:
+                pass                    # fs without sendfile support
+            if off < size:
+                # buffered fallback is safe: only this method writes, so
+                # the Python-side buffer is empty and writes land at the
+                # kernel offset sendfile left behind
+                pfh.seek(off)
+                shutil.copyfileobj(pfh, self._fh, 4 << 20)
+        os.remove(part)
+        self._batch_count += 1
+
+    def close(self):
+        self._fh.close()
+
+
 def extract_features(fast5_dir: str, is_recursive: bool,
                      ctx: ExtractContext, write_path: str, nproc: int = 4,
                      f5_batch_size: int = 30, w_is_dir: bool = False,
@@ -456,52 +568,84 @@ def extract_features(fast5_dir: str, is_recursive: bool,
             raise FileExistsError(f"{write_path} exists as a file")
         os.makedirs(write_path, exist_ok=True)
 
-        def _sink(result, batch_idx):
-            fb, err = result
-            if fb is not None and len(fb):
-                # named by batch index: output set is deterministic
-                # regardless of worker completion order
-                save_fn(
-                    os.path.join(write_path, f"{batch_idx:06d}.npz"), fb)
-            return err
-
-        worker = _worker_batch
-    else:
-        writer = _RotatingWriter(write_path, w_is_dir, w_batch_num, is_gzip)
-
-        def _sink(result, batch_idx):
-            rows, err = result
-            writer.write_rows(rows)
-            return err
-
-        worker = _worker_rows
-
     batches = [fast5s[i:i + f5_batch_size]
                for i in range(0, len(fast5s), f5_batch_size)]
-    nworkers = max(1, nproc - 1)
     errors = 0
-    if nworkers == 1 or len(batches) <= 1:
+    # workers write their own output (npz batches / TSV part files) and
+    # return only counts: shipping multi-MB row payloads through the
+    # executor's result queue measured ~15 MB/s effective and made the
+    # pooled path SLOWER than single-process (31k vs 33k rows/s; part
+    # files: 94k). The main process only concatenates bytes, so every
+    # nproc slot can be an extraction worker (the reference reserves one
+    # of nproc for its writer process, extract_features.py:560-575).
+    nworkers = max(1, min(nproc, len(batches)))
+    if nworkers == 1:
+        if as_npz:
+            def _sink(result, batch_idx):
+                fb, err = result
+                if fb is not None and len(fb):
+                    save_fn(os.path.join(write_path,
+                                         f"{batch_idx:06d}.npz"), fb)
+                return err
+
+            worker = _worker_batch
+        else:
+            writer = _RotatingWriter(write_path, w_is_dir, w_batch_num,
+                                     is_gzip)
+
+            def _sink(result, batch_idx):
+                rows, err = result
+                writer.write_rows(rows)
+                return err
+
+            worker = _worker_rows
         _init_worker(ctx, seed)
         for bi, b in enumerate(batches):
             errors += _sink(worker(b, bi), bi)
-    else:
+        if not as_npz:
+            writer.close()
+    elif as_npz:
         with ProcessPoolExecutor(max_workers=nworkers,
                                  mp_context=mp.get_context("spawn"),
                                  initializer=_init_worker,
-                                 initargs=(ctx, seed)) as pool:
-            futs = [pool.submit(worker, b, bi)
+                                 initargs=(ctx, seed,
+                                           (write_path, out_format))) \
+                as pool:
+            futs = [pool.submit(_worker_batch_save, b, bi)
                     for bi, b in enumerate(batches)]
-            if seed is not None:
-                # submission-order drain: --seed promises byte-identical
-                # output, so row order must not depend on scheduling
-                for bi, fut in enumerate(futs):
-                    errors += _sink(fut.result(), bi)
-            else:
-                fut2bi = {fut: bi for bi, fut in enumerate(futs)}
-                for fut in as_completed(futs):
-                    errors += _sink(fut.result(), fut2bi[fut])
-    if not as_npz:
-        writer.close()
+            for fut in as_completed(futs):
+                errors += fut.result()[1]
+    else:
+        import tempfile
+        parent = os.path.dirname(os.path.abspath(write_path)) or "."
+        part_dir = tempfile.mkdtemp(prefix=".extract_parts_", dir=parent)
+        writer = _PartConcatWriter(write_path, w_is_dir, w_batch_num,
+                                   is_gzip)
+        try:
+            with ProcessPoolExecutor(max_workers=nworkers,
+                                     mp_context=mp.get_context("spawn"),
+                                     initializer=_init_worker,
+                                     initargs=(ctx, seed,
+                                               (part_dir, is_gzip))) \
+                    as pool:
+                futs = [pool.submit(_worker_rows_part, b, bi)
+                        for bi, b in enumerate(batches)]
+                if seed is not None:
+                    # submission-order drain: --seed promises
+                    # byte-identical (decompressed) output, so part order
+                    # must not depend on scheduling
+                    for bi, fut in enumerate(futs):
+                        errors += fut.result()[1]
+                        writer.append_part(part_path(part_dir, bi))
+                else:
+                    fut2bi = {fut: bi for bi, fut in enumerate(futs)}
+                    for fut in as_completed(futs):
+                        errors += fut.result()[1]
+                        writer.append_part(part_path(part_dir,
+                                                     fut2bi[fut]))
+        finally:
+            writer.close()
+            shutil.rmtree(part_dir, ignore_errors=True)
     print("%d of %d fast5 files failed..\n"
           "[main] extract_features costs %.1f seconds.." % (
               errors, len(fast5s), time.time() - t0))
