@@ -684,7 +684,7 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
 
     stats = CallStats()
     t0 = time.time()
-    writer = AsyncWriter(result_file, getattr(args, "gzip", False))
+    writer = None   # legacy path creates it lazily (fast path never does)
     errors = 0
     target = engine.device_batch
 
@@ -721,27 +721,57 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                 pb = pad_feature_batch(rest, target)
                 _dispatch(pb.features, pb.n_valid)
 
-    nworkers = max(1, args.nproc - 1)
-    if nworkers == 1 or len(batches) <= 1:
-        _init_worker(ctx, None)
-        results = map(_worker_batch, batches)
-        for fb, err in results:
-            errors += err
-            if fb is not None and len(fb):
-                asm.add(fb)
-                _flush_pending(False)
-    else:
-        with ProcessPoolExecutor(max_workers=nworkers,
-                                 mp_context=mp.get_context("spawn"),
-                                 initializer=_init_worker,
-                                 initargs=(ctx, None)) as pool:
-            futs = [pool.submit(_worker_batch, b) for b in batches]
-            for fut in as_completed(futs):
-                fb, err = fut.result()
-                errors += err
-                if fb is not None and len(fb):
-                    asm.add(fb)
-                    _flush_pending(False)
+    from ..utils.fastparse import native_available
+    nworkers = max(1, min(args.nproc, len(batches)))
+    if nworkers > 1 and native_available():
+        # pooled fast path: extraction workers save wire-format .npz
+        # parts (f16 transfer layout + info blob — arrays never cross
+        # the executor's result queue, which measured ~15 MB/s under
+        # concurrent multi-MB payloads), and the main process streams
+        # the parts straight into the engine's zero-Python-strings
+        # fast loop (dispatch pool, int8/f16 wire, native row emit) —
+        # the same engine that serves --w_format npz_wire inputs.
+        import tempfile
+
+        from ..utils.formats import load_wire_npz
+        parent = os.path.dirname(os.path.abspath(result_file)) or "."
+        part_dir = tempfile.mkdtemp(prefix=".fused_parts_", dir=parent)
+        err_box = [0]
+
+        def wire_blocks():
+            with ProcessPoolExecutor(max_workers=nworkers,
+                                     mp_context=mp.get_context("spawn"),
+                                     initializer=_init_worker,
+                                     initargs=(ctx, None,
+                                               (part_dir, "npz_wire"))) \
+                    as pool:
+                futs = {pool.submit(_worker_batch_save, b, bi): bi
+                        for bi, b in enumerate(batches)}
+                for fut in as_completed(futs):
+                    n, err = fut.result()
+                    err_box[0] += err
+                    path = os.path.join(part_dir,
+                                        f"{futs[fut]:06d}.npz")
+                    if n and os.path.exists(path):
+                        blk = load_wire_npz(path)
+                        os.remove(path)
+                        yield blk
+        try:
+            stats = engine._run_fast(wire_blocks(), result_file,
+                                     getattr(args, "gzip", False), target)
+        finally:
+            shutil.rmtree(part_dir, ignore_errors=True)
+        print("%d of %d fast5 files failed.." % (err_box[0], len(fast5s)))
+        return stats
+
+    writer = AsyncWriter(result_file, getattr(args, "gzip", False))
+    _init_worker(ctx, None)
+    results = map(_worker_batch, batches)
+    for fb, err in results:
+        errors += err
+        if fb is not None and len(fb):
+            asm.add(fb)
+            _flush_pending(False)
     _flush_pending(True)
     for entry in inflight:
         _drain(entry)

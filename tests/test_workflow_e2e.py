@@ -49,6 +49,15 @@ def test_full_workflow(tmp_path, rng):
               for l in open(calls_fused).read().splitlines()}
     assert keys_a == keys_b
 
+    # 2c. pooled fused path (workers save wire-npz parts -> fast engine)
+    # must emit the SAME rows as the in-process legacy fused path
+    calls_legacy = str(tmp_path / "fused_legacy.tsv")
+    cli_main(["call_mods", "-i", f5dir, "-m", ckpt, "-o", calls_legacy,
+              "--hid_rnn", "32", "--device_batch", "256",
+              "--reference_path", fasta, "--motifs", "C", "--nproc", "1"])
+    assert sorted(open(calls_legacy).read().splitlines()) == \
+        sorted(open(calls_fused).read().splitlines())
+
     # 3. call_freq
     freq = str(tmp_path / "fast5s.C.call_mods.frequency.tsv")
     cli_main(["call_freq", "-i", calls, "-o", freq, "--sort",
