@@ -422,15 +422,16 @@ def _worker_batch_save(paths: list[str], batch_idx: int = 0
     return len(fb), errors
 
 
-class _RotatingWriter:
-    """Write rows to one file or a rotating directory of batch files
-    (extract_features.py:451-517)."""
+class _RotatingSinkBase:
+    """Shared sink skeleton: one output file, or a rotating directory of
+    batch files with a new file every ``w_batch_num`` batches
+    (reference extract_features.py:451-517). Subclasses provide
+    ``_open(path)`` for their payload type; ``_advance()`` implements
+    the shared rotation."""
 
     def __init__(self, write_path: str, is_dir: bool, w_batch_num: int,
                  is_gzip: bool):
-        import gzip as _gzip
         self._gz = is_gzip
-        self._gzip_open = _gzip.open
         self._is_dir = is_dir
         self._w_batch_num = w_batch_num
         self._batch_count = 0
@@ -444,68 +445,63 @@ class _RotatingWriter:
             self._dir = write_path
             self._fh = self._open_next()
         else:
-            path = gzip_path(write_path) if is_gzip else write_path
-            self._fh = (self._gzip_open(path, "wt") if is_gzip
-                        else open(path, "w"))
+            self._fh = self._open(gzip_path(write_path) if is_gzip
+                                  else write_path)
 
     def _open_next(self):
         ext = ".tsv.gz" if self._gz else ".tsv"
-        path = "/".join([self._dir, str(self._file_count) + ext])
-        return self._gzip_open(path, "wt") if self._gz else open(path, "w")
+        return self._open("/".join([self._dir,
+                                    str(self._file_count) + ext]))
 
-    def write_rows(self, rows: list[str]):
+    def _advance(self):
+        """Rotate (dir mode) before a batch, count it after — callers
+        wrap each batch write between _advance() and _batch_done()."""
         if self._is_dir and self._batch_count >= self._w_batch_num:
             self._fh.close()
             self._file_count += 1
             self._fh = self._open_next()
             self._batch_count = 0
-        for r in rows:
-            self._fh.write(r + "\n")
+
+    def _batch_done(self):
         self._batch_count += 1
 
     def close(self):
         self._fh.close()
 
 
-class _PartConcatWriter:
+class _RotatingWriter(_RotatingSinkBase):
+    """Row-level sink for single-process runs."""
+
+    def _open(self, path: str):
+        if self._gz:
+            import gzip as _gzip
+            return _gzip.open(path, "wt")
+        return open(path, "w")
+
+    def write_rows(self, rows: list[str]):
+        self._advance()
+        for r in rows:
+            self._fh.write(r + "\n")
+        self._batch_done()
+
+
+class _PartConcatWriter(_RotatingSinkBase):
     """Byte-level sink for pooled runs: workers wrote finished part files
     (plain text or gzip members); this appends them into the final
-    output — one file or a rotating directory with the same
-    w_batch_num rotation as _RotatingWriter — via os.sendfile
-    (zero-copy), so the main process stays off the CPUs the workers
-    need. Gzip outputs become multi-member streams: every decompressor
-    yields bytes identical to the single-member file."""
+    output via os.sendfile (zero-copy), so the main process stays off
+    the CPUs the workers need. Gzip outputs become multi-member
+    streams: every decompressor yields bytes identical to the
+    single-member file."""
 
-    def __init__(self, write_path: str, is_dir: bool, w_batch_num: int,
-                 is_gzip: bool):
-        self._gz = is_gzip
-        self._is_dir = is_dir
-        self._w_batch_num = w_batch_num
-        self._batch_count = 0
-        self._file_count = 0
-        if is_dir:
-            if os.path.exists(write_path) and os.path.isfile(write_path):
-                raise FileExistsError(
-                    f"{write_path} already exists as a file, please use "
-                    "another write_dir")
-            os.makedirs(write_path, exist_ok=True)
-            self._dir = write_path
-            self._fh = self._open_next()
-        else:
-            path = gzip_path(write_path) if is_gzip else write_path
-            self._fh = open(path, "wb")
-
-    def _open_next(self):
-        ext = ".tsv.gz" if self._gz else ".tsv"
-        return open("/".join([self._dir,
-                              str(self._file_count) + ext]), "wb")
+    def _open(self, path: str):
+        return open(path, "wb")
 
     def append_part(self, part: str):
-        if self._is_dir and self._batch_count >= self._w_batch_num:
-            self._fh.close()
-            self._file_count += 1
-            self._fh = self._open_next()
-            self._batch_count = 0
+        self._advance()
+        # any buffered bytes (copyfileobj fallback tails) must hit the
+        # fd before sendfile writes at the kernel offset, or output
+        # bytes reorder
+        self._fh.flush()
         with open(part, "rb") as pfh:
             size = os.fstat(pfh.fileno()).st_size
             off = 0
@@ -519,16 +515,10 @@ class _PartConcatWriter:
             except OSError:
                 pass                    # fs without sendfile support
             if off < size:
-                # buffered fallback is safe: only this method writes, so
-                # the Python-side buffer is empty and writes land at the
-                # kernel offset sendfile left behind
                 pfh.seek(off)
                 shutil.copyfileobj(pfh, self._fh, 4 << 20)
         os.remove(part)
-        self._batch_count += 1
-
-    def close(self):
-        self._fh.close()
+        self._batch_done()
 
 
 def extract_features(fast5_dir: str, is_recursive: bool,
@@ -617,10 +607,12 @@ def extract_features(fast5_dir: str, is_recursive: bool,
                 errors += fut.result()[1]
     else:
         import tempfile
-        parent = os.path.dirname(os.path.abspath(write_path)) or "."
-        part_dir = tempfile.mkdtemp(prefix=".extract_parts_", dir=parent)
         writer = _PartConcatWriter(write_path, w_is_dir, w_batch_num,
                                    is_gzip)
+        # created after the writer: a writer-construction failure must
+        # not leak a hidden parts directory next to the user's output
+        parent = os.path.dirname(os.path.abspath(write_path)) or "."
+        part_dir = tempfile.mkdtemp(prefix=".extract_parts_", dir=parent)
         try:
             with ProcessPoolExecutor(max_workers=nworkers,
                                      mp_context=mp.get_context("spawn"),
@@ -682,15 +674,68 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
     batches = [fast5s[i:i + f5_batch]
                for i in range(0, len(fast5s), f5_batch)]
 
+    target = engine.device_batch
+    from ..utils.fastparse import native_available
+    nworkers = max(1, min(args.nproc, len(batches)))
+    is_gzip = getattr(args, "gzip", False)
+
+    if nworkers > 1 and native_available():
+        # pooled fast path: extraction workers save wire-format .npz
+        # parts (f16 transfer layout + info blob — arrays never cross
+        # the executor's result queue, which measured ~15 MB/s under
+        # concurrent multi-MB payloads), and the main process streams
+        # the parts straight into the engine's zero-Python-strings
+        # fast loop (dispatch pool, int8/f16 wire, native row emit) —
+        # the same engine that serves --w_format npz_wire inputs.
+        import tempfile
+
+        from ..utils.formats import load_wire_npz
+        parent = os.path.dirname(os.path.abspath(result_file)) or "."
+        part_dir = tempfile.mkdtemp(prefix=".fused_parts_", dir=parent)
+        err_box = [0]
+        # the pool is owned HERE, not inside the generator: if the
+        # engine loop dies mid-stream the abandoned generator would
+        # never exit its with-block, and part_dir would be removed
+        # under still-running workers
+        pool = ProcessPoolExecutor(max_workers=nworkers,
+                                   mp_context=mp.get_context("spawn"),
+                                   initializer=_init_worker,
+                                   initargs=(ctx, None,
+                                             (part_dir, "npz_wire")))
+        try:
+            futs = {pool.submit(_worker_batch_save, b, bi): bi
+                    for bi, b in enumerate(batches)}
+
+            def wire_blocks():
+                for fut in as_completed(futs):
+                    n, err = fut.result()
+                    err_box[0] += err
+                    path = os.path.join(part_dir, f"{futs[fut]:06d}.npz")
+                    if n and os.path.exists(path):
+                        blk = load_wire_npz(path)
+                        os.remove(path)
+                        yield blk
+
+            stats = engine._run_fast(wire_blocks(), result_file, is_gzip,
+                                     target)
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+            shutil.rmtree(part_dir, ignore_errors=True)
+        print("%d of %d fast5 files failed.." % (err_box[0], len(fast5s)))
+        return stats
+
+    # legacy array path: model-ready batches cross the pool queue and
+    # rows are formatted in-process. Kept for hosts without the native
+    # library (still pooled there — slower per worker, but parallel)
+    # and for nproc=1.
     stats = CallStats()
     t0 = time.time()
-    writer = None   # legacy path creates it lazily (fast path never does)
     errors = 0
-    target = engine.device_batch
 
     from ..io.batching import BatchAssembler
     asm = BatchAssembler(target)
     inflight: list[tuple] = []
+    writer = AsyncWriter(result_file, is_gzip)
 
     def _drain(entry):
         probs, fb, n_valid = entry
@@ -721,57 +766,24 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                 pb = pad_feature_batch(rest, target)
                 _dispatch(pb.features, pb.n_valid)
 
-    from ..utils.fastparse import native_available
-    nworkers = max(1, min(args.nproc, len(batches)))
-    if nworkers > 1 and native_available():
-        # pooled fast path: extraction workers save wire-format .npz
-        # parts (f16 transfer layout + info blob — arrays never cross
-        # the executor's result queue, which measured ~15 MB/s under
-        # concurrent multi-MB payloads), and the main process streams
-        # the parts straight into the engine's zero-Python-strings
-        # fast loop (dispatch pool, int8/f16 wire, native row emit) —
-        # the same engine that serves --w_format npz_wire inputs.
-        import tempfile
+    def _consume(results):
+        nonlocal errors
+        for fb, err in results:
+            errors += err
+            if fb is not None and len(fb):
+                asm.add(fb)
+                _flush_pending(False)
 
-        from ..utils.formats import load_wire_npz
-        parent = os.path.dirname(os.path.abspath(result_file)) or "."
-        part_dir = tempfile.mkdtemp(prefix=".fused_parts_", dir=parent)
-        err_box = [0]
-
-        def wire_blocks():
-            with ProcessPoolExecutor(max_workers=nworkers,
-                                     mp_context=mp.get_context("spawn"),
-                                     initializer=_init_worker,
-                                     initargs=(ctx, None,
-                                               (part_dir, "npz_wire"))) \
-                    as pool:
-                futs = {pool.submit(_worker_batch_save, b, bi): bi
-                        for bi, b in enumerate(batches)}
-                for fut in as_completed(futs):
-                    n, err = fut.result()
-                    err_box[0] += err
-                    path = os.path.join(part_dir,
-                                        f"{futs[fut]:06d}.npz")
-                    if n and os.path.exists(path):
-                        blk = load_wire_npz(path)
-                        os.remove(path)
-                        yield blk
-        try:
-            stats = engine._run_fast(wire_blocks(), result_file,
-                                     getattr(args, "gzip", False), target)
-        finally:
-            shutil.rmtree(part_dir, ignore_errors=True)
-        print("%d of %d fast5 files failed.." % (err_box[0], len(fast5s)))
-        return stats
-
-    writer = AsyncWriter(result_file, getattr(args, "gzip", False))
-    _init_worker(ctx, None)
-    results = map(_worker_batch, batches)
-    for fb, err in results:
-        errors += err
-        if fb is not None and len(fb):
-            asm.add(fb)
-            _flush_pending(False)
+    if nworkers == 1:
+        _init_worker(ctx, None)
+        _consume(map(_worker_batch, batches))
+    else:
+        with ProcessPoolExecutor(max_workers=nworkers,
+                                 mp_context=mp.get_context("spawn"),
+                                 initializer=_init_worker,
+                                 initargs=(ctx, None)) as pool:
+            futs = [pool.submit(_worker_batch, b) for b in batches]
+            _consume(f.result() for f in as_completed(futs))
     _flush_pending(True)
     for entry in inflight:
         _drain(entry)

@@ -38,11 +38,15 @@ def test_full_workflow(tmp_path, rng):
               "--hid_rnn", "32", "--device_batch", "256"])
     assert len(open(calls).read().splitlines()) == n_features
 
-    # 2b. the fused fast5 path gives the same per-site call set
+    # 2b. the fused fast5 path gives the same per-site call set.
+    # --f5_batch_size 2 forces multiple batches so --nproc 2 actually
+    # takes the POOLED wire-parts fast path (the default batch size of
+    # 30 would collapse this 6-read fixture to one batch = one worker)
     calls_fused = str(tmp_path / "fused.tsv")
     cli_main(["call_mods", "-i", f5dir, "-m", ckpt, "-o", calls_fused,
               "--hid_rnn", "32", "--device_batch", "256",
-              "--reference_path", fasta, "--motifs", "C", "--nproc", "2"])
+              "--reference_path", fasta, "--motifs", "C", "--nproc", "2",
+              "--f5_batch_size", "2"])
     keys_a = {tuple(l.split("\t")[:6])
               for l in open(calls).read().splitlines()}
     keys_b = {tuple(l.split("\t")[:6])
