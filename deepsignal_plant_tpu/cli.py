@@ -146,12 +146,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_is_dir", type=str, default="no")
     p.add_argument("--w_batch_num", type=int, default=200)
     p.add_argument("--w_format", type=str, default="tsv",
-                   choices=["tsv", "npz", "npz_wire"],
+                   choices=["tsv", "npz", "npz_wire", "npz_packed"],
                    help="tsv: reference-compatible text; npz: binary "
                         "feature batches (directory output, no text codec "
                         "downstream); npz_wire: inference-staging batches "
-                        "in the engine's exact f16 wire layout (fastest "
-                        "call_mods input)")
+                        "in the engine's exact per-site f16 wire layout; "
+                        "npz_packed: read-packed wire (deduplicated "
+                        "per-base arrays + site centers, window gather on "
+                        "device — fastest call_mods input for dense "
+                        "motifs)")
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4)
     p.add_argument("--f5_batch_size", type=int, default=30)

@@ -35,6 +35,19 @@ from ..utils.bases import CODE2BASE_DNA
 from ..utils.formats import format_call_rows
 
 
+def _quantize_field(a: np.ndarray) -> tuple[np.ndarray, float]:
+    """Symmetric int8 quantization of one float array (native SIMD when
+    available, numpy fallback)."""
+    from ..utils.fastparse import quantize_int8
+    native = quantize_int8(np.asarray(a))
+    if native is not None:
+        return native
+    a32 = np.asarray(a, np.float32)
+    amax = float(np.max(np.abs(a32))) if a32.size else 0.0
+    scale = (amax / 127.0) or 1.0
+    return np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8), scale
+
+
 def quantize_for_wire(batch: Batch):
     """int8 wire: symmetric per-batch-per-field quantization of the float
     features (means, stds, signals); signal_lens stay f16 (integer-valued,
@@ -48,20 +61,9 @@ def quantize_for_wire(batch: Batch):
     so concurrent dispatch threads actually overlap; the numpy fallback
     holds the GIL ~0.35 s per 32k-row batch and serialized the pool —
     the round-2 engine-level int8 regression)."""
-    from ..utils.fastparse import quantize_int8
-
-    def q(a):
-        native = quantize_int8(np.asarray(a))
-        if native is not None:
-            return native
-        a32 = np.asarray(a, np.float32)
-        amax = float(np.max(np.abs(a32))) if a32.size else 0.0
-        scale = (amax / 127.0) or 1.0
-        return np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8), \
-            scale
-    qm, sm = q(batch.base_means)
-    qs, ss = q(batch.base_stds)
-    qg, sg = q(batch.signals)
+    qm, sm = _quantize_field(batch.base_means)
+    qs, ss = _quantize_field(batch.base_stds)
+    qg, sg = _quantize_field(batch.signals)
     lens = batch.base_signal_lens
     if lens.dtype != np.float16:
         lens = lens.astype(np.float16)
@@ -185,9 +187,14 @@ class CallModsEngine:
         import threading
         self._fallback_lock = threading.Lock()
         self._quant = self.call_cfg.transfer_dtype == "int8"
-        self._step = self._build_step()
+        self._rebuild_steps()
+
+    def _rebuild_steps(self):
         # jit wrappers are lazy — only the variant actually called compiles
+        self._step = self._build_step()
         self._step_q = self._build_step(quantized=True)
+        self._step_packed = self._build_packed_step()
+        self._step_packed_q = self._build_packed_step(quantized=True)
 
     def _build_step(self, quantized: bool = False):
         cfg = self.model_cfg
@@ -219,6 +226,51 @@ class CallModsEngine:
         from jax.sharding import PartitionSpec as P
         axis = self.mesh.axis_names[0]
         in_specs = (P(), P(axis)) + ((P(),) if quantized else ())
+        return jax.jit(jax.shard_map(
+            _step, mesh=self.mesh, in_specs=in_specs,
+            out_specs=P(axis), check_vma=False))
+
+    def _build_packed_step(self, quantized: bool = False):
+        """Step over the read-packed wire: gather each site's kmer window
+        from the deduplicated per-base arrays ON DEVICE, then run the
+        normal forward — the wire carries each base once instead of up to
+        seq_len times (PackedFeatureBlock docstring has the math)."""
+        import jax.numpy as jnp
+        cfg = self.model_cfg
+        nb = (cfg.seq_len - 1) // 2
+
+        def _gather_forward(params, codes, means, stds, lens, rect,
+                            centers):
+            win = centers[:, None] + jnp.arange(
+                -nb, nb + 1, dtype=centers.dtype)[None, :]
+            b = Batch(kmer=jnp.take(codes, win, axis=0),
+                      base_means=jnp.take(means, win, axis=0),
+                      base_stds=jnp.take(stds, win, axis=0),
+                      base_signal_lens=jnp.take(lens, win, axis=0),
+                      signals=jnp.take(rect, win, axis=0))
+            return forward(params, b, cfg, train=False)[1]
+
+        if quantized:
+            def _step(params, codes, means, stds, lens, rect, centers,
+                      scales):
+                # dequantize on the deduplicated base axis — cheaper than
+                # after the window gather
+                return _gather_forward(
+                    params, codes, means.astype(jnp.float32) * scales[0],
+                    stds.astype(jnp.float32) * scales[1], lens,
+                    rect.astype(jnp.float32) * scales[2], centers)
+        else:
+            _step = _gather_forward
+
+        if self._single:
+            return jax.jit(_step)
+        # sites shard over the mesh; the packed base arrays are replicated
+        # (each device gathers its site shard's windows from the full base
+        # axis — base bytes are ~1/seq_len of the windowed equivalent, so
+        # replication still ships fewer bytes than sharded windows)
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        in_specs = (P(),) * 6 + (P(axis),) + ((P(),) if quantized else ())
         return jax.jit(jax.shard_map(
             _step, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(axis), check_vma=False))
@@ -265,8 +317,12 @@ class CallModsEngine:
                 return self._step_q(self.params, batch, scales)
             return self._step(self.params, batch)
 
+        return self._run_with_fallback(_run)
+
+    def _run_with_fallback(self, run):
+        """Run a dispatch with the pallas -> scan runtime fallback."""
         try:
-            return _run()
+            return run()
         except Exception as exc:
             if self.model_cfg.recurrence != "pallas":
                 raise
@@ -278,9 +334,25 @@ class CallModsEngine:
                           "falling back to scan".format(
                               type(exc).__name__, exc))
                     self.model_cfg = self.model_cfg.with_(recurrence="scan")
-                    self._step = self._build_step()
-                    self._step_q = self._build_step(quantized=True)
-            return _run()
+                    self._rebuild_steps()
+            return run()
+
+    def _predict_packed(self, arrays):
+        """Dispatch one read-packed batch (codes, means, stds, lens, rect,
+        centers); int8 mode quantizes the deduplicated base arrays here in
+        the calling dispatch thread."""
+        codes, means, stds, lens, rect, centers = arrays
+        if self._quant:
+            qm, sm = _quantize_field(means)
+            qs, ss = _quantize_field(stds)
+            qr, sr = _quantize_field(rect)
+            scales = np.array([sm, ss, sr], np.float32)
+            return self._run_with_fallback(
+                lambda: self._step_packed_q(self.params, codes, qm, qs,
+                                            lens, qr, centers, scales))
+        return self._run_with_fallback(
+            lambda: self._step_packed(self.params, codes, means, stds,
+                                      lens, rect, centers))
 
     def _resolve_target(self, input_path: str) -> int:
         """Auto device_batch: next power of two covering the estimated row
@@ -418,6 +490,167 @@ class CallModsEngine:
         stats.seconds = time.time() - t0
         return stats
 
+    #: beyond this many bases per site the window dedup no longer pays on
+    #: the wire (per-site windows re-ship each base ~seq_len/density
+    #: times); sparse inputs fall back to host-side windows
+    PACKED_MAX_BASES_PER_SITE = 12.0
+
+    def _run_fast_packed(self, packed_blocks, result_path: str,
+                         is_gzip: bool, target: int) -> CallStats:
+        """Read-packed wire -> calls: upload deduplicated per-base arrays
+        + int32 site centers and gather the kmer windows on device. For
+        dense motifs (plant C/CHH) this ships ~1/3 the bytes of the
+        per-site wire — the binding resource on remote-attached links."""
+        from collections import deque
+        from itertools import chain
+
+        from ..io.batching import bounded_thread_map
+        from ..utils.fastparse import emit_call_rows_arrays
+        from ..utils.prof import PROFILER
+
+        it = (pb for pb in iter(packed_blocks) if pb is not None and pb.n)
+        first = next(it, None)
+        if first is None:
+            AsyncWriter(result_path, is_gzip).close()
+            return CallStats()
+        seq_len = self.model_cfg.seq_len
+        if first.kmer_len != seq_len:
+            raise ValueError(
+                "packed wire kmer_len {} != model seq_len {}".format(
+                    first.kmer_len, seq_len))
+        stream = chain([first], it)
+        density = first.n_bases / first.n
+        if density > self.PACKED_MAX_BASES_PER_SITE:
+            # sparse sites: windows share few bases — gather them on host
+            # and reuse the per-site fast loop
+            return self._run_fast((pb.to_raw_block() for pb in stream),
+                                  result_path, is_gzip, target)
+
+        nb = (seq_len - 1) // 2
+        # static base-axis width, sized from the first block's density
+        # (+25% headroom; underfills just pad) and rounded up to 4096 to
+        # keep the jit shape cache small
+        nb_cap = max(4096, -(-int(target * density * 1.25) // 4096) * 4096)
+
+        stats = CallStats()
+        t0 = time.time()
+        writer = AsyncWriter(result_path, is_gzip)
+
+        def gen_batches():
+            """Yield ((codes, means, stds, lens, rect, centers), segments,
+            labels, n_valid); batches close when either the site target or
+            the base cap fills. centers stay valid under padding (pad
+            value nb gathers a real — discarded — window)."""
+            fifo: deque = deque()     # [pb, consumed_sites]
+            pending = 0
+            exhausted = False
+
+            def fill():
+                nonlocal pending, exhausted
+                while not exhausted and pending < target:
+                    pb = next(stream, None)
+                    if pb is None:
+                        exhausted = True
+                        return
+                    fifo.append([pb, 0])
+                    pending += pb.n
+
+            def take():
+                nonlocal pending
+                segs = []
+                cols = {k: [] for k in ("codes", "means", "stds", "lens",
+                                        "rect", "centers", "labels")}
+                ns = nbase = 0
+                while fifo and ns < target:
+                    ent = fifo[0]
+                    pb, lo = ent
+                    budget = nb_cap - nbase
+                    if budget < seq_len:
+                        break
+                    centers = pb.centers
+                    b0 = int(centers[lo]) - nb
+                    hi = min(pb.n, lo + (target - ns))
+                    # base budget: centers[j] + nb + 1 - b0 <= budget
+                    cnt = int(np.searchsorted(centers[lo:hi],
+                                              b0 + budget - nb - 1,
+                                              side="right"))
+                    if cnt == 0:
+                        break
+                    hi = lo + cnt
+                    b1 = int(centers[hi - 1]) + nb + 1
+                    cols["codes"].append(pb.codes[b0:b1])
+                    cols["means"].append(pb.means[b0:b1])
+                    cols["stds"].append(pb.stds[b0:b1])
+                    cols["lens"].append(pb.lens[b0:b1])
+                    cols["rect"].append(pb.rect[b0:b1])
+                    cols["centers"].append(centers[lo:hi].astype(np.int32)
+                                           + np.int32(nbase - b0))
+                    cols["labels"].append(pb.labels[lo:hi])
+                    segs.append((pb, lo, hi))
+                    nbase += b1 - b0
+                    ns += hi - lo
+                    pending -= hi - lo
+                    if hi == pb.n:
+                        fifo.popleft()
+                    else:
+                        ent[1] = hi
+
+                def cat(k):
+                    p = cols[k]
+                    return p[0] if len(p) == 1 else np.concatenate(p)
+                codes, means, stds, lens, rect = map(
+                    cat, ("codes", "means", "stds", "lens", "rect"))
+                centers, labels = cat("centers"), cat("labels")
+                pad_b = nb_cap - nbase
+                if pad_b:
+                    codes = np.pad(codes, (0, pad_b))
+                    means = np.pad(means, (0, pad_b))
+                    stds = np.pad(stds, (0, pad_b))
+                    lens = np.pad(lens, (0, pad_b))
+                    rect = np.pad(rect, ((0, pad_b), (0, 0)))
+                if ns < target:
+                    centers = np.pad(centers, (0, target - ns),
+                                     constant_values=nb)
+                return ((codes, means, stds, lens, rect, centers), segs,
+                        labels, ns)
+
+            while True:
+                fill()
+                if not fifo:
+                    return
+                yield take()
+
+        def _dispatch(item):
+            arrays, segs, labels, nv = item
+            with PROFILER.stage("dispatch", nv):
+                return (_start_fetch(self._predict_packed(arrays)), segs,
+                        labels, nv)
+
+        offs = np.arange(-nb, nb + 1)[None, :]
+        for probs, segs, labels, nv in bounded_thread_map(
+                _dispatch, gen_batches(),
+                workers=self.call_cfg.dispatch_workers,
+                depth=2 * self.call_cfg.dispatch_workers):
+            with PROFILER.stage("fetch", nv):
+                probs = np.asarray(probs)[:nv]
+            with PROFILER.stage("format", nv):
+                off = 0
+                out = []
+                for pb, lo, hi in segs:
+                    win = pb.centers[lo:hi, None].astype(np.int64) + offs
+                    out.append(emit_call_rows_arrays(
+                        pb.raw, pb.row_starts[lo:hi], pb.info_ends[lo:hi],
+                        pb.codes[win], probs[off:off + hi - lo]))
+                    off += hi - lo
+                writer.write_bytes(b"".join(out))
+            stats.sites += nv
+            stats.batches += 1
+            called = probs[:, 1] > probs[:, 0]
+            stats.label_correct += int((called == (labels == 1)).sum())
+        writer.close()
+        stats.seconds = time.time() - t0
+        return stats
+
     def run_features_file(self, input_path: str, result_path: str,
                           is_gzip: bool = False,
                           use_fast_path: bool = True) -> CallStats:
@@ -433,21 +666,34 @@ class CallModsEngine:
         stats = CallStats()
         t0 = time.time()
         target = self._resolve_target(input_path)
-        from ..utils.formats import is_wire_npz
+        from ..utils.formats import wire_npz_version
         npz_files = feature_npz_paths(input_path)
-        if npz_files is not None and is_wire_npz(npz_files[0]):
-            # wire-format (v2) containers hold the finished f16 transfer
-            # layout + info byte blob; there is no slow path behind them,
-            # and float32 transfer would gain nothing (the arrays were
-            # f16 on disk), so the fast engine serves every
-            # transfer_dtype
+        wire_ver = (wire_npz_version(npz_files[0])
+                    if npz_files is not None else 0)
+        if wire_ver:
+            # wire-format containers hold the finished f16 transfer layout
+            # + info byte blob (v2 per-site windows, v3 read-packed);
+            # there is no slow path behind them, and float32 transfer
+            # would gain nothing (the arrays were f16 on disk), so the
+            # fast engine serves every transfer_dtype
             if not native_available():
                 raise ValueError(
-                    "{} holds wire-format (v2) .npz batches, which need "
+                    "{} holds wire-format (v{}) .npz batches, which need "
                     "the native featparse library (not built on this "
                     "host). Reinstall with a working C++ toolchain, or "
                     "regenerate features as TSV or v1 .npz "
-                    "(extract --w_format npz).".format(input_path))
+                    "(extract --w_format npz).".format(input_path,
+                                                       wire_ver))
+            if wire_ver >= 3:
+                from ..io.batching import (bounded_thread_map,
+                                           default_parse_workers)
+                from ..utils.formats import load_packed_npz
+                pw = (self.call_cfg.num_parse_workers
+                      or default_parse_workers())
+                blocks = bounded_thread_map(load_packed_npz, npz_files,
+                                            workers=pw, depth=2 * pw)
+                return self._run_fast_packed(blocks, result_path, is_gzip,
+                                             target)
             return self._run_fast_wire_npz(npz_files, result_path,
                                            is_gzip, target)
         if (use_fast_path and native_available()

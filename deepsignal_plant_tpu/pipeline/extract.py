@@ -227,17 +227,33 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
     rect = build_signal_rect(norm, read.event_starts, read.event_lengths,
                              opts.signal_len, opts.downsample, rng)
 
-    # gather 13-mer windows around each kept site
-    win = locs[:, None] + np.arange(-nb, nb + 1)[None, :]   # (n, k)
+    # per-read arrays + site locs; the 13-mer windows are gathered lazily
+    # (windowize_features) or on device by the packed wire path — adjacent
+    # sites share kmer_len-1 window bases, so materializing windows here
+    # would duplicate every base up to kmer_len times
     return {
         "chrom": read.chrom, "strand": read.alignstrand,
         "readname": read.readname, "read_strand": read.read_strand,
         "pos": pos, "pos_in_strand": pos_in_strand,
-        "kmers": [seq[lo - nb:lo + nb + 1] for lo in locs],
-        "means": means[win], "stds": stds[win],
-        "lens": read.event_lengths[win], "rect": rect[win],
+        "locs": locs, "seq": seq, "kmer_len": opts.kmer_len,
+        "r_means": means, "r_stds": stds,
+        "r_lens": read.event_lengths, "r_rect": rect,
         "label": opts.methy_label,
     }
+
+
+def windowize_features(feats: dict) -> dict:
+    """Materialize the per-site kmer windows of one read's features
+    (extract_features.py:296-372's per-site view of the read arrays)."""
+    if "means" in feats:
+        return feats
+    locs, seq = feats["locs"], feats["seq"]
+    nb = (feats["kmer_len"] - 1) // 2
+    win = locs[:, None] + np.arange(-nb, nb + 1)[None, :]   # (n, k)
+    return {**feats,
+            "kmers": [seq[lo - nb:lo + nb + 1] for lo in locs],
+            "means": feats["r_means"][win], "stds": feats["r_stds"][win],
+            "lens": feats["r_lens"][win], "rect": feats["r_rect"][win]}
 
 
 def features_to_rows(feats: dict) -> list[str]:
@@ -245,6 +261,7 @@ def features_to_rows(feats: dict) -> list[str]:
     Uses the native column formatter when available."""
     from ..utils.fastparse import format_feature_cols
 
+    feats = windowize_features(feats)
     n = len(feats["pos"])
     cols = format_feature_cols(feats["means"], feats["stds"],
                                feats["lens"], feats["rect"])
@@ -277,6 +294,7 @@ def features_to_batch(feats_list: list[dict], kmer_len: int,
     read_ids: list[str] = []
     kmers, means, stds, lens, rects, labels = [], [], [], [], [], []
     for f in feats_list:
+        f = windowize_features(f)
         n = len(f["pos"])
         for i in range(n):
             sampleinfo.append("\t".join([
@@ -300,6 +318,48 @@ def features_to_batch(feats_list: list[dict], kmer_len: int,
         np.concatenate(lens).astype(np.float32),
         np.concatenate(rects).astype(np.float32),
         np.concatenate(labels), read_ids)
+
+
+def features_to_packed(feats_list: list[dict]):
+    """Assemble reads' features into a read-packed wire block
+    (fastparse.PackedFeatureBlock): per-base arrays concatenated across
+    reads + per-site window centers. No per-site windows are materialized
+    anywhere on the host — the kmer gather happens on device."""
+    from ..utils.fastparse import PackedFeatureBlock
+
+    infos: list[bytes] = []
+    centers_l, labels_l = [], []
+    codes_l, means_l, stds_l, lens_l, rect_l = [], [], [], [], []
+    base_off = 0
+    kmer_len = feats_list[0]["kmer_len"]
+    for f in feats_list:
+        n = len(f["pos"])
+        chrom, strand = f["chrom"], f["strand"]
+        readname, read_strand = f["readname"], f["read_strand"]
+        pos, pis = f["pos"], f["pos_in_strand"]
+        infos.extend("\t".join([chrom, str(int(pos[i])), strand,
+                                str(int(pis[i])), readname,
+                                read_strand]).encode() for i in range(n))
+        centers_l.append(f["locs"].astype(np.int64) + base_off)
+        labels_l.append(np.full(n, f["label"], np.int32))
+        codes_l.append(seq_to_codes(f["seq"]).astype(np.int8))
+        # match the on-disk 6-decimal rounding (features_to_batch does the
+        # same on its windowed view — identical values either way)
+        means_l.append(np.around(f["r_means"], 6).astype(np.float16))
+        stds_l.append(np.around(f["r_stds"], 6).astype(np.float16))
+        lens_l.append(f["r_lens"].astype(np.float16))
+        rect_l.append(f["r_rect"].astype(np.float16))
+        base_off += len(f["seq"])
+    lens_b = np.fromiter((len(b) for b in infos), np.int64, len(infos))
+    row_starts = np.zeros(len(infos), np.int64)
+    if len(infos) > 1:
+        np.cumsum(lens_b[:-1], out=row_starts[1:])
+    return PackedFeatureBlock(
+        b"".join(infos), row_starts, row_starts + lens_b,
+        np.concatenate(centers_l).astype(np.int32),
+        np.concatenate(codes_l), np.concatenate(means_l),
+        np.concatenate(stds_l), np.concatenate(lens_l),
+        np.concatenate(rect_l), np.concatenate(labels_l), kmer_len)
 
 
 # ---------------------------------------------------------------------------
@@ -407,18 +467,33 @@ def _worker_rows_part(paths: list[str], batch_idx: int = 0
     return len(rows), errors
 
 
+def _worker_packed(paths: list[str], batch_idx: int = 0):
+    feats_list, errors = _extract_batch_feats(paths, batch_idx)
+    if not feats_list:
+        return None, errors
+    return features_to_packed(feats_list), errors
+
+
 def _worker_batch_save(paths: list[str], batch_idx: int = 0
                        ) -> tuple[int, int]:
     """Pooled npz worker: extract + save the batch-indexed .npz itself
     (deterministic names regardless of completion order), returning only
     counts — array payloads never cross the result queue."""
-    from ..utils.formats import save_feature_npz, save_wire_npz
+    from ..utils.formats import (save_feature_npz, save_packed_npz,
+                                 save_wire_npz)
     write_dir, out_format = _G_SINK
+    path = os.path.join(write_dir, f"{batch_idx:06d}.npz")
+    if out_format == "npz_packed":
+        pb, errors = _worker_packed(paths, batch_idx)
+        if pb is None or pb.n == 0:
+            return 0, errors
+        save_packed_npz(path, pb)
+        return pb.n, errors
     fb, errors = _worker_batch(paths, batch_idx)
     if fb is None or not len(fb):
         return 0, errors
     save_fn = save_wire_npz if out_format == "npz_wire" else save_feature_npz
-    save_fn(os.path.join(write_dir, f"{batch_idx:06d}.npz"), fb)
+    save_fn(path, fb)
     return len(fb), errors
 
 
@@ -549,11 +624,12 @@ def extract_features(fast5_dir: str, is_recursive: bool,
     # hosts must not clobber each other's output
     write_path = host_output_path(write_path)
 
-    as_npz = out_format in ("npz", "npz_wire")
+    as_npz = out_format in ("npz", "npz_wire", "npz_packed")
     if as_npz:
-        from ..utils.formats import save_wire_npz
-        save_fn = (save_wire_npz if out_format == "npz_wire"
-                   else save_feature_npz)
+        from ..utils.formats import save_packed_npz, save_wire_npz
+        save_fn = {"npz_wire": save_wire_npz,
+                   "npz_packed": save_packed_npz,
+                   "npz": save_feature_npz}[out_format]
         if os.path.isfile(write_path):
             raise FileExistsError(f"{write_path} exists as a file")
         os.makedirs(write_path, exist_ok=True)
@@ -573,12 +649,15 @@ def extract_features(fast5_dir: str, is_recursive: bool,
         if as_npz:
             def _sink(result, batch_idx):
                 fb, err = result
-                if fb is not None and len(fb):
+                n = 0 if fb is None else (
+                    fb.n if out_format == "npz_packed" else len(fb))
+                if n:
                     save_fn(os.path.join(write_path,
                                          f"{batch_idx:06d}.npz"), fb)
                 return err
 
-            worker = _worker_batch
+            worker = (_worker_packed if out_format == "npz_packed"
+                      else _worker_batch)
         else:
             writer = _RotatingWriter(write_path, w_is_dir, w_batch_num,
                                      is_gzip)
@@ -680,16 +759,18 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
     is_gzip = getattr(args, "gzip", False)
 
     if nworkers > 1 and native_available():
-        # pooled fast path: extraction workers save wire-format .npz
-        # parts (f16 transfer layout + info blob — arrays never cross
-        # the executor's result queue, which measured ~15 MB/s under
-        # concurrent multi-MB payloads), and the main process streams
-        # the parts straight into the engine's zero-Python-strings
-        # fast loop (dispatch pool, int8/f16 wire, native row emit) —
-        # the same engine that serves --w_format npz_wire inputs.
+        # pooled fast path: extraction workers save read-packed wire .npz
+        # parts (deduplicated per-base arrays + site centers — arrays
+        # never cross the executor's result queue, which measured
+        # ~15 MB/s under concurrent multi-MB payloads), and the main
+        # process streams the parts into the engine's packed loop
+        # (device-side window gather, int8 wire, native row emit) — the
+        # same engine that serves --w_format npz_packed inputs. The
+        # engine falls back to host windows per run when the motif is
+        # too sparse for the packed wire to pay.
         import tempfile
 
-        from ..utils.formats import load_wire_npz
+        from ..utils.formats import load_packed_npz
         parent = os.path.dirname(os.path.abspath(result_file)) or "."
         part_dir = tempfile.mkdtemp(prefix=".fused_parts_", dir=parent)
         err_box = [0]
@@ -701,7 +782,7 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                                    mp_context=mp.get_context("spawn"),
                                    initializer=_init_worker,
                                    initargs=(ctx, None,
-                                             (part_dir, "npz_wire")))
+                                             (part_dir, "npz_packed")))
         try:
             futs = {pool.submit(_worker_batch_save, b, bi): bi
                     for bi, b in enumerate(batches)}
@@ -712,12 +793,12 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                     err_box[0] += err
                     path = os.path.join(part_dir, f"{futs[fut]:06d}.npz")
                     if n and os.path.exists(path):
-                        blk = load_wire_npz(path)
+                        blk = load_packed_npz(path)
                         os.remove(path)
                         yield blk
 
-            stats = engine._run_fast(wire_blocks(), result_file, is_gzip,
-                                     target)
+            stats = engine._run_fast_packed(wire_blocks(), result_file,
+                                            is_gzip, target)
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
             shutil.rmtree(part_dir, ignore_errors=True)

@@ -206,18 +206,85 @@ def parse_raw_feature_block(block: bytes, kmer_len: int = 13,
 def emit_call_rows(rb: RawFeatureBlock, lo: int, hi: int,
                    probs: np.ndarray) -> bytes:
     """Emit complete call_mods rows for rb rows [lo, hi) natively."""
+    return emit_call_rows_arrays(rb.raw, rb.row_starts[lo:hi],
+                                 rb.info_ends[lo:hi], rb.kmer[lo:hi], probs)
+
+
+def emit_call_rows_arrays(raw: bytes, starts: np.ndarray, ends: np.ndarray,
+                          kmer: np.ndarray, probs: np.ndarray) -> bytes:
+    """Emit complete call_mods rows natively from raw info-byte spans +
+    per-site kmer codes (the pieces both RawFeatureBlock and
+    PackedFeatureBlock carry)."""
     lib = get_native_lib()
     _configure(lib)
-    n = hi - lo
-    starts = np.ascontiguousarray(rb.row_starts[lo:hi])
-    ends = np.ascontiguousarray(rb.info_ends[lo:hi])
-    kmer = np.ascontiguousarray(rb.kmer[lo:hi])
+    n = len(starts)
+    starts = np.ascontiguousarray(starts)
+    ends = np.ascontiguousarray(ends)
+    kmer = np.ascontiguousarray(kmer)
     probs = np.ascontiguousarray(probs, np.float32)
     cap = int((ends - starts).sum()) + n * 40
     out = np.empty(cap, np.uint8)
-    total = lib.dsp_emit_call_rows(rb.raw, starts, ends, probs, kmer, n,
-                                   rb.kmer.shape[1], out)
+    total = lib.dsp_emit_call_rows(raw, starts, ends, probs, kmer, n,
+                                   kmer.shape[1], out)
     return out[:total].tobytes()
+
+
+class PackedFeatureBlock:
+    """Read-packed wire features: deduplicated per-base arrays over
+    concatenated reads plus per-site int32 window-center offsets.
+
+    Adjacent motif sites of one read share ``kmer_len - 1`` of their
+    ``kmer_len`` window bases, so a per-site wire (RawFeatureBlock)
+    re-ships every base up to kmer_len times. Packing the base axis once
+    and gathering the 13-mer windows *on device* (call_mods packed step)
+    cuts wire bytes by ~kmer_len/(bases-per-site) — ~3x for dense plant
+    C motifs — exactly where a remote-attached link's aggregate MB/s
+    bounds throughput. For sparse motifs (bases-per-site > kmer_len the
+    dedup loses) the engine falls back to host windows (to_raw_block).
+
+    ``centers`` is non-decreasing (reads are concatenated in order, site
+    locs are sorted within a read), which lets the engine split batches
+    at any site index by slicing the covering base range.
+    """
+    __slots__ = ("raw", "row_starts", "info_ends", "centers", "codes",
+                 "means", "stds", "lens", "rect", "labels", "kmer_len")
+
+    def __init__(self, raw, row_starts, info_ends, centers, codes, means,
+                 stds, lens, rect, labels, kmer_len):
+        self.raw = raw                  # info byte blob (cols 0-5 per site)
+        self.row_starts = row_starts    # (n,) int64 offsets into raw
+        self.info_ends = info_ends      # (n,) int64
+        self.centers = centers          # (n,) int32 offsets into base axis
+        self.codes = codes              # (nb,) int8 base codes
+        self.means = means              # (nb,) f16
+        self.stds = stds                # (nb,) f16
+        self.lens = lens                # (nb,) f16
+        self.rect = rect                # (nb, S) f16
+        self.labels = labels            # (n,) int32
+        self.kmer_len = kmer_len
+
+    @property
+    def n(self) -> int:
+        return len(self.labels)
+
+    @property
+    def n_bases(self) -> int:
+        return len(self.codes)
+
+    def window_index(self, lo: int = 0, hi: int | None = None) -> np.ndarray:
+        """(n, kmer_len) base-axis gather indices for sites [lo, hi)."""
+        nb = (self.kmer_len - 1) // 2
+        c = self.centers[lo:hi if hi is not None else self.n]
+        return c[:, None].astype(np.int64) + np.arange(-nb, nb + 1)[None, :]
+
+    def to_raw_block(self) -> RawFeatureBlock:
+        """Materialize per-site windows on host (used when site density is
+        too sparse for the packed wire to pay)."""
+        win = self.window_index()
+        return RawFeatureBlock(self.raw, self.row_starts, self.info_ends,
+                               self.codes[win], self.means[win],
+                               self.stds[win], self.lens[win],
+                               self.rect[win], self.labels)
 
 
 class CallBlock:

@@ -210,6 +210,50 @@ def is_wire_npz(path: str) -> bool:
         return False
 
 
+def wire_npz_version(path: str) -> int:
+    """0 = v1 (plain feature arrays), 2 = per-site wire, 3 = read-packed
+    wire. Reads only the tiny version member."""
+    if not is_wire_npz(path):
+        return 0
+    with np.load(path) as z:
+        return int(z["wire_version"])
+
+
+def save_packed_npz(path: str, pb) -> None:
+    """Read-packed wire container (.npz v3): deduplicated per-base arrays
+    + per-site window centers (fastparse.PackedFeatureBlock). The 13-mer
+    window gather happens on device — see the class docstring for the
+    wire-bytes math. Info blob layout matches v2."""
+    np.savez(path,
+             wire_version=np.uint8(3),
+             kmer_len=np.int32(pb.kmer_len),
+             info_blob=np.frombuffer(pb.raw, np.uint8),
+             row_starts=pb.row_starts.astype(np.int64),
+             info_ends=pb.info_ends.astype(np.int64),
+             centers=pb.centers.astype(np.int32),
+             codes=pb.codes.astype(np.int8),
+             base_means=pb.means.astype(np.float16),
+             base_stds=pb.stds.astype(np.float16),
+             base_signal_lens=pb.lens.astype(np.float16),
+             signals=pb.rect.astype(np.float16),
+             labels=pb.labels.astype(np.int32))
+
+
+def load_packed_npz(path: str):
+    """Load a read-packed wire .npz as a fastparse.PackedFeatureBlock."""
+    from .fastparse import PackedFeatureBlock
+    with np.load(path) as z:
+        centers = z["centers"]
+        if len(centers) > 1 and np.any(np.diff(centers) < 0):
+            raise ValueError(
+                f"{path}: packed-wire centers are not non-decreasing")
+        return PackedFeatureBlock(
+            z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
+            centers, z["codes"], z["base_means"], z["base_stds"],
+            z["base_signal_lens"], z["signals"],
+            z["labels"].astype(np.int32), int(z["kmer_len"]))
+
+
 def feature_npz_paths(path: str) -> list[str] | None:
     """If ``path`` is a .npz file or a directory containing .npz batches,
     return the sorted file list; else None."""

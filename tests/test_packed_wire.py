@@ -1,0 +1,241 @@
+"""Read-packed wire (.npz v3): dedup math, container roundtrip, engine
+parity with the per-site paths, batch splitting, sparse fallback."""
+import numpy as np
+import pytest
+
+from make_synthetic import synth_fast5_dir, synth_genome, write_fasta
+
+from deepsignal_plant_tpu.io.fast5 import read_tombo_fast5
+from deepsignal_plant_tpu.pipeline.extract import (
+    ExtractContext, ExtractOptions, extract_read_features,
+    features_to_batch, features_to_packed, features_to_rows)
+from deepsignal_plant_tpu.utils.fileio import get_fast5s
+from deepsignal_plant_tpu.utils.formats import (load_packed_npz,
+                                                save_packed_npz,
+                                                wire_npz_version)
+
+
+@pytest.fixture(scope="module")
+def feats_fixture(tmp_path_factory):
+    """A dense-motif (C) extraction: per-read feature dicts + their TSV
+    rows, from a synthetic resquiggled fast5 dir."""
+    rng = np.random.default_rng(1234)
+    tmp = tmp_path_factory.mktemp("packed")
+    genome = synth_genome(rng, {"chr1": 3000})
+    fasta = write_fasta(str(tmp / "ref.fa"), genome)
+    f5dir = str(tmp / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=6, read_len=150)
+    ctx = ExtractContext.build(ExtractOptions(motifs="C",
+                                              reference_path=fasta))
+    feats_list = []
+    for p in sorted(get_fast5s(f5dir, True)):
+        f = extract_read_features(read_tombo_fast5(p), ctx)
+        if f is not None:
+            feats_list.append(f)
+    assert len(feats_list) >= 4
+    rows = []
+    for f in feats_list:
+        rows.extend(features_to_rows(f))
+    return feats_list, rows
+
+
+def test_packed_matches_windowed_batch(feats_fixture):
+    """to_raw_block() (host window gather from the packed arrays) must
+    reproduce the per-site windowed arrays exactly."""
+    feats_list, _ = feats_fixture
+    pb = features_to_packed(feats_list)
+    fb = features_to_batch(feats_list, 13, 16)
+    assert pb.n == len(fb)
+    # dense motif: the dedup must actually pay
+    assert pb.n_bases / pb.n < 8.0
+    rb = pb.to_raw_block()
+    np.testing.assert_array_equal(rb.kmer, fb.kmer.astype(np.int8))
+    np.testing.assert_array_equal(rb.means,
+                                  fb.base_means.astype(np.float16))
+    np.testing.assert_array_equal(rb.stds, fb.base_stds.astype(np.float16))
+    np.testing.assert_array_equal(rb.slens,
+                                  fb.base_signal_lens.astype(np.float16))
+    np.testing.assert_array_equal(rb.signals,
+                                  fb.signals.astype(np.float16))
+    np.testing.assert_array_equal(rb.labels, fb.labels)
+    for i, s in enumerate(fb.sampleinfo):
+        assert pb.raw[pb.row_starts[i]:pb.info_ends[i]].decode() == s
+    # centers must be non-decreasing (the engine's batch splitter relies
+    # on slicing the covering base range)
+    assert np.all(np.diff(pb.centers) >= 0)
+
+
+def test_packed_npz_roundtrip(tmp_path, feats_fixture):
+    feats_list, _ = feats_fixture
+    pb = features_to_packed(feats_list)
+    p = str(tmp_path / "p.npz")
+    save_packed_npz(p, pb)
+    assert wire_npz_version(p) == 3
+    pb2 = load_packed_npz(p)
+    assert pb2.kmer_len == pb.kmer_len
+    assert pb2.raw == pb.raw
+    for attr in ("row_starts", "info_ends", "centers", "codes", "means",
+                 "stds", "lens", "rect", "labels"):
+        np.testing.assert_array_equal(getattr(pb2, attr),
+                                      getattr(pb, attr))
+
+
+def _make_engine(tmp_path, device_batch=64, transfer_dtype="float16",
+                 name="m.npz"):
+    import jax
+
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / name)
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(5), cfg), cfg)
+    return CallModsEngine(ckpt, cfg,
+                          CallConfig(device_batch=device_batch,
+                                     transfer_dtype=transfer_dtype))
+
+
+def test_engine_packed_vs_tsv(tmp_path, feats_fixture):
+    """Engine over a packed-wire dir == engine over the source TSV (info
+    columns byte-equal; probs within f16 double-rounding tolerance)."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    feat = str(tmp_path / "f.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    # two blocks: the engine batcher must merge across block boundaries
+    mid = len(feats_list) // 2
+    save_packed_npz(str(pdir / "000.npz"),
+                    features_to_packed(feats_list[:mid]))
+    save_packed_npz(str(pdir / "001.npz"),
+                    features_to_packed(feats_list[mid:]))
+
+    eng = _make_engine(tmp_path)
+    out_tsv = str(tmp_path / "calls_tsv.tsv")
+    eng.run_features_file(feat, out_tsv)
+    out_packed = str(tmp_path / "calls_packed.tsv")
+    st = eng.run_features_file(str(pdir), out_packed)
+    assert st.sites == len(rows)
+
+    a = open(out_tsv).read().splitlines()
+    b = open(out_packed).read().splitlines()
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        wa, wb = la.split("\t"), lb.split("\t")
+        assert wa[:6] == wb[:6] and wa[9] == wb[9]
+        assert abs(float(wa[6]) - float(wb[6])) < 3e-4
+
+
+def test_engine_packed_splitting_invariance(tmp_path, feats_fixture):
+    """Tiny device_batch (splits mid-block, multiple dispatches) must give
+    byte-identical output to one big batch."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    for i, f in enumerate(feats_list):
+        save_packed_npz(str(pdir / f"{i:03d}.npz"),
+                        features_to_packed([f]))
+
+    big = _make_engine(tmp_path, device_batch=2048, name="a.npz")
+    small = _make_engine(tmp_path, device_batch=16, name="b.npz")
+    out_big = str(tmp_path / "big.tsv")
+    out_small = str(tmp_path / "small.tsv")
+    st_big = big.run_features_file(str(pdir), out_big)
+    st_small = small.run_features_file(str(pdir), out_small)
+    assert st_big.sites == st_small.sites == len(rows)
+    assert open(out_big).read() == open(out_small).read()
+
+
+def test_engine_packed_sparse_fallback(tmp_path, feats_fixture):
+    """With the density threshold forced to 0 the engine must windowize on
+    host (per-site fast loop) and still produce identical output."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    save_packed_npz(str(pdir / "000.npz"), features_to_packed(feats_list))
+
+    eng = _make_engine(tmp_path, name="a.npz")
+    out_packed = str(tmp_path / "p.tsv")
+    eng.run_features_file(str(pdir), out_packed)
+
+    eng2 = _make_engine(tmp_path, name="b.npz")
+    eng2.PACKED_MAX_BASES_PER_SITE = 0.0   # force the sparse route
+    out_win = str(tmp_path / "w.tsv")
+    st = eng2.run_features_file(str(pdir), out_win)
+    assert st.sites == len(rows)
+    assert open(out_packed).read() == open(out_win).read()
+
+
+def test_engine_packed_int8_wire(tmp_path, feats_fixture):
+    """int8 transfer over the packed wire: same calls, probs within the
+    quantization tolerance."""
+    from deepsignal_plant_tpu.utils.fastparse import (native_available,
+                                                      quantize_int8)
+    if not native_available() or \
+            quantize_int8(np.ones(4, np.float16)) is None:
+        pytest.skip("native quantizer unavailable")
+    feats_list, rows = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    save_packed_npz(str(pdir / "000.npz"), features_to_packed(feats_list))
+
+    f16 = _make_engine(tmp_path, name="a.npz", transfer_dtype="float16")
+    i8 = _make_engine(tmp_path, name="b.npz", transfer_dtype="int8")
+    out_f16 = str(tmp_path / "f16.tsv")
+    out_i8 = str(tmp_path / "i8.tsv")
+    f16.run_features_file(str(pdir), out_f16)
+    st = i8.run_features_file(str(pdir), out_i8)
+    assert st.sites == len(rows)
+    a = open(out_f16).read().splitlines()
+    b = open(out_i8).read().splitlines()
+    for la, lb in zip(a, b):
+        wa, wb = la.split("\t"), lb.split("\t")
+        assert wa[:6] == wb[:6]
+        assert abs(float(wa[6]) - float(wb[6])) < 2e-3
+
+
+def test_extract_packed_cli_to_call_mods(tmp_path):
+    """extract --w_format npz_packed -> call_mods over the directory."""
+    import jax
+
+    from deepsignal_plant_tpu.cli import main as cli_main
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    genome = synth_genome(rng, {"chr1": 2000})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=4, read_len=120)
+
+    pdir = str(tmp_path / "packed")
+    cli_main(["extract", "--fast5_dir", f5dir, "--write_path", pdir,
+              "--reference_path", fasta, "--motifs", "C", "--nproc", "2",
+              "--w_format", "npz_packed"])
+    files = sorted(__import__("os").listdir(pdir))
+    assert files and all(f.endswith(".npz") for f in files)
+    assert wire_npz_version(str(tmp_path / "packed" / files[0])) == 3
+
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(0), cfg), cfg)
+    out = str(tmp_path / "calls.tsv")
+    cli_main(["call_mods", "-i", pdir, "-m", ckpt, "-o", out,
+              "--hid_rnn", "32", "--device_batch", "32"])
+    lines = open(out).read().splitlines()
+    assert lines and all(len(l.split("\t")) == 10 for l in lines)
