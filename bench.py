@@ -75,16 +75,18 @@ def build_engine(ckpt_path: str):
 
 
 def measure_passes(engine, features_path: str, warm_rows: int,
-                   budget_s: float, max_passes: int) -> list:
+                   budget_s: float, max_passes: int,
+                   warm_input: str | None = None) -> list:
     """Warm the compile with a single-batch file, then run up to
     ``max_passes`` full passes within a time budget; returns every pass's
     sites/s (the tunnel on this rig shows ~6x wall-clock variance between
     identical runs, so the distribution is reported, median as headline)."""
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "out.tsv")
-        warm_path = os.path.join(td, "warm.tsv")
-        make_features_file(warm_path, warm_rows)
-        engine.run_features_file(warm_path, out)
+        if warm_input is None:
+            warm_input = os.path.join(td, "warm.tsv")
+            make_features_file(warm_input, warm_rows)
+        engine.run_features_file(warm_input, out)
         rates = []
         t0 = time.time()
         for _ in range(max_passes):
@@ -109,6 +111,48 @@ def make_npz_dir(features_path: str, dirpath: str, rows_per_batch: int,
             from deepsignal_plant_tpu.io.batching import _split
             fb, _ = _split(fb, pb.n_valid)
         save_fn(os.path.join(dirpath, f"{i:06d}.npz"), fb)
+
+
+def make_packed_dir(dirpath: str, n_rows: int, rows_per_batch: int) -> None:
+    """Stage a read-packed wire dir (.npz v3) from fabricated per-read
+    features: 3000-base reads, C-like site density (~1 site / 4 bases) —
+    the regime the packed wire exists for. Row content doesn't affect
+    throughput; read/site structure does."""
+    from deepsignal_plant_tpu.pipeline.extract import features_to_packed
+    from deepsignal_plant_tpu.utils.formats import save_packed_npz
+    rng = np.random.default_rng(7)
+    os.makedirs(dirpath, exist_ok=True)
+    L, S = 3000, 16
+    base = "ACGT"
+
+    def one_read(ri: int) -> dict:
+        locs = np.flatnonzero(rng.random(L) < 0.25)
+        locs = locs[(locs >= 6) & (locs < L - 6)]
+        return {
+            "chrom": "chr1", "strand": "+",
+            "readname": f"read_{ri:06d}", "read_strand": "t",
+            "pos": locs + 1000, "pos_in_strand": locs + 1000,
+            "locs": locs, "kmer_len": 13,
+            "seq": "".join(base[i] for i in rng.integers(0, 4, L)),
+            "r_means": np.around(rng.normal(size=L), 6),
+            "r_stds": np.around(np.abs(rng.normal(size=L)), 6),
+            "r_lens": rng.integers(1, 30, L).astype(np.int32),
+            "r_rect": rng.normal(size=(L, S)).astype(np.float32),
+            "label": 0,
+        }
+
+    ri = bi = written = 0
+    while written < n_rows:
+        feats, n = [], 0
+        while n < rows_per_batch and written + n < n_rows:
+            f = one_read(ri)
+            ri += 1
+            feats.append(f)
+            n += len(f["locs"])
+        save_packed_npz(os.path.join(dirpath, f"{bi:06d}.npz"),
+                        features_to_packed(feats))
+        bi += 1
+        written += n
 
 
 def measure_torch_baseline(features_path: str) -> float:
@@ -198,6 +242,19 @@ def main() -> None:
         wire_rates = measure_passes(engine, wire_dir, DEVICE_BATCH,
                                     budget_s / 2, max_passes)
 
+        # read-packed wire: deduplicated base arrays + site centers,
+        # 13-mer window gather on device (~3x fewer wire bytes at C-motif
+        # density). Warm with a small packed dir — the packed step is a
+        # separate compile
+        packed_dir = os.path.join(td, "bench_packed")
+        make_packed_dir(packed_dir, N_ROWS, DEVICE_BATCH)
+        packed_warm = os.path.join(td, "bench_packed_warm")
+        make_packed_dir(packed_warm, min(N_ROWS, DEVICE_BATCH),
+                        DEVICE_BATCH)
+        packed_rates = measure_passes(engine, packed_dir, DEVICE_BATCH,
+                                      budget_s / 2, max_passes,
+                                      warm_input=packed_warm)
+
         try:
             base_rate = measure_torch_baseline(features_path)
         except Exception as exc:  # baseline is informative, not critical
@@ -227,6 +284,9 @@ def main() -> None:
         "wire_npz_median": round(statistics.median(wire_rates), 1),
         "wire_npz_passes": [round(r, 1) for r in wire_rates],
         "wire_npz_best": round(max(wire_rates), 1),
+        "packed_npz_median": round(statistics.median(packed_rates), 1),
+        "packed_npz_passes": [round(r, 1) for r in packed_rates],
+        "packed_npz_best": round(max(packed_rates), 1),
     }
     print(json.dumps(result))
 

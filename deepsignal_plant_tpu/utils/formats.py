@@ -193,6 +193,12 @@ def load_wire_npz(path: str):
     """Load a wire-format .npz batch as a fastparse.RawFeatureBlock."""
     from .fastparse import RawFeatureBlock
     with np.load(path) as z:
+        ver = int(z["wire_version"])
+        if ver != 2:
+            raise ValueError(
+                f"{path} is wire-format v{ver}, not v2 — a directory must "
+                "not mix wire versions (regenerate with one extract "
+                "--w_format)")
         return RawFeatureBlock(
             z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
             z["kmer"], z["base_means"], z["base_stds"],
@@ -243,6 +249,12 @@ def load_packed_npz(path: str):
     """Load a read-packed wire .npz as a fastparse.PackedFeatureBlock."""
     from .fastparse import PackedFeatureBlock
     with np.load(path) as z:
+        ver = int(z["wire_version"])
+        if ver != 3:
+            raise ValueError(
+                f"{path} is wire-format v{ver}, not v3 — a directory must "
+                "not mix wire versions (regenerate with one extract "
+                "--w_format)")
         centers = z["centers"]
         if len(centers) > 1 and np.any(np.diff(centers) < 0):
             raise ValueError(

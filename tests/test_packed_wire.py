@@ -80,6 +80,24 @@ def test_packed_npz_roundtrip(tmp_path, feats_fixture):
                                       getattr(pb, attr))
 
 
+def test_mixed_wire_versions_rejected(tmp_path, feats_fixture):
+    """The v2/v3 loaders refuse the other version with an actionable
+    message (a dir must not mix wire formats)."""
+    from deepsignal_plant_tpu.utils.formats import (load_wire_npz,
+                                                    parse_feature_lines,
+                                                    save_wire_npz)
+    feats_list, rows = feats_fixture
+    p3 = str(tmp_path / "v3.npz")
+    save_packed_npz(p3, features_to_packed(feats_list))
+    with pytest.raises(ValueError, match="wire-format v3"):
+        load_wire_npz(p3)
+    fb = parse_feature_lines([r + "\n" for r in rows[:4]])
+    p2 = str(tmp_path / "v2.npz")
+    save_wire_npz(p2, fb)
+    with pytest.raises(ValueError, match="wire-format v2"):
+        load_packed_npz(p2)
+
+
 def _make_engine(tmp_path, device_batch=64, transfer_dtype="float16",
                  name="m.npz"):
     import jax
