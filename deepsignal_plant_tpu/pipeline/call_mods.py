@@ -508,16 +508,24 @@ class CallModsEngine:
         from ..utils.fastparse import emit_call_rows_arrays
         from ..utils.prof import PROFILER
 
-        it = (pb for pb in iter(packed_blocks) if pb is not None and pb.n)
+        seq_len = self.model_cfg.seq_len
+
+        def checked(pb):
+            # every block, not just the first: a dir mixing extract runs
+            # of different --seq_len would otherwise gather wrong windows
+            # silently
+            if pb.kmer_len != seq_len:
+                raise ValueError(
+                    "packed wire kmer_len {} != model seq_len {}".format(
+                        pb.kmer_len, seq_len))
+            return pb
+
+        it = (checked(pb) for pb in iter(packed_blocks)
+              if pb is not None and pb.n)
         first = next(it, None)
         if first is None:
             AsyncWriter(result_path, is_gzip).close()
             return CallStats()
-        seq_len = self.model_cfg.seq_len
-        if first.kmer_len != seq_len:
-            raise ValueError(
-                "packed wire kmer_len {} != model seq_len {}".format(
-                    first.kmer_len, seq_len))
         stream = chain([first], it)
         density = first.n_bases / first.n
         if density > self.PACKED_MAX_BASES_PER_SITE:
@@ -626,7 +634,6 @@ class CallModsEngine:
                 return (_start_fetch(self._predict_packed(arrays)), segs,
                         labels, nv)
 
-        offs = np.arange(-nb, nb + 1)[None, :]
         for probs, segs, labels, nv in bounded_thread_map(
                 _dispatch, gen_batches(),
                 workers=self.call_cfg.dispatch_workers,
@@ -637,10 +644,10 @@ class CallModsEngine:
                 off = 0
                 out = []
                 for pb, lo, hi in segs:
-                    win = pb.centers[lo:hi, None].astype(np.int64) + offs
+                    kmer = pb.codes[pb.window_index(lo, hi)]
                     out.append(emit_call_rows_arrays(
                         pb.raw, pb.row_starts[lo:hi], pb.info_ends[lo:hi],
-                        pb.codes[win], probs[off:off + hi - lo]))
+                        kmer, probs[off:off + hi - lo]))
                     off += hi - lo
                 writer.write_bytes(b"".join(out))
             stats.sites += nv

@@ -788,7 +788,15 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                     for bi, b in enumerate(batches)}
 
             def wire_blocks():
-                for fut in as_completed(futs):
+                # part 0 first (blocking): the engine derives its packed
+                # routing + static base-axis cap from the first block, so
+                # that block must not depend on completion order
+                from itertools import chain
+                first = next((f for f, bi in futs.items() if bi == 0),
+                             None)
+                rest = (f for f in as_completed(futs) if f is not first)
+                for fut in chain([first] if first is not None else [],
+                                 rest):
                     n, err = fut.result()
                     err_box[0] += err
                     path = os.path.join(part_dir, f"{futs[fut]:06d}.npz")
@@ -797,8 +805,10 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                         os.remove(path)
                         yield blk
 
-            stats = engine._run_fast_packed(wire_blocks(), result_file,
-                                            is_gzip, target)
+            from ..io.batching import PrefetchIterator
+            stats = engine._run_fast_packed(
+                PrefetchIterator(wire_blocks(), depth=4), result_file,
+                is_gzip, target)
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
             shutil.rmtree(part_dir, ignore_errors=True)

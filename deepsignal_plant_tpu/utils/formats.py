@@ -146,10 +146,12 @@ def load_feature_npz(path: str, with_read_ids: bool = True
                      ) -> FeatureBatch:
     with np.load(path) as z:
         if "sampleinfo" not in z.files:
+            ver = (int(z["wire_version"])
+                   if "wire_version" in z.files else "?")
             raise ValueError(
-                f"{path} is a wire-format (v2) inference container; "
+                f"{path} is a wire-format (v{ver}) inference container; "
                 "training and tools need the v1 container "
-                "(save_feature_npz)")
+                "(save_feature_npz / extract --w_format npz)")
         sampleinfo = [s.decode() for s in z["sampleinfo"]]
         return FeatureBatch(
             sampleinfo,
@@ -256,9 +258,16 @@ def load_packed_npz(path: str):
                 "not mix wire versions (regenerate with one extract "
                 "--w_format)")
         centers = z["centers"]
+        kmer_len = int(z["kmer_len"])
+        nb = (kmer_len - 1) // 2
         if len(centers) > 1 and np.any(np.diff(centers) < 0):
             raise ValueError(
                 f"{path}: packed-wire centers are not non-decreasing")
+        if len(centers) and (int(centers[0]) < nb or
+                             int(centers[-1]) + nb >= len(z["codes"])):
+            raise ValueError(
+                f"{path}: packed-wire centers out of bounds for the base "
+                "axis (corrupt or truncated container)")
         return PackedFeatureBlock(
             z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
             centers, z["codes"], z["base_means"], z["base_stds"],

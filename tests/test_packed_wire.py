@@ -98,6 +98,39 @@ def test_mixed_wire_versions_rejected(tmp_path, feats_fixture):
         load_packed_npz(p2)
 
 
+def test_packed_bounds_validation(tmp_path, feats_fixture):
+    """Corrupt/truncated packed containers (centers outside the base
+    axis) are rejected at load."""
+    feats_list, _ = feats_fixture
+    pb = features_to_packed(feats_list)
+    p = str(tmp_path / "t.npz")
+    truncated = type(pb)(pb.raw, pb.row_starts, pb.info_ends, pb.centers,
+                         pb.codes[:int(pb.centers[-1])], pb.means,
+                         pb.stds, pb.lens, pb.rect, pb.labels, pb.kmer_len)
+    save_packed_npz(p, truncated)
+    with pytest.raises(ValueError, match="out of bounds"):
+        load_packed_npz(p)
+
+
+def test_packed_kmer_len_mismatch_rejected(tmp_path, feats_fixture):
+    """Every block's kmer_len is validated — a later block from a
+    different --seq_len extract run must fail loudly, not gather wrong
+    windows."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, _ = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    save_packed_npz(str(pdir / "000.npz"), features_to_packed(feats_list))
+    bad = features_to_packed(feats_list)
+    bad.kmer_len = 11   # 11 keeps load-time bounds valid (nb shrinks)
+    save_packed_npz(str(pdir / "001.npz"), bad)
+    eng = _make_engine(tmp_path)
+    with pytest.raises(ValueError, match="kmer_len"):
+        eng.run_features_file(str(pdir), str(tmp_path / "out.tsv"))
+
+
 def _make_engine(tmp_path, device_batch=64, transfer_dtype="float16",
                  name="m.npz"):
     import jax
