@@ -691,3 +691,136 @@ float dsp_quantize_i8_f32(const float* in, int64_t n, int8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// read-packed repacking of parsed per-site rows (the TSV -> packed-wire
+// bridge). Consecutive rows of one read carry overlapping kmer windows
+// (adjacent motif sites share L-1 of their L window bases); this pass
+// rebuilds the deduplicated per-base arrays + int32 window centers the
+// packed device step consumes. Dedup is CONSERVATIVE: a row joins the
+// previous row's run only when its identity columns (chrom, strand,
+// readname, read_strand) match, |pos delta| < L, and every overlapping
+// window byte (kmer, means, stds, slens, signals) is identical —
+// otherwise it starts a fresh L-base segment, which is always correct
+// (just not deduplicated). Any row order (sorted, shuffled, multi-read
+// interleaved) therefore yields byte-identical downstream output.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// tokenize the 6 passthrough cols of one info span; returns false on
+// malformed input. tok[k]/tlen[k] cover cols 0..5.
+inline bool split_info(const char* s, const char* e, const char** tok,
+                       int64_t* tlen) {
+    for (int k = 0; k < 6; ++k) {
+        tok[k] = s;
+        const char* t = (k < 5)
+            ? static_cast<const char*>(memchr(s, '\t', e - s)) : e;
+        if (!t) return false;
+        tlen[k] = t - s;
+        s = t + 1;
+    }
+    return true;
+}
+
+inline bool tok_eq(const char* a, int64_t alen, const char* b,
+                   int64_t blen) {
+    return alen == blen && memcmp(a, b, size_t(alen)) == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the packed base count (>= 0), or -(row+1) on a malformed info
+// span. Output capacities: codes/means/stds/lens n*L elements, rect
+// n*L*S, centers n.
+int64_t dsp_pack_rows(const char* buf, const int64_t* row_starts,
+                      const int64_t* info_ends, const int8_t* kmer,
+                      const uint16_t* means, const uint16_t* stds,
+                      const uint16_t* slens, const uint16_t* signals,
+                      int64_t n, int32_t L, int32_t S, int8_t* codes_out,
+                      uint16_t* means_out, uint16_t* stds_out,
+                      uint16_t* lens_out, uint16_t* rect_out,
+                      int32_t* centers_out) {
+    const int nb = (L - 1) / 2;
+    int64_t off = 0;           // bases written
+    int64_t prev_center = -1;  // previous row's center (output axis)
+    int64_t prev_pos = 0;
+    const char* ptok[6];
+    int64_t plen[6] = {0, 0, 0, 0, 0, 0};
+    bool have_prev = false;
+
+    for (int64_t r = 0; r < n; ++r) {
+        const char* s = buf + row_starts[r];
+        const char* e = buf + info_ends[r];
+        const char* tok[6];
+        int64_t tlen[6];
+        if (!split_info(s, e, tok, tlen)) return -(r + 1);
+        // col 1: pos (non-negative integer)
+        int64_t pos = 0;
+        bool dig = false;
+        for (const char* q = tok[1]; q < tok[1] + tlen[1]; ++q) {
+            if (*q < '0' || *q > '9') { dig = false; break; }
+            pos = pos * 10 + (*q - '0');
+            dig = true;
+        }
+        if (!dig) return -(r + 1);
+
+        const int8_t* krow = kmer + r * L;
+        const uint16_t* mrow = means + r * L;
+        const uint16_t* drow = stds + r * L;
+        const uint16_t* lrow = slens + r * L;
+        const uint16_t* srow = signals + r * int64_t(L) * S;
+
+        int64_t shift = -1;
+        if (have_prev && tok_eq(tok[0], tlen[0], ptok[0], plen[0]) &&
+            tok_eq(tok[2], tlen[2], ptok[2], plen[2]) &&
+            tok_eq(tok[4], tlen[4], ptok[4], plen[4]) &&
+            tok_eq(tok[5], tlen[5], ptok[5], plen[5])) {
+            int64_t d = pos > prev_pos ? pos - prev_pos : prev_pos - pos;
+            if (d < L) {
+                // verify every overlapping byte against the previous
+                // row's shifted view (reads from the OUTPUT arrays, which
+                // hold the previous window ending at prev_center + nb)
+                int64_t ov = L - d;  // overlap length
+                int64_t pbase = prev_center - nb + d;  // output-axis start
+                if (memcmp(krow, codes_out + pbase, size_t(ov)) == 0 &&
+                    memcmp(mrow, means_out + pbase, size_t(ov) * 2) == 0 &&
+                    memcmp(drow, stds_out + pbase, size_t(ov) * 2) == 0 &&
+                    memcmp(lrow, lens_out + pbase, size_t(ov) * 2) == 0 &&
+                    memcmp(srow, rect_out + pbase * S,
+                           size_t(ov) * S * 2) == 0)
+                    shift = d;
+            }
+        }
+
+        if (shift < 0) {                       // fresh segment: all L bases
+            memcpy(codes_out + off, krow, size_t(L));
+            memcpy(means_out + off, mrow, size_t(L) * 2);
+            memcpy(stds_out + off, drow, size_t(L) * 2);
+            memcpy(lens_out + off, lrow, size_t(L) * 2);
+            memcpy(rect_out + off * S, srow, size_t(L) * S * 2);
+            prev_center = off + nb;
+            off += L;
+        } else if (shift > 0) {                // append the new tail bases
+            memcpy(codes_out + off, krow + (L - shift), size_t(shift));
+            memcpy(means_out + off, mrow + (L - shift),
+                   size_t(shift) * 2);
+            memcpy(stds_out + off, drow + (L - shift), size_t(shift) * 2);
+            memcpy(lens_out + off, lrow + (L - shift), size_t(shift) * 2);
+            memcpy(rect_out + off * S, srow + (L - shift) * S,
+                   size_t(shift) * S * 2);
+            prev_center += shift;
+            off += shift;
+        }                                      // shift == 0: duplicate site
+        centers_out[r] = int32_t(prev_center);
+        prev_pos = pos;
+        memcpy(ptok, tok, sizeof(tok));
+        memcpy(plen, tlen, sizeof(tlen));
+        have_prev = true;
+    }
+    return off;
+}
+
+}  // extern "C"

@@ -58,6 +58,10 @@ def _configure(lib) -> None:
     lib.dsp_quantize_i8_f16.restype = ctypes.c_float
     lib.dsp_quantize_i8_f32.argtypes = [f32p, i64, i8p]
     lib.dsp_quantize_i8_f32.restype = ctypes.c_float
+    lib.dsp_pack_rows.argtypes = [c_char_p, i64p, i64p, i8p, u16p, u16p,
+                                  u16p, u16p, i64, i32, i32, i8p, u16p,
+                                  u16p, u16p, u16p, i32p]
+    lib.dsp_pack_rows.restype = i64
     _configured = True
 
 
@@ -245,12 +249,17 @@ class PackedFeatureBlock:
     ``centers`` is non-decreasing (reads are concatenated in order, site
     locs are sorted within a read), which lets the engine split batches
     at any site index by slicing the covering base range.
+
+    ``src`` optionally holds the RawFeatureBlock a packed block was
+    rebuilt from (pack_raw_block) so a sparse-density fallback returns
+    the original windows instead of re-gathering them.
     """
     __slots__ = ("raw", "row_starts", "info_ends", "centers", "codes",
-                 "means", "stds", "lens", "rect", "labels", "kmer_len")
+                 "means", "stds", "lens", "rect", "labels", "kmer_len",
+                 "src")
 
     def __init__(self, raw, row_starts, info_ends, centers, codes, means,
-                 stds, lens, rect, labels, kmer_len):
+                 stds, lens, rect, labels, kmer_len, src=None):
         self.raw = raw                  # info byte blob (cols 0-5 per site)
         self.row_starts = row_starts    # (n,) int64 offsets into raw
         self.info_ends = info_ends      # (n,) int64
@@ -262,6 +271,7 @@ class PackedFeatureBlock:
         self.rect = rect                # (nb, S) f16
         self.labels = labels            # (n,) int32
         self.kmer_len = kmer_len
+        self.src = src
 
     @property
     def n(self) -> int:
@@ -280,11 +290,52 @@ class PackedFeatureBlock:
     def to_raw_block(self) -> RawFeatureBlock:
         """Materialize per-site windows on host (used when site density is
         too sparse for the packed wire to pay)."""
+        if self.src is not None:
+            return self.src
         win = self.window_index()
         return RawFeatureBlock(self.raw, self.row_starts, self.info_ends,
                                self.codes[win], self.means[win],
                                self.stds[win], self.lens[win],
                                self.rect[win], self.labels)
+
+
+def pack_raw_block(rb: RawFeatureBlock,
+                   kmer_len: int | None = None) -> PackedFeatureBlock:
+    """Rebuild the read-packed wire from parsed per-site rows (the TSV ->
+    packed bridge, native dsp_pack_rows). Dedup is conservative — rows
+    join a run only when their identity columns match and every
+    overlapping window byte is identical — so ANY row order yields
+    byte-identical downstream output; non-extraction-ordered rows just
+    pack worse. The original block rides along as ``src`` for the
+    sparse-density fallback."""
+    lib = get_native_lib()
+    _configure(lib)
+    n, L = rb.kmer.shape
+    S = rb.signals.shape[2]
+    cap = n * L
+    codes = np.empty(cap, np.int8)
+    means = np.empty(cap, np.float16)
+    stds = np.empty(cap, np.float16)
+    lens = np.empty(cap, np.float16)
+    rect = np.empty((cap, S), np.float16)
+    centers = np.empty(n, np.int32)
+    nb_out = lib.dsp_pack_rows(
+        rb.raw, np.ascontiguousarray(rb.row_starts),
+        np.ascontiguousarray(rb.info_ends),
+        np.ascontiguousarray(rb.kmer),
+        np.ascontiguousarray(rb.means).view(np.uint16),
+        np.ascontiguousarray(rb.stds).view(np.uint16),
+        np.ascontiguousarray(rb.slens).view(np.uint16),
+        np.ascontiguousarray(rb.signals).view(np.uint16), n, L, S,
+        codes, means.view(np.uint16), stds.view(np.uint16),
+        lens.view(np.uint16), rect.reshape(-1).view(np.uint16), centers)
+    if nb_out < 0:
+        raise ValueError(f"malformed info columns at row {-nb_out - 1}")
+    nb_out = int(nb_out)
+    return PackedFeatureBlock(rb.raw, rb.row_starts, rb.info_ends, centers,
+                              codes[:nb_out], means[:nb_out],
+                              stds[:nb_out], lens[:nb_out], rect[:nb_out],
+                              rb.labels, L, src=rb)
 
 
 class CallBlock:

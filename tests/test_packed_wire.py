@@ -256,6 +256,86 @@ def test_engine_packed_int8_wire(tmp_path, feats_fixture):
         assert abs(float(wa[6]) - float(wb[6])) < 2e-3
 
 
+def test_pack_raw_block_roundtrip(feats_fixture):
+    """dsp_pack_rows rebuilds the packed wire from parsed per-site rows;
+    re-windowing it must reproduce the rows exactly, and the dedup must
+    match the direct features_to_packed packing."""
+    from deepsignal_plant_tpu.utils.fastparse import (
+        native_available, pack_raw_block, parse_raw_feature_block)
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    raw = ("\n".join(rows) + "\n").encode()
+    rb = parse_raw_feature_block(raw)
+    pb = pack_raw_block(rb)
+    assert pb.n == len(rows)
+    # extraction-ordered rows must dedup at least as well as the direct
+    # packing (the repacker also skips read bases outside any window)
+    direct = features_to_packed(feats_list)
+    assert pb.n_bases <= direct.n_bases
+    # src fallback returns the original block untouched
+    assert pb.to_raw_block() is rb
+    # windows gathered from the packed axis == the parsed rows
+    win = pb.window_index()
+    np.testing.assert_array_equal(pb.codes[win], rb.kmer)
+    np.testing.assert_array_equal(pb.means[win], rb.means)
+    np.testing.assert_array_equal(pb.rect[win], rb.signals)
+
+
+def test_pack_raw_block_any_row_order(feats_fixture, tmp_path):
+    """Shuffled rows (no exploitable adjacency) must still produce
+    byte-identical engine output — dedup is correctness-conservative."""
+    from deepsignal_plant_tpu.utils.fastparse import (
+        native_available, pack_raw_block, parse_raw_feature_block)
+    if not native_available():
+        pytest.skip("native library unavailable")
+    _, rows = feats_fixture
+    rng = np.random.default_rng(3)
+    shuffled = [rows[i] for i in rng.permutation(len(rows))]
+    raw = ("\n".join(shuffled) + "\n").encode()
+    rb = parse_raw_feature_block(raw)
+    pb = pack_raw_block(rb)
+    # shuffling destroys adjacency: nearly every row is a fresh segment
+    assert pb.n_bases > 0.9 * pb.n * 13
+    win = pb.window_index()
+    np.testing.assert_array_equal(pb.codes[win], rb.kmer)
+    np.testing.assert_array_equal(pb.rect[win], rb.signals)
+
+    feat = str(tmp_path / "shuf.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(shuffled) + "\n")
+    eng = _make_engine(tmp_path, name="a.npz")
+    out_a = str(tmp_path / "a.tsv")
+    eng.run_features_file(feat, out_a)
+    # force the per-site route for the oracle
+    eng2 = _make_engine(tmp_path, name="b.npz")
+    eng2.PACKED_MAX_BASES_PER_SITE = 0.0
+    out_b = str(tmp_path / "b.tsv")
+    eng2.run_features_file(feat, out_b)
+    assert open(out_a).read() == open(out_b).read()
+
+
+def test_engine_tsv_packed_route_byte_identical(tmp_path, feats_fixture):
+    """The TSV fast path's packed route output must be byte-identical to
+    the per-site route on extraction-ordered rows."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    _, rows = feats_fixture
+    feat = str(tmp_path / "f.tsv")
+    with open(feat, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    packed = _make_engine(tmp_path, name="a.npz")
+    persite = _make_engine(tmp_path, name="b.npz")
+    persite.PACKED_MAX_BASES_PER_SITE = 0.0
+    out_a = str(tmp_path / "a.tsv")
+    out_b = str(tmp_path / "b.tsv")
+    sa = packed.run_features_file(feat, out_a)
+    sb = persite.run_features_file(feat, out_b)
+    assert sa.sites == sb.sites == len(rows)
+    assert open(out_a).read() == open(out_b).read()
+
+
 def test_extract_packed_cli_to_call_mods(tmp_path):
     """extract --w_format npz_packed -> call_mods over the directory."""
     import jax
