@@ -243,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "yes", "no"],
                    help="stream the training file in shuffled blocks "
                         "(bounded memory); auto streams files over 8GB")
+    p.add_argument("--device_resident", type=str, default="auto",
+                   choices=["auto", "never"],
+                   help="auto: keep in-memory datasets resident in device "
+                        "HBM and run step_interval steps per dispatch in "
+                        "one compiled scan (single-device; no per-step "
+                        "host->device input traffic)")
     p.add_argument("--tmpdir", type=str, default="/tmp")
     p.set_defaults(func=main_train)
 

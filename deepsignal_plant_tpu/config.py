@@ -114,3 +114,7 @@ class TrainConfig:
     optim_type: str = "Adam"      # Adam | RMSprop | SGD | Ranger
     clip_grad: float = 0.5
     seed: int = 1234
+    #: "auto": single-device in-memory datasets are uploaded to HBM once
+    #: and `step_interval` steps run per dispatch in one jitted scan
+    #: (no per-step host->device input traffic); "never" disables
+    device_resident: str = "auto"

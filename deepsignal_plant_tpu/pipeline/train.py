@@ -29,7 +29,7 @@ import optax
 
 from ..config import ModelConfig, TrainConfig
 from ..io.dataset import FeatureDataset
-from ..models.bilstm import forward, init_params
+from ..models.bilstm import Batch, forward, init_params
 from ..models.convert import load_any_checkpoint, save_checkpoint
 from ..ops.optim import make_optimizer, step_decay_schedule
 from ..parallel.mesh import batch_sharding, make_mesh
@@ -47,6 +47,15 @@ def weighted_ce(logits: jax.Array, labels: jax.Array,
     if sample_mask is not None:
         w = w * sample_mask
     return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def _clip_and_update(tx, clip_grad: float, params, opt_state, grads):
+    """Global-norm clip at 0.5 (reference train.py:127) + optimizer step."""
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, clip_grad / jnp.maximum(gnorm, 1e-12))
+    grads = jax.tree.map(lambda g: g * scale, grads)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
@@ -69,12 +78,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         return weighted_ce(logits, labels, cw, mask)
 
     def _update(params, opt_state, loss, grads):
-        # global-norm clip at 0.5 (reference train.py:127)
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, clip_grad / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _clip_and_update(tx, clip_grad, params,
+                                             opt_state, grads)
         return params, opt_state, loss
 
     if sharding is None:
@@ -180,6 +185,113 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
         out_specs=P(), check_vma=False))
 
 
+# ---------------------------------------------------------------------------
+# device-resident data plane: the datasets live in HBM, and an epoch runs as
+# a handful of dispatches — each one a jitted lax.scan over `step_interval`
+# train steps that gather their rows from the resident arrays by the epoch
+# permutation. No per-step host->device input traffic exists at all; on
+# remote-attached links this amortizes the round-trip latency over the whole
+# eval interval, and on any rig it removes the host input pipeline from the
+# step loop (single-device mode; pods keep host-sharded feeding).
+# ---------------------------------------------------------------------------
+
+#: resident mode auto-enables only when both datasets fit comfortably in
+#: HBM next to the model + activations (v5e: 16 GB)
+RESIDENT_MAX_BYTES = int(os.environ.get("DSP_RESIDENT_MAX_BYTES",
+                                        8 << 30))
+
+
+def dataset_nbytes(ds) -> int:
+    return (ds.kmer.nbytes + ds.base_means.nbytes + ds.base_stds.nbytes +
+            ds.base_signal_lens.nbytes + ds.signals.nbytes +
+            ds.labels.nbytes)
+
+
+def device_put_dataset(ds) -> tuple[Batch, jax.Array]:
+    """Upload a FeatureDataset's arrays once, via a jitted identity (a
+    bare device_put can stall for minutes on remote-attached backends;
+    jit-arg transfer takes the fast path)."""
+    up = jax.jit(lambda b, l: (b, l))
+    batch = Batch(ds.kmer, ds.base_means, ds.base_stds,
+                  ds.base_signal_lens, ds.signals)
+    return up(batch, ds.labels)
+
+
+def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
+                     class_weights: np.ndarray, clip_grad: float,
+                     k_steps: int, batch_size: int, n_rows: int):
+    """``k_steps`` train steps in ONE dispatch: a jitted lax.scan whose
+    body gathers batch ``t`` from the device-resident data by the epoch
+    permutation (padded to steps*B; the tail step masks its padding).
+    Numerics match the per-step path: same gather rows, same fold_in
+    dropout stream, same clip + optimizer update."""
+    cw = jnp.asarray(class_weights, jnp.float32)
+    K, B, N = k_steps, batch_size, n_rows
+
+    def chunk(params, opt_state, data, labels_all, perm, epoch_step0,
+              global_step0, key):
+        def body(carry, t):
+            params, opt_state = carry
+            pos = epoch_step0 + t
+            idx = jax.lax.dynamic_slice(perm, (pos * B,), (B,))
+            batch = Batch(*(a[idx] for a in data))
+            labels = labels_all[idx]
+            nv = jnp.clip(N - pos * B, 0, B)
+            mask = (jnp.arange(B) < nv).astype(jnp.float32)
+            rng = jax.random.fold_in(key, global_step0 + t)
+
+            def loss_fn(p):
+                logits, _ = forward(p, batch, cfg, train=True,
+                                    dropout_rng=rng)
+                return weighted_ce(logits, labels, cw, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = _clip_and_update(tx, clip_grad, params,
+                                                 opt_state, grads)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(K))
+        return params, opt_state, losses
+
+    return jax.jit(chunk, donate_argnums=(0, 1))
+
+
+def make_eval_chunk(cfg: ModelConfig, class_weights: np.ndarray,
+                    batch_size: int, k_steps: int, n_rows: int):
+    """Full-validation eval in ONE dispatch: scan over row slices of the
+    device-resident valid set -> (per-step weighted-CE losses, summed
+    [correct, total, tp, fp, fn]) — exactly evaluate()'s metrics."""
+    cw = jnp.asarray(class_weights, jnp.float32)
+    K, B, N = k_steps, batch_size, n_rows
+
+    def chunk(params, data, labels_all):
+        def body(totals, t):
+            lo = t * B
+            idx = jnp.minimum(lo + jnp.arange(B), N - 1)
+            batch = Batch(*(a[idx] for a in data))
+            labels = labels_all[idx]
+            nv = jnp.clip(N - lo, 0, B)
+            mask = (jnp.arange(B) < nv).astype(jnp.float32)
+            logits, probs = forward(params, batch, cfg, train=False)
+            loss = weighted_ce(logits, labels, cw, mask)
+            pred = jnp.argmax(probs, axis=1)
+            valid = mask > 0
+            counts = jnp.stack([
+                jnp.sum((pred == labels) & valid), jnp.sum(valid),
+                jnp.sum(valid & (pred == 1) & (labels == 1)),
+                jnp.sum(valid & (pred == 1) & (labels == 0)),
+                jnp.sum(valid & (pred == 0) & (labels == 1))]
+            ).astype(jnp.float32)
+            return totals + counts, loss
+
+        totals, losses = jax.lax.scan(body, jnp.zeros(5, jnp.float32),
+                                      jnp.arange(K))
+        return losses, totals
+
+    return jax.jit(chunk)
+
+
 def evaluate(params, dataset: FeatureDataset, eval_step, batch_size: int,
              class_weights: np.ndarray) -> dict:
     preds, labels, losses = [], [], []
@@ -273,7 +385,8 @@ def train(args) -> dict:
         batch_size=args.batch_size, lr=args.lr, lr_decay=args.lr_decay,
         lr_decay_step=args.lr_decay_step, max_epoch_num=args.max_epoch_num,
         min_epoch_num=args.min_epoch_num, step_interval=args.step_interval,
-        pos_weight=args.pos_weight, optim_type=args.optim_type)
+        pos_weight=args.pos_weight, optim_type=args.optim_type,
+        device_resident=getattr(args, "device_resident", "auto"))
 
     print("reading data..")
     stream = getattr(args, "stream", "auto")
@@ -426,6 +539,43 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 "precision": tp / (tp + fp) if tp + fp else 0.0,
                 "recall": tp / (tp + fn) if tp + fn else 0.0}
 
+    # device-resident data plane: single-device, in-memory datasets that
+    # fit HBM next to the model (see the module-level section comment)
+    resident = (train_cfg.device_resident != "never" and not multihost
+                and sharding is None and hasattr(train_ds, "batch_at")
+                and hasattr(valid_ds, "batch_at")
+                and dataset_nbytes(train_ds) + dataset_nbytes(valid_ds)
+                <= RESIDENT_MAX_BYTES)
+    evaluate_fn = _evaluate
+    if resident:
+        dtrain, ltrain = device_put_dataset(train_ds)
+        dvalid, lvalid = device_put_dataset(valid_ds)
+        steps_eval_res = max(1, int(np.ceil(len(valid_ds) / batch_size)))
+        eval_chunk = make_eval_chunk(model_cfg, class_weights, batch_size,
+                                     steps_eval_res, len(valid_ds))
+        _chunk_cache: dict = {}
+
+        def _train_chunk(k: int):
+            if k not in _chunk_cache:
+                _chunk_cache[k] = make_train_chunk(
+                    model_cfg, tx, class_weights, train_cfg.clip_grad, k,
+                    batch_size, len(train_ds))
+            return _chunk_cache[k]
+
+        def evaluate_fn(params):  # noqa: F811 — resident override
+            losses, totals = eval_chunk(params, dvalid, lvalid)
+            correct, total, tp, fp, fn = np.asarray(totals, np.float64)
+            return {"loss": float(np.mean(np.asarray(losses))),
+                    "accuracy": correct / total if total else 0.0,
+                    "precision": tp / (tp + fp) if tp + fp else 0.0,
+                    "recall": tp / (tp + fn) if tp + fn else 0.0}
+
+        if verbose:
+            print("device-resident data plane: {} train + {} valid rows "
+                  "in HBM, {} steps/dispatch".format(
+                      len(train_ds), len(valid_ds),
+                      train_cfg.step_interval))
+
     if verbose:
         print("total_step: {}".format(steps_per_epoch))
     curr_best_accuracy = 0.0
@@ -497,48 +647,75 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     batch_size, shuffle=True, rng=rng_np,
                     pad_to_batch=True)
 
-        for i, (batch, labels, n_valid) in enumerate(_epoch_batches()):
-            mask = np.zeros(batch_size, np.float32)
-            mask[:n_valid] = 1.0
-            step_key = jax.random.fold_in(key, global_step)
-            fb, fl, fm = _feed(batch, labels, mask)
-            params, opt_state, loss = train_step(params, opt_state, fb, fl,
-                                                 fm, step_key)
-            tlosses.append(loss)
-            global_step += 1
+        def _eval_boundary(step_in_epoch: int):
+            """Shared eval + best-ckpt + log block (host and resident
+            paths), run at every step_interval boundary / epoch end."""
+            nonlocal curr_best_accuracy, curr_best_accuracy_epoch
+            nonlocal no_best_model, best_ckpt, tlosses, tic
+            stats = evaluate_fn(params)
+            v_acc = stats["accuracy"]
+            if v_acc > curr_best_accuracy_epoch:
+                curr_best_accuracy_epoch = v_acc
+                if curr_best_accuracy_epoch > curr_best_accuracy - 0.0002:
+                    if model_dir is not None and pid == 0:
+                        best_ckpt = ckpt_name(model_dir, model_cfg.module,
+                                              model_cfg.seq_len,
+                                              model_cfg.signal_len,
+                                              epoch + 1)
+                        save_checkpoint(best_ckpt, jax.device_get(params),
+                                        model_cfg)
+                    if curr_best_accuracy_epoch > curr_best_accuracy:
+                        curr_best_accuracy = curr_best_accuracy_epoch
+                        no_best_model = False
+            if verbose:
+                print("Epoch [{}/{}], Step [{}/{}], TrainLoss: {:.4f}; "
+                      "ValidLoss: {:.4f}, Accuracy: {:.4f}, "
+                      "Precision: {:.4f}, Recall: {:.4f}, "
+                      "curr_epoch_best_accuracy: {:.4f}; Time: {:.2f}s"
+                      .format(epoch + 1, train_cfg.max_epoch_num,
+                              step_in_epoch, steps_per_epoch,
+                              float(np.mean([float(x) for x in tlosses])),
+                              stats["loss"], v_acc, stats["precision"],
+                              stats["recall"], curr_best_accuracy_epoch,
+                              time.time() - tic))
+                sys.stdout.flush()
+            tlosses = []
+            tic = time.time()
 
-            if (i + 1) % train_cfg.step_interval == 0 \
-                    or (i + 1) == steps_per_epoch:
-                stats = _evaluate(params)
-                v_acc = stats["accuracy"]
-                if v_acc > curr_best_accuracy_epoch:
-                    curr_best_accuracy_epoch = v_acc
-                    if curr_best_accuracy_epoch > curr_best_accuracy - 0.0002:
-                        if model_dir is not None and pid == 0:
-                            best_ckpt = ckpt_name(model_dir, model_cfg.module,
-                                                  model_cfg.seq_len,
-                                                  model_cfg.signal_len,
-                                                  epoch + 1)
-                            save_checkpoint(best_ckpt,
-                                            jax.device_get(params),
-                                            model_cfg)
-                        if curr_best_accuracy_epoch > curr_best_accuracy:
-                            curr_best_accuracy = curr_best_accuracy_epoch
-                            no_best_model = False
-                if verbose:
-                    print("Epoch [{}/{}], Step [{}/{}], TrainLoss: {:.4f}; "
-                          "ValidLoss: {:.4f}, Accuracy: {:.4f}, "
-                          "Precision: {:.4f}, Recall: {:.4f}, "
-                          "curr_epoch_best_accuracy: {:.4f}; Time: {:.2f}s"
-                          .format(epoch + 1, train_cfg.max_epoch_num, i + 1,
-                                  steps_per_epoch,
-                                  float(np.mean([float(x) for x in tlosses])),
-                                  stats["loss"], v_acc, stats["precision"],
-                                  stats["recall"], curr_best_accuracy_epoch,
-                                  time.time() - tic))
-                    sys.stdout.flush()
-                tlosses = []
-                tic = time.time()
+        if resident:
+            # epoch = a handful of dispatches: one jitted scan of up to
+            # step_interval steps per eval interval. The permutation is
+            # drawn from the SAME host rng stream as the host path, so a
+            # given seed produces identical epoch orders in both modes.
+            perm = rng_np.permutation(len(train_ds))
+            pad_n = steps_per_epoch * batch_size - len(perm)
+            if pad_n > 0:
+                perm = np.concatenate([perm, np.zeros(pad_n, perm.dtype)])
+            perm = perm.astype(np.int32)
+            s0 = 0
+            while s0 < steps_per_epoch:
+                k = min(train_cfg.step_interval, steps_per_epoch - s0)
+                params, opt_state, losses = _train_chunk(k)(
+                    params, opt_state, dtrain, ltrain, perm, s0,
+                    global_step, key)
+                global_step += k
+                s0 += k
+                tlosses.extend(np.asarray(losses).tolist())
+                _eval_boundary(s0)
+        else:
+            for i, (batch, labels, n_valid) in enumerate(_epoch_batches()):
+                mask = np.zeros(batch_size, np.float32)
+                mask[:n_valid] = 1.0
+                step_key = jax.random.fold_in(key, global_step)
+                fb, fl, fm = _feed(batch, labels, mask)
+                params, opt_state, loss = train_step(params, opt_state, fb,
+                                                     fl, fm, step_key)
+                tlosses.append(loss)
+                global_step += 1
+
+                if (i + 1) % train_cfg.step_interval == 0 \
+                        or (i + 1) == steps_per_epoch:
+                    _eval_boundary(i + 1)
         epochs_run = epoch + 1
         if state_path is not None and pid == 0:
             save_train_state(state_path, params, opt_state, epoch + 1,

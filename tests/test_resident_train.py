@@ -1,0 +1,96 @@
+"""Device-resident training data plane: bitwise parity with the host
+per-step path, tail masking, fallback conditions."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from make_synthetic import synth_feature_rows
+
+import deepsignal_plant_tpu.pipeline.train as T
+from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
+from deepsignal_plant_tpu.io.dataset import FeatureDataset
+from deepsignal_plant_tpu.utils.formats import (parse_feature_lines,
+                                                save_feature_npz)
+
+
+@pytest.fixture()
+def single_device_mesh(monkeypatch):
+    """train_loop builds its mesh internally; pin it to one device so the
+    resident branch triggers on the virtual 8-device CPU test rig."""
+    real = T.make_mesh
+    monkeypatch.setattr(T, "make_mesh",
+                        lambda *a, **k: real(jax.devices()[:1]))
+
+
+def _dataset(tmp_path, rng, n_rows, name="t.npz"):
+    blocks = (n_rows + 47) // 48
+    rows = synth_feature_rows(rng, blocks, 48)[:n_rows]
+    fb = parse_feature_lines([r + "\n" for r in rows])
+    p = str(tmp_path / name)
+    save_feature_npz(p, fb)
+    return FeatureDataset.from_file(p)
+
+
+def _run(ds, vds, mode, **kw):
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.5)
+    cfg = TrainConfig(device_resident=mode, **kw)
+    return T.train_loop(mcfg, cfg, ds, vds, None, verbose=False)
+
+
+def test_resident_bitwise_parity(tmp_path, single_device_mesh):
+    """Same seed, same data: the scan-chunked resident path must produce
+    bit-identical params to the per-step host path (same gather rows,
+    same dropout fold_in stream, same update math)."""
+    rng = np.random.default_rng(0)
+    ds = _dataset(tmp_path, rng, 384)
+    vds = _dataset(tmp_path, rng, 96, "v.npz")
+    kw = dict(batch_size=64, max_epoch_num=2, min_epoch_num=1,
+              step_interval=3)
+    r_host = _run(ds, vds, "never", **kw)
+    r_res = _run(ds, vds, "auto", **kw)
+    assert r_host["best_accuracy"] == r_res["best_accuracy"]
+    for a, b in zip(jax.tree.leaves(r_host["params"]),
+                    jax.tree.leaves(r_res["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resident_uneven_tail(tmp_path, single_device_mesh):
+    """N % batch_size != 0 and steps % step_interval != 0: the masked
+    tail step and the short final chunk must match the host path."""
+    rng = np.random.default_rng(1)
+    ds = _dataset(tmp_path, rng, 200)     # 4 steps of 64, tail nv=8
+    vds = _dataset(tmp_path, rng, 50, "v.npz")
+    kw = dict(batch_size=64, max_epoch_num=1, min_epoch_num=1,
+              step_interval=3)            # chunks of 3 + 1
+    r_host = _run(ds, vds, "never", **kw)
+    r_res = _run(ds, vds, "auto", **kw)
+    for a, b in zip(jax.tree.leaves(r_host["params"]),
+                    jax.tree.leaves(r_res["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resident_size_gate(tmp_path, single_device_mesh, monkeypatch):
+    """Datasets over the HBM budget must fall back to host feeding (the
+    run still completes)."""
+    monkeypatch.setattr(T, "RESIDENT_MAX_BYTES", 1)
+    rng = np.random.default_rng(2)
+    ds = _dataset(tmp_path, rng, 96)
+    vds = _dataset(tmp_path, rng, 48, "v.npz")
+    r = _run(ds, vds, "auto", batch_size=48, max_epoch_num=1,
+             min_epoch_num=1, step_interval=2)
+    assert r["epochs_run"] == 1
+
+
+def test_resident_multi_device_falls_back(tmp_path):
+    """On a multi-device mesh (the default test rig) auto must keep the
+    host-sharded path — resident is single-device only."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    rng = np.random.default_rng(3)
+    ds = _dataset(tmp_path, rng, 96)
+    vds = _dataset(tmp_path, rng, 48, "v.npz")
+    r = _run(ds, vds, "auto", batch_size=48, max_epoch_num=1,
+             min_epoch_num=1, step_interval=2)
+    assert r["epochs_run"] == 1
