@@ -210,21 +210,37 @@ def dataset_nbytes(ds) -> int:
 def device_put_dataset(ds) -> tuple[Batch, jax.Array]:
     """Upload a FeatureDataset's arrays once, via a jitted identity (a
     bare device_put can stall for minutes on remote-attached backends;
-    jit-arg transfer takes the fast path)."""
+    jit-arg transfer takes the fast path). Memoized on the dataset
+    object: denoise's cross-rank round scores each half with the model
+    trained on the other, so both calls reuse the same two uploads."""
+    cached = getattr(ds, "_device_cache", None)
+    if cached is not None:
+        return cached
     up = jax.jit(lambda b, l: (b, l))
     batch = Batch(ds.kmer, ds.base_means, ds.base_stds,
                   ds.base_signal_lens, ds.signals)
-    return up(batch, ds.labels)
+    out = up(batch, ds.labels)
+    try:
+        ds._device_cache = out
+    except AttributeError:
+        pass   # slotted/frozen dataset: skip memoization
+    return out
 
 
 def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
                      class_weights: np.ndarray, clip_grad: float,
-                     k_steps: int, batch_size: int, n_rows: int):
+                     k_steps: int, batch_size: int, n_rows: int,
+                     acc_interval: int | None = None):
     """``k_steps`` train steps in ONE dispatch: a jitted lax.scan whose
     body gathers batch ``t`` from the device-resident data by the epoch
     permutation (padded to steps*B; the tail step masks its padding).
     Numerics match the per-step path: same gather rows, same fold_in
-    dropout stream, same clip + optimizer update."""
+    dropout stream, same clip + optimizer update.
+
+    ``acc_interval`` (the denoise loop's need): every that-many steps
+    also compute the post-update no-dropout accuracy on the step's own
+    batch (reference denoise.py:118-119's early-break signal); other
+    steps report -1. Returns (params, opt_state, losses[, accs])."""
     cw = jnp.asarray(class_weights, jnp.float32)
     K, B, N = k_steps, batch_size, n_rows
 
@@ -248,13 +264,45 @@ def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
             loss, grads = jax.value_and_grad(loss_fn)(params)
             params, opt_state = _clip_and_update(tx, clip_grad, params,
                                                  opt_state, grads)
-            return (params, opt_state), loss
+            if acc_interval is None:
+                return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(
+            def _batch_acc(_):
+                _, probs = forward(params, batch, cfg, train=False)
+                pred = jnp.argmax(probs, axis=1)
+                ok = jnp.sum((pred == labels) * mask)
+                return ok / jnp.maximum(jnp.sum(mask), 1.0)
+
+            acc = jax.lax.cond((t + 1) % acc_interval == 0, _batch_acc,
+                               lambda _: jnp.float32(-1.0), None)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), out = jax.lax.scan(
             body, (params, opt_state), jnp.arange(K))
-        return params, opt_state, losses
+        if acc_interval is None:
+            return params, opt_state, out
+        return params, opt_state, out[0], out[1]
 
     return jax.jit(chunk, donate_argnums=(0, 1))
+
+
+def make_score_chunk(cfg: ModelConfig, batch_size: int, k_steps: int,
+                     n_rows: int):
+    """Score a device-resident dataset in ONE dispatch: scan over row
+    slices -> prob_1 of every row ((K, B); flatten + trim on host)."""
+    K, B, N = k_steps, batch_size, n_rows
+
+    def chunk(params, data):
+        def body(_, t):
+            idx = jnp.minimum(t * B + jnp.arange(B), N - 1)
+            batch = Batch(*(a[idx] for a in data))
+            _, probs = forward(params, batch, cfg, train=False)
+            return 0, probs[:, 1]
+
+        _, p1 = jax.lax.scan(body, 0, jnp.arange(K))
+        return p1
+
+    return jax.jit(chunk)
 
 
 def make_eval_chunk(cfg: ModelConfig, class_weights: np.ndarray,

@@ -83,6 +83,32 @@ def test_resident_size_gate(tmp_path, single_device_mesh, monkeypatch):
     assert r["epochs_run"] == 1
 
 
+def test_denoise_resident_parity(tmp_path, monkeypatch):
+    """CrossRankTrainer resident mode (one dispatch per epoch + one
+    scoring dispatch) must reproduce the host per-step path's scores:
+    same epoch permutation stream, same dropout fold_in."""
+    import deepsignal_plant_tpu.pipeline.denoise as D
+    real = T.make_mesh
+    monkeypatch.setattr(D, "make_mesh",
+                        lambda *a, **k: real(jax.devices()[:1]))
+    rng = np.random.default_rng(5)
+    ds = _dataset(tmp_path, rng, 200)
+    sds = _dataset(tmp_path, rng, 120, "s.npz")
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.5,
+                       module="signal_bilstm")
+
+    def run(mode):
+        tr = D.CrossRankTrainer(
+            mcfg, TrainConfig(batch_size=64, device_resident=mode))
+        return tr.train_then_score(ds, sds, seed=11, epoch_num=2,
+                                   step_interval=2)
+
+    p_host = run("never")
+    p_res = run("auto")
+    assert p_res.shape == (len(sds),)
+    np.testing.assert_allclose(p_res, p_host, atol=1e-6)
+
+
 def test_resident_multi_device_falls_back(tmp_path):
     """On a multi-device mesh (the default test rig) auto must keep the
     host-sharded path — resident is single-device only."""
