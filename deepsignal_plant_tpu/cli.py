@@ -270,6 +270,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_cf", type=float, default=0.5)
     p.add_argument("--kept_ratio", type=float, default=0.99)
     p.add_argument("--fst_iter_prob", action="store_true", default=False)
+    p.add_argument("--device_resident", type=str, default="auto",
+                   choices=["auto", "never"],
+                   help="auto: mini-trainings run on the device-resident "
+                        "plane (one dispatch per epoch) when the halves "
+                        "fit HBM and are large enough to amortize the "
+                        "scan compiles")
     p.set_defaults(func=main_denoise)
 
     # ---- tools ----

@@ -76,6 +76,26 @@ class CrossRankTrainer:
         self._chunk_cache: dict[tuple, tuple] = {}
         self._score_cache: dict[tuple, object] = {}
 
+    #: below this many train rows the per-iteration scan recompiles
+    #: (dataset sizes shrink every denoise iteration, so chunk compiles
+    #: can't be reused across iterations) outweigh the dispatch savings;
+    #: measured a wash at 16k rows on the remote-attached rig
+    RESIDENT_MIN_ROWS = int(os.environ.get(
+        "DSP_DENOISE_RESIDENT_MIN_ROWS", 100_000))
+
+    def _use_resident(self, train_ds, score_ds) -> bool:
+        """Resident gate: single device, in-memory halves that fit HBM
+        and are big enough that one-dispatch epochs beat the per-
+        iteration compile cost."""
+        from .train import RESIDENT_MAX_BYTES, dataset_nbytes
+        if not (self.resident and hasattr(train_ds, "batch_at")
+                and hasattr(score_ds, "batch_at")):
+            return False
+        if len(train_ds) < self.RESIDENT_MIN_ROWS:
+            return False
+        return (dataset_nbytes(train_ds) + dataset_nbytes(score_ds)
+                <= RESIDENT_MAX_BYTES)
+
     def _get_chunk(self, steps_per_epoch: int, n_rows: int,
                    acc_interval: int):
         from .train import make_train_chunk
@@ -127,8 +147,7 @@ class CrossRankTrainer:
         steps_per_epoch = max(1, int(np.ceil(len(train_ds) / self.batch_size)))
         key = jax.random.PRNGKey(seed + 7)
 
-        if self.resident and hasattr(train_ds, "batch_at") \
-                and hasattr(score_ds, "batch_at"):
+        if self._use_resident(train_ds, score_ds):
             return self._train_then_score_resident(
                 train_ds, score_ds, rng_np, params, key, steps_per_epoch,
                 epoch_num, step_interval, verbose)
@@ -180,7 +199,7 @@ class CrossRankTrainer:
         """Resident variant of train_then_score: one dispatch per epoch +
         one scoring dispatch, same rng streams as the host path (same
         epoch permutations, same fold_in dropout) so results match."""
-        from .train import device_put_dataset
+        from .train import device_put_dataset, pad_epoch_perm, to_device
         B = self.batch_size
         tx, chunk = self._get_chunk(steps_per_epoch, len(train_ds),
                                     step_interval)
@@ -191,13 +210,10 @@ class CrossRankTrainer:
         gstep = 0
         for epoch in range(epoch_num):
             # same rng stream position as iter_batches(shuffle=True)
-            perm = rng_np.permutation(len(train_ds))
-            pad_n = steps_per_epoch * B - len(perm)
-            if pad_n > 0:
-                perm = np.concatenate([perm, np.zeros(pad_n, perm.dtype)])
+            perm = to_device(pad_epoch_perm(
+                rng_np.permutation(len(train_ds)), steps_per_epoch, B))
             params, opt_state, losses, accs = chunk(
-                params, opt_state, dtrain, ltrain, perm.astype(np.int32),
-                0, gstep, key)
+                params, opt_state, dtrain, ltrain, perm, 0, gstep, key)
             gstep += steps_per_epoch
             accs = np.asarray(accs)
             epoch_accs = accs[accs >= 0.0]
@@ -237,7 +253,10 @@ def denoise(args) -> str:
         recurrence=resolve_recurrence(getattr(args, "recurrence", "auto")))
     train_cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                             pos_weight=args.pos_weight,
-                            step_interval=args.step_interval)
+                            step_interval=args.step_interval,
+                            device_resident=getattr(args,
+                                                    "device_resident",
+                                                    "auto"))
     modeltype_str = get_model_type_str(args.model_type,
                                        str2bool(args.is_base),
                                        str2bool(args.is_signallen))
@@ -268,11 +287,13 @@ def denoise(args) -> str:
             perm = rng.permutation(n)
             idx1, idx2 = np.sort(perm[:half]), np.sort(perm[half:])
             seed = int(rng.integers(1 << 30))
-            p2 = trainer.train_then_score(ds.take(idx1), ds.take(idx2),
-                                          seed, args.epoch_num,
+            # one take() per half: both cross-rank calls see the same
+            # objects, so the resident plane's per-dataset device-upload
+            # memoization actually hits (each half uploads once per round)
+            h1, h2 = ds.take(idx1), ds.take(idx2)
+            p2 = trainer.train_then_score(h1, h2, seed, args.epoch_num,
                                           args.step_interval)
-            p1 = trainer.train_then_score(ds.take(idx2), ds.take(idx1),
-                                          seed + 1, args.epoch_num,
+            p1 = trainer.train_then_score(h2, h1, seed + 1, args.epoch_num,
                                           args.step_interval)
             score_sum[idx2] += p2
             score_cnt[idx2] += 1

@@ -144,16 +144,9 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
 
     def _counts(logits, probs, labels, mask, loss):
         pred = jnp.argmax(probs, axis=1)
-        valid = mask > 0
-        correct = jnp.sum((pred == labels) & valid)
-        total = jnp.sum(valid)
-        tp = jnp.sum(valid & (pred == 1) & (labels == 1))
-        fp = jnp.sum(valid & (pred == 1) & (labels == 0))
-        fn = jnp.sum(valid & (pred == 0) & (labels == 1))
-        return jnp.stack([loss, correct.astype(jnp.float32),
-                          total.astype(jnp.float32),
-                          tp.astype(jnp.float32), fp.astype(jnp.float32),
-                          fn.astype(jnp.float32)])
+        counts = _pred_counts(pred, labels, mask > 0)
+        return jnp.concatenate([jnp.asarray(loss, jnp.float32)[None],
+                                counts])
 
     if sharding is None:
         def counts_step(params, batch, labels, mask):
@@ -207,24 +200,64 @@ def dataset_nbytes(ds) -> int:
             ds.labels.nbytes)
 
 
+_jit_identity = None
+
+
+def to_device(tree):
+    """Transfer a pytree via a jitted identity — a bare device_put can
+    stall for minutes on remote-attached backends; jit-arg transfer
+    takes the fast path."""
+    global _jit_identity
+    if _jit_identity is None:
+        _jit_identity = jax.jit(lambda v: v)
+    return _jit_identity(tree)
+
+
 def device_put_dataset(ds) -> tuple[Batch, jax.Array]:
-    """Upload a FeatureDataset's arrays once, via a jitted identity (a
-    bare device_put can stall for minutes on remote-attached backends;
-    jit-arg transfer takes the fast path). Memoized on the dataset
-    object: denoise's cross-rank round scores each half with the model
-    trained on the other, so both calls reuse the same two uploads."""
+    """Upload a FeatureDataset's arrays once (see to_device). Memoized on
+    the dataset object: denoise's cross-rank round scores each half with
+    the model trained on the other, so both calls reuse the same two
+    uploads."""
     cached = getattr(ds, "_device_cache", None)
     if cached is not None:
         return cached
-    up = jax.jit(lambda b, l: (b, l))
     batch = Batch(ds.kmer, ds.base_means, ds.base_stds,
                   ds.base_signal_lens, ds.signals)
-    out = up(batch, ds.labels)
+    out = to_device((batch, ds.labels))
     try:
         ds._device_cache = out
     except AttributeError:
         pass   # slotted/frozen dataset: skip memoization
     return out
+
+
+def pad_epoch_perm(perm: np.ndarray, steps: int, batch_size: int
+                   ) -> np.ndarray:
+    """Zero-pad an epoch permutation to steps*batch_size (the chunked
+    scan's static shape; padded rows are masked by the tail step) —
+    index-0 padding matches FeatureDataset.iter_batches."""
+    pad_n = steps * batch_size - len(perm)
+    if pad_n > 0:
+        perm = np.concatenate([perm, np.zeros(pad_n, perm.dtype)])
+    return perm.astype(np.int32)
+
+
+def _pred_counts(pred, labels, valid):
+    """[correct, total, tp, fp, fn] as f32 — the one definition every
+    eval path (host, multihost, resident) derives metrics from."""
+    return jnp.stack([
+        jnp.sum((pred == labels) & valid), jnp.sum(valid),
+        jnp.sum(valid & (pred == 1) & (labels == 1)),
+        jnp.sum(valid & (pred == 1) & (labels == 0)),
+        jnp.sum(valid & (pred == 0) & (labels == 1))]).astype(jnp.float32)
+
+
+def _metrics_from_counts(loss: float, counts) -> dict:
+    correct, total, tp, fp, fn = np.asarray(counts, np.float64)
+    return {"loss": float(loss),
+            "accuracy": correct / total if total else 0.0,
+            "precision": tp / (tp + fp) if tp + fp else 0.0,
+            "recall": tp / (tp + fn) if tp + fn else 0.0}
 
 
 def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
@@ -323,14 +356,8 @@ def make_eval_chunk(cfg: ModelConfig, class_weights: np.ndarray,
             mask = (jnp.arange(B) < nv).astype(jnp.float32)
             logits, probs = forward(params, batch, cfg, train=False)
             loss = weighted_ce(logits, labels, cw, mask)
-            pred = jnp.argmax(probs, axis=1)
-            valid = mask > 0
-            counts = jnp.stack([
-                jnp.sum((pred == labels) & valid), jnp.sum(valid),
-                jnp.sum(valid & (pred == 1) & (labels == 1)),
-                jnp.sum(valid & (pred == 1) & (labels == 0)),
-                jnp.sum(valid & (pred == 0) & (labels == 1))]
-            ).astype(jnp.float32)
+            counts = _pred_counts(jnp.argmax(probs, axis=1), labels,
+                                  mask > 0)
             return totals + counts, loss
 
         totals, losses = jax.lax.scan(body, jnp.zeros(5, jnp.float32),
@@ -581,11 +608,7 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                                 np.float64)
             batch_losses.append(counts[0])
             totals += counts[1:]
-        correct, total, tp, fp, fn = totals
-        return {"loss": float(np.mean(batch_losses)),
-                "accuracy": correct / total if total else 0.0,
-                "precision": tp / (tp + fp) if tp + fp else 0.0,
-                "recall": tp / (tp + fn) if tp + fn else 0.0}
+        return _metrics_from_counts(float(np.mean(batch_losses)), totals)
 
     # device-resident data plane: single-device, in-memory datasets that
     # fit HBM next to the model (see the module-level section comment)
@@ -612,11 +635,8 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
         def evaluate_fn(params):  # noqa: F811 — resident override
             losses, totals = eval_chunk(params, dvalid, lvalid)
-            correct, total, tp, fp, fn = np.asarray(totals, np.float64)
-            return {"loss": float(np.mean(np.asarray(losses))),
-                    "accuracy": correct / total if total else 0.0,
-                    "precision": tp / (tp + fp) if tp + fp else 0.0,
-                    "recall": tp / (tp + fn) if tp + fn else 0.0}
+            return _metrics_from_counts(float(np.mean(np.asarray(losses))),
+                                        totals)
 
         if verbose:
             print("device-resident data plane: {} train + {} valid rows "
@@ -735,11 +755,11 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
             # step_interval steps per eval interval. The permutation is
             # drawn from the SAME host rng stream as the host path, so a
             # given seed produces identical epoch orders in both modes.
-            perm = rng_np.permutation(len(train_ds))
-            pad_n = steps_per_epoch * batch_size - len(perm)
-            if pad_n > 0:
-                perm = np.concatenate([perm, np.zeros(pad_n, perm.dtype)])
-            perm = perm.astype(np.int32)
+            # Uploaded once per epoch — as a committed device array it
+            # isn't re-transferred by each chunk dispatch.
+            perm = to_device(pad_epoch_perm(
+                rng_np.permutation(len(train_ds)), steps_per_epoch,
+                batch_size))
             s0 = 0
             while s0 < steps_per_epoch:
                 k = min(train_cfg.step_interval, steps_per_epoch - s0)

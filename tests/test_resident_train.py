@@ -91,6 +91,9 @@ def test_denoise_resident_parity(tmp_path, monkeypatch):
     real = T.make_mesh
     monkeypatch.setattr(D, "make_mesh",
                         lambda *a, **k: real(jax.devices()[:1]))
+    # the production floor (100k rows) exists to amortize per-iteration
+    # compiles; parity is what's under test here
+    monkeypatch.setattr(D.CrossRankTrainer, "RESIDENT_MIN_ROWS", 0)
     rng = np.random.default_rng(5)
     ds = _dataset(tmp_path, rng, 200)
     sds = _dataset(tmp_path, rng, 120, "s.npz")
@@ -100,6 +103,8 @@ def test_denoise_resident_parity(tmp_path, monkeypatch):
     def run(mode):
         tr = D.CrossRankTrainer(
             mcfg, TrainConfig(batch_size=64, device_resident=mode))
+        # the gate must route as the mode says (guards the monkeypatches)
+        assert tr._use_resident(ds, sds) == (mode == "auto")
         return tr.train_then_score(ds, sds, seed=11, epoch_num=2,
                                    step_interval=2)
 
