@@ -41,23 +41,41 @@ N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
 DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "32768"))
 
 
+def _fabricate_read(rng, ri: int, L: int = 3000, S: int = 16) -> dict:
+    """One read's per-read feature arrays at C-like site density (~1 site
+    / 4 bases) — the shape of real extraction output, where adjacent
+    sites share 12 of their 13 window bases."""
+    base = "ACGT"
+    locs = np.flatnonzero(rng.random(L) < 0.25)
+    locs = locs[(locs >= 6) & (locs < L - 6)]
+    return {
+        "chrom": "chr1", "strand": "+",
+        "readname": f"read_{ri:06d}", "read_strand": "t",
+        "pos": locs + 1000, "pos_in_strand": locs + 1000,
+        "locs": locs, "kmer_len": 13,
+        "seq": "".join(base[i] for i in rng.integers(0, 4, L)),
+        "r_means": np.around(rng.normal(size=L), 6),
+        "r_stds": np.around(np.abs(rng.normal(size=L)), 6),
+        "r_lens": rng.integers(1, 30, L).astype(np.int32),
+        "r_rect": rng.normal(size=(L, S)).astype(np.float32),
+        "label": 0,
+    }
+
+
 def make_features_file(path: str, n_rows: int) -> None:
-    """Write a features TSV by tiling one generated block — row content
-    doesn't affect throughput, generation speed does."""
-    from make_synthetic import synth_feature_rows
+    """Write a features TSV with real extraction structure: rows grouped
+    per read in site order, windows overlapping — what `extract`
+    produces and what the engine's TSV->packed bridge exploits."""
+    from deepsignal_plant_tpu.pipeline.extract import features_to_rows
     rng = np.random.default_rng(42)
-    block_rows = min(n_rows, 8192)
-    rows = synth_feature_rows(rng, (block_rows + 255) // 256, 256)
-    block = "\n".join(rows[:block_rows]) + "\n"
+    written = ri = 0
     with open(path, "w") as wf:
-        written = 0
         while written < n_rows:
-            take = min(block_rows, n_rows - written)
-            if take == block_rows:
-                wf.write(block)
-            else:
-                wf.write("\n".join(rows[:take]) + "\n")
-            written += take
+            rows = features_to_rows(_fabricate_read(rng, ri))
+            ri += 1
+            rows = rows[:n_rows - written]
+            wf.write("\n".join(rows) + "\n")
+            written += len(rows)
 
 
 def build_engine(ckpt_path: str):
@@ -122,30 +140,12 @@ def make_packed_dir(dirpath: str, n_rows: int, rows_per_batch: int) -> None:
     from deepsignal_plant_tpu.utils.formats import save_packed_npz
     rng = np.random.default_rng(7)
     os.makedirs(dirpath, exist_ok=True)
-    L, S = 3000, 16
-    base = "ACGT"
-
-    def one_read(ri: int) -> dict:
-        locs = np.flatnonzero(rng.random(L) < 0.25)
-        locs = locs[(locs >= 6) & (locs < L - 6)]
-        return {
-            "chrom": "chr1", "strand": "+",
-            "readname": f"read_{ri:06d}", "read_strand": "t",
-            "pos": locs + 1000, "pos_in_strand": locs + 1000,
-            "locs": locs, "kmer_len": 13,
-            "seq": "".join(base[i] for i in rng.integers(0, 4, L)),
-            "r_means": np.around(rng.normal(size=L), 6),
-            "r_stds": np.around(np.abs(rng.normal(size=L)), 6),
-            "r_lens": rng.integers(1, 30, L).astype(np.int32),
-            "r_rect": rng.normal(size=(L, S)).astype(np.float32),
-            "label": 0,
-        }
 
     ri = bi = written = 0
     while written < n_rows:
         feats, n = [], 0
         while n < rows_per_batch and written + n < n_rows:
-            f = one_read(ri)
+            f = _fabricate_read(rng, ri)
             ri += 1
             feats.append(f)
             n += len(f["locs"])
