@@ -266,8 +266,11 @@ class CallModsEngine:
             return jax.jit(_step)
         # sites shard over the mesh; the packed base arrays are replicated
         # (each device gathers its site shard's windows from the full base
-        # axis — base bytes are ~1/seq_len of the windowed equivalent, so
-        # replication still ships fewer bytes than sharded windows)
+        # axis). Replication multiplies base bytes by mesh size — on an
+        # n-device mesh packed wins the *wire* only when bases-per-site
+        # < ~13/n — but multi-device hosts are directly attached (the
+        # link is ~free) and the packed step still skips the host-side
+        # 13x window materialization, which is what binds there.
         from jax.sharding import PartitionSpec as P
         axis = self.mesh.axis_names[0]
         in_specs = (P(),) * 6 + (P(axis),) + ((P(),) if quantized else ())
