@@ -319,6 +319,155 @@ def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
     return jax.jit(chunk, donate_argnums=(0, 1))
 
 
+def make_train_chunk_sharded(cfg: ModelConfig,
+                             tx: optax.GradientTransformation,
+                             class_weights: np.ndarray, clip_grad: float,
+                             k_steps: int, local_batch: int,
+                             sharding):
+    """Sharded-resident chunk: the dataset lives in HBM sharded over the
+    mesh's row axis; every step each device gathers ``local_batch`` rows
+    from ITS OWN shard by its shard-local epoch permutation (stratified
+    shuffling — the standard data-parallel deviation from a global
+    shuffle, documented in PARITY.md), computes local weighted-CE terms
+    and grads, psums, and applies the identical replicated update. One
+    dispatch covers ``k_steps`` steps; no host->device input traffic
+    exists inside an epoch.
+
+    Inputs (global shapes): data/labels (N_padded, ...) sharded on rows;
+    row_valid (N_padded,) f32 sharded (0.0 marks padding rows so they
+    never contribute); perm (ndev * steps*local_batch,) int32 sharded
+    (local indices into the device's shard, zero-padded positions masked
+    by the positional tail mask)."""
+    from jax.sharding import PartitionSpec as P
+    cw = jnp.asarray(class_weights, jnp.float32)
+    K, B = k_steps, local_batch
+    mesh = sharding.mesh
+    axis = mesh.axis_names[0]
+
+    def chunk_local(params, opt_state, data, labels_all, row_valid, perm,
+                    epoch_step0, global_step0, key):
+        n_local = labels_all.shape[0]
+
+        def body(carry, t):
+            params, opt_state = carry
+            pos = epoch_step0 + t
+            idx = jax.lax.dynamic_slice(perm, (pos * B,), (B,))
+            batch = Batch(*(a[idx] for a in data))
+            labels = labels_all[idx]
+            nv = jnp.clip(n_local - pos * B, 0, B)
+            mask = ((jnp.arange(B) < nv).astype(jnp.float32)
+                    * row_valid[idx])
+            rng = jax.random.fold_in(key, global_step0 + t)
+            # distinct dropout masks per shard (mirrors train_step_local)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def local_loss(p):
+                logits, _ = forward(p, batch, cfg, train=True,
+                                    dropout_rng=rng)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ce = -jnp.take_along_axis(logp, labels[:, None],
+                                          axis=1)[:, 0]
+                w = cw[labels] * mask
+                num = jnp.sum(w * ce)
+                den = jax.lax.psum(jnp.sum(w), axis)
+                return num / jnp.maximum(den, 1e-12)
+
+            lloss, grads = jax.value_and_grad(local_loss)(params)
+            loss = jax.lax.psum(lloss, axis)
+            grads = jax.lax.psum(grads, axis)
+            params, opt_state = _clip_and_update(tx, clip_grad, params,
+                                                 opt_state, grads)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(K))
+        return params, opt_state, losses
+
+    smapped = jax.shard_map(
+        chunk_local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(), P(),
+                  P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0, 1))
+
+
+def make_eval_chunk_sharded(cfg: ModelConfig, class_weights: np.ndarray,
+                            local_batch: int, k_steps: int, sharding):
+    """Sharded-resident eval in one dispatch: every device scans row
+    slices of its shard, counts are psum'd -> replicated (losses are the
+    global weighted-CE per step)."""
+    from jax.sharding import PartitionSpec as P
+    cw = jnp.asarray(class_weights, jnp.float32)
+    K, B = k_steps, local_batch
+    mesh = sharding.mesh
+    axis = mesh.axis_names[0]
+
+    def chunk_local(params, data, labels_all, row_valid):
+        n_local = labels_all.shape[0]
+
+        def body(totals, t):
+            lo = t * B
+            idx = jnp.minimum(lo + jnp.arange(B), n_local - 1)
+            batch = Batch(*(a[idx] for a in data))
+            labels = labels_all[idx]
+            nv = jnp.clip(n_local - lo, 0, B)
+            mask = ((jnp.arange(B) < nv).astype(jnp.float32)
+                    * row_valid[idx])
+            logits, probs = forward(params, batch, cfg, train=False)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            w = cw[labels] * mask
+            num = jax.lax.psum(jnp.sum(w * ce), axis)
+            den = jax.lax.psum(jnp.sum(w), axis)
+            loss = num / jnp.maximum(den, 1e-12)
+            counts = jax.lax.psum(
+                _pred_counts(jnp.argmax(probs, axis=1), labels, mask > 0),
+                axis)
+            return totals + counts, loss
+
+        totals, losses = jax.lax.scan(body, jnp.zeros(5, jnp.float32),
+                                      jnp.arange(K))
+        return losses, totals
+
+    smapped = jax.shard_map(chunk_local, mesh=mesh,
+                            in_specs=(P(), P(axis), P(axis), P(axis)),
+                            out_specs=(P(), P()), check_vma=False)
+    return jax.jit(smapped)
+
+
+def shard_dataset_rows(ds, ndev: int):
+    """Pad a dataset's arrays to a row multiple of ndev and build the
+    (N_padded,) row_valid mask — the layout the sharded-resident chunks
+    consume (contiguous shards of N_padded/ndev rows per device)."""
+    n = len(ds)
+    n_pad = ((n + ndev - 1) // ndev) * ndev - n
+
+    def _pad(a):
+        if n_pad == 0:
+            return a
+        return np.concatenate([a, np.zeros((n_pad,) + a.shape[1:],
+                                           a.dtype)])
+    batch = Batch(_pad(ds.kmer), _pad(ds.base_means), _pad(ds.base_stds),
+                  _pad(ds.base_signal_lens), _pad(ds.signals))
+    labels = _pad(ds.labels)
+    row_valid = np.zeros(n + n_pad, np.float32)
+    row_valid[:n] = 1.0
+    return batch, labels, row_valid
+
+
+def sharded_epoch_perm(rng_np, n_padded: int, ndev: int, steps: int,
+                       local_batch: int) -> np.ndarray:
+    """Per-shard epoch permutations (local indices), each zero-padded to
+    steps*local_batch, concatenated in shard order — sharding the result
+    on axis 0 hands every device its own shard's shuffle."""
+    n_local = n_padded // ndev
+    parts = []
+    for _ in range(ndev):
+        parts.append(pad_epoch_perm(rng_np.permutation(n_local), steps,
+                                    local_batch))
+    return np.concatenate(parts)
+
+
 def make_score_chunk(cfg: ModelConfig, batch_size: int, k_steps: int,
                      n_rows: int):
     """Score a device-resident dataset in ONE dispatch: scan over row
@@ -644,6 +793,54 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                       len(train_ds), len(valid_ds),
                       train_cfg.step_interval))
 
+    # sharded-resident plane: multi-device (single-host) meshes hold the
+    # dataset SHARDED over the row axis — each device shuffles and
+    # gathers from its own shard (stratified shuffling; PARITY.md) and
+    # the scan body psums loss terms + grads exactly like the host-fed
+    # shard_map step
+    resident_sharded = (not resident
+                        and train_cfg.device_resident != "never"
+                        and not multihost and sharding is not None
+                        and hasattr(train_ds, "batch_at")
+                        and hasattr(valid_ds, "batch_at")
+                        and dataset_nbytes(train_ds)
+                        + dataset_nbytes(valid_ds) <= RESIDENT_MAX_BYTES)
+    if resident_sharded:
+        ndev = mesh.devices.size
+        local_B = batch_size // ndev
+        tb_, tl_, tvalid_ = shard_dataset_rows(train_ds, ndev)
+        vb_, vl_, vvalid_ = shard_dataset_rows(valid_ds, ndev)
+        dtrain = jax.device_put(tb_, sharding)
+        ltrain = jax.device_put(tl_, sharding)
+        tvalid_mask = jax.device_put(tvalid_, sharding)
+        dvalid = jax.device_put(vb_, sharding)
+        lvalid = jax.device_put(vl_, sharding)
+        vvalid_mask = jax.device_put(vvalid_, sharding)
+        n_train_padded = len(tl_)
+        steps_eval_sh = max(1, -(-(len(vl_) // ndev) // local_B))
+        eval_chunk_sh = make_eval_chunk_sharded(
+            model_cfg, class_weights, local_B, steps_eval_sh, sharding)
+        _chunk_cache_sh: dict = {}
+
+        def _train_chunk_sh(k: int):
+            if k not in _chunk_cache_sh:
+                _chunk_cache_sh[k] = make_train_chunk_sharded(
+                    model_cfg, tx, class_weights, train_cfg.clip_grad, k,
+                    local_B, sharding)
+            return _chunk_cache_sh[k]
+
+        def evaluate_fn(params):  # noqa: F811 — sharded-resident override
+            losses, totals = eval_chunk_sh(params, dvalid, lvalid,
+                                           vvalid_mask)
+            return _metrics_from_counts(float(np.mean(np.asarray(losses))),
+                                        totals)
+
+        if verbose:
+            print("sharded device-resident data plane: {} train + {} "
+                  "valid rows over {} devices, {} steps/dispatch".format(
+                      len(train_ds), len(valid_ds), ndev,
+                      train_cfg.step_interval))
+
     if verbose:
         print("total_step: {}".format(steps_per_epoch))
     curr_best_accuracy = 0.0
@@ -750,22 +947,34 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
             tlosses = []
             tic = time.time()
 
-        if resident:
+        if resident or resident_sharded:
             # epoch = a handful of dispatches: one jitted scan of up to
-            # step_interval steps per eval interval. The permutation is
-            # drawn from the SAME host rng stream as the host path, so a
-            # given seed produces identical epoch orders in both modes.
-            # Uploaded once per epoch — as a committed device array it
-            # isn't re-transferred by each chunk dispatch.
-            perm = to_device(pad_epoch_perm(
-                rng_np.permutation(len(train_ds)), steps_per_epoch,
-                batch_size))
+            # step_interval steps per eval interval. Single-device mode
+            # draws the permutation from the SAME host rng stream as the
+            # host path, so a given seed produces identical epoch orders
+            # in both modes; sharded mode draws one per shard. Uploaded
+            # once per epoch — committed device arrays aren't
+            # re-transferred by each chunk dispatch.
+            if resident:
+                perm = to_device(pad_epoch_perm(
+                    rng_np.permutation(len(train_ds)), steps_per_epoch,
+                    batch_size))
+            else:
+                perm = jax.device_put(
+                    sharded_epoch_perm(rng_np, n_train_padded, ndev,
+                                       steps_per_epoch, local_B),
+                    sharding)
             s0 = 0
             while s0 < steps_per_epoch:
                 k = min(train_cfg.step_interval, steps_per_epoch - s0)
-                params, opt_state, losses = _train_chunk(k)(
-                    params, opt_state, dtrain, ltrain, perm, s0,
-                    global_step, key)
+                if resident:
+                    params, opt_state, losses = _train_chunk(k)(
+                        params, opt_state, dtrain, ltrain, perm, s0,
+                        global_step, key)
+                else:
+                    params, opt_state, losses = _train_chunk_sh(k)(
+                        params, opt_state, dtrain, ltrain, tvalid_mask,
+                        perm, s0, global_step, key)
                 global_step += k
                 s0 += k
                 tlosses.extend(np.asarray(losses).tolist())

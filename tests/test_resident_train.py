@@ -114,14 +114,44 @@ def test_denoise_resident_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(p_res, p_host, atol=1e-6)
 
 
-def test_resident_multi_device_falls_back(tmp_path):
-    """On a multi-device mesh (the default test rig) auto must keep the
-    host-sharded path — resident is single-device only."""
+def test_resident_sharded_multi_device(tmp_path, capsys):
+    """On a multi-device mesh auto takes the SHARDED-resident plane:
+    dataset sharded over the row axis, shard-local shuffles, psum'd
+    grads inside the scan. N indivisible by ndev exercises row_valid."""
     if len(jax.devices()) < 2:
         pytest.skip("needs the multi-device CPU mesh")
     rng = np.random.default_rng(3)
-    ds = _dataset(tmp_path, rng, 96)
+    ds = _dataset(tmp_path, rng, 99)      # pads to 104 on 8 devices
+    vds = _dataset(tmp_path, rng, 49, "v.npz")
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.5)
+    r = T.train_loop(mcfg, TrainConfig(device_resident="auto",
+                                       batch_size=48, max_epoch_num=2,
+                                       min_epoch_num=2, step_interval=2),
+                     ds, vds, None, verbose=True)
+    out = capsys.readouterr().out
+    assert "sharded device-resident data plane" in out
+    assert r["epochs_run"] == 2
+    assert 0.0 <= r["best_accuracy"] <= 1.0
+
+
+def test_resident_sharded_matches_host_no_dropout(tmp_path):
+    """dropout=0, one batch per step covering every row: the sharded-
+    resident update must match the host-fed shard_map step numerically
+    (identical row set per step; sums are order-invariant)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    rng = np.random.default_rng(4)
+    ds = _dataset(tmp_path, rng, 96)      # == batch_size: 1 step/epoch
     vds = _dataset(tmp_path, rng, 48, "v.npz")
-    r = _run(ds, vds, "auto", batch_size=48, max_epoch_num=1,
-             min_epoch_num=1, step_interval=2)
-    assert r["epochs_run"] == 1
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    kw = dict(batch_size=96, max_epoch_num=2, min_epoch_num=2,
+              step_interval=1)
+    r_host = T.train_loop(mcfg, TrainConfig(device_resident="never",
+                                            **kw), ds, vds, None,
+                          verbose=False)
+    r_sh = T.train_loop(mcfg, TrainConfig(device_resident="auto", **kw),
+                        ds, vds, None, verbose=False)
+    for a, b in zip(jax.tree.leaves(r_host["params"]),
+                    jax.tree.leaves(r_sh["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
