@@ -36,17 +36,27 @@ from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils import metrics as M
 
 
-def weighted_ce(logits: jax.Array, labels: jax.Array,
-                class_weights: jax.Array,
-                sample_mask: jax.Array | None = None) -> jax.Array:
-    """torch nn.CrossEntropyLoss(weight=w) semantics (train.py:78):
-    sum(w[y]*ce) / sum(w[y]), with optional padding mask."""
+def masked_ce_terms(logits: jax.Array, labels: jax.Array,
+                    class_weights: jax.Array,
+                    sample_mask: jax.Array | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """(weighted CE numerator, weight sum) — THE loss definition every
+    path shares; sharded paths psum both terms before dividing."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     w = class_weights[labels]
     if sample_mask is not None:
         w = w * sample_mask
-    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(w * ce), jnp.sum(w)
+
+
+def weighted_ce(logits: jax.Array, labels: jax.Array,
+                class_weights: jax.Array,
+                sample_mask: jax.Array | None = None) -> jax.Array:
+    """torch nn.CrossEntropyLoss(weight=w) semantics (train.py:78):
+    sum(w[y]*ce) / sum(w[y]), with optional padding mask."""
+    num, den = masked_ce_terms(logits, labels, class_weights, sample_mask)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def _clip_and_update(tx, clip_grad: float, params, opt_state, grads):
@@ -101,12 +111,9 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 
         def local_loss(p):
             logits, _ = forward(p, batch, cfg, train=True, dropout_rng=rng)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-            w = cw[labels] * mask
-            num = jnp.sum(w * ce)
+            num, den = masked_ce_terms(logits, labels, cw, mask)
             # weight sum has no param dependence, so the psum is grad-inert
-            den = jax.lax.psum(jnp.sum(w), axis)
+            den = jax.lax.psum(den, axis)
             return num / jnp.maximum(den, 1e-12)
 
         lloss, grads = jax.value_and_grad(local_loss)(params)
@@ -162,11 +169,9 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
 
     def counts_step_local(params, batch, labels, mask):
         logits, probs = forward(params, batch, cfg, train=False)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        w = cw[labels] * mask
-        num = jax.lax.psum(jnp.sum(w * ce), axis)
-        den = jax.lax.psum(jnp.sum(w), axis)
+        num, den = masked_ce_terms(logits, labels, cw, mask)
+        num = jax.lax.psum(num, axis)
+        den = jax.lax.psum(den, axis)
         loss = num / jnp.maximum(den, 1e-12)
         local = _counts(logits, probs, labels, mask, 0.0)
         counts = jax.lax.psum(local.at[0].set(0.0), axis)
@@ -258,6 +263,16 @@ def _metrics_from_counts(loss: float, counts) -> dict:
             "accuracy": correct / total if total else 0.0,
             "precision": tp / (tp + fp) if tp + fp else 0.0,
             "recall": tp / (tp + fn) if tp + fn else 0.0}
+
+
+def _resident_eval_fn(run_chunk):
+    """evaluate() drop-in over a resident eval chunk ((losses, totals)
+    callable) — shared by the single-device and sharded planes."""
+    def evaluate_fn(params):
+        losses, totals = run_chunk(params)
+        return _metrics_from_counts(float(np.mean(np.asarray(losses))),
+                                    totals)
+    return evaluate_fn
 
 
 def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
@@ -364,12 +379,8 @@ def make_train_chunk_sharded(cfg: ModelConfig,
             def local_loss(p):
                 logits, _ = forward(p, batch, cfg, train=True,
                                     dropout_rng=rng)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                ce = -jnp.take_along_axis(logp, labels[:, None],
-                                          axis=1)[:, 0]
-                w = cw[labels] * mask
-                num = jnp.sum(w * ce)
-                den = jax.lax.psum(jnp.sum(w), axis)
+                num, den = masked_ce_terms(logits, labels, cw, mask)
+                den = jax.lax.psum(den, axis)
                 return num / jnp.maximum(den, 1e-12)
 
             lloss, grads = jax.value_and_grad(local_loss)(params)
@@ -414,11 +425,9 @@ def make_eval_chunk_sharded(cfg: ModelConfig, class_weights: np.ndarray,
             mask = ((jnp.arange(B) < nv).astype(jnp.float32)
                     * row_valid[idx])
             logits, probs = forward(params, batch, cfg, train=False)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-            w = cw[labels] * mask
-            num = jax.lax.psum(jnp.sum(w * ce), axis)
-            den = jax.lax.psum(jnp.sum(w), axis)
+            num, den = masked_ce_terms(logits, labels, cw, mask)
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
             loss = num / jnp.maximum(den, 1e-12)
             counts = jax.lax.psum(
                 _pred_counts(jnp.argmax(probs, axis=1), labels, mask > 0),
@@ -457,14 +466,17 @@ def shard_dataset_rows(ds, ndev: int):
 
 def sharded_epoch_perm(rng_np, n_padded: int, ndev: int, steps: int,
                        local_batch: int) -> np.ndarray:
-    """Per-shard epoch permutations (local indices), each zero-padded to
-    steps*local_batch, concatenated in shard order — sharding the result
-    on axis 0 hands every device its own shard's shuffle."""
+    """Per-shard epoch permutations (local indices), each exactly
+    steps*local_batch long (zero-padded, or truncated when a caller
+    undersizes steps for a partial epoch), concatenated in shard order —
+    the fixed stride is the layout contract; sharding the result on
+    axis 0 hands every device its own shard's shuffle."""
     n_local = n_padded // ndev
+    width = steps * local_batch
     parts = []
     for _ in range(ndev):
         parts.append(pad_epoch_perm(rng_np.permutation(n_local), steps,
-                                    local_batch))
+                                    local_batch)[:width])
     return np.concatenate(parts)
 
 
@@ -782,11 +794,8 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     batch_size, len(train_ds))
             return _chunk_cache[k]
 
-        def evaluate_fn(params):  # noqa: F811 — resident override
-            losses, totals = eval_chunk(params, dvalid, lvalid)
-            return _metrics_from_counts(float(np.mean(np.asarray(losses))),
-                                        totals)
-
+        evaluate_fn = _resident_eval_fn(
+            lambda params: eval_chunk(params, dvalid, lvalid))
         if verbose:
             print("device-resident data plane: {} train + {} valid rows "
                   "in HBM, {} steps/dispatch".format(
@@ -808,14 +817,14 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     if resident_sharded:
         ndev = mesh.devices.size
         local_B = batch_size // ndev
+        # jitted identity with explicit out_shardings (bare device_put can
+        # stall on remote-attached links; see to_device) — one transfer
+        # helper serves the datasets and the per-epoch permutations
+        _up_sharded = jax.jit(lambda x: x, out_shardings=sharding)
         tb_, tl_, tvalid_ = shard_dataset_rows(train_ds, ndev)
         vb_, vl_, vvalid_ = shard_dataset_rows(valid_ds, ndev)
-        dtrain = jax.device_put(tb_, sharding)
-        ltrain = jax.device_put(tl_, sharding)
-        tvalid_mask = jax.device_put(tvalid_, sharding)
-        dvalid = jax.device_put(vb_, sharding)
-        lvalid = jax.device_put(vl_, sharding)
-        vvalid_mask = jax.device_put(vvalid_, sharding)
+        dtrain, ltrain, tvalid_mask = _up_sharded((tb_, tl_, tvalid_))
+        dvalid, lvalid, vvalid_mask = _up_sharded((vb_, vl_, vvalid_))
         n_train_padded = len(tl_)
         steps_eval_sh = max(1, -(-(len(vl_) // ndev) // local_B))
         eval_chunk_sh = make_eval_chunk_sharded(
@@ -829,12 +838,9 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     local_B, sharding)
             return _chunk_cache_sh[k]
 
-        def evaluate_fn(params):  # noqa: F811 — sharded-resident override
-            losses, totals = eval_chunk_sh(params, dvalid, lvalid,
-                                           vvalid_mask)
-            return _metrics_from_counts(float(np.mean(np.asarray(losses))),
-                                        totals)
-
+        evaluate_fn = _resident_eval_fn(
+            lambda params: eval_chunk_sh(params, dvalid, lvalid,
+                                         vvalid_mask))
         if verbose:
             print("sharded device-resident data plane: {} train + {} "
                   "valid rows over {} devices, {} steps/dispatch".format(
@@ -960,10 +966,9 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     rng_np.permutation(len(train_ds)), steps_per_epoch,
                     batch_size))
             else:
-                perm = jax.device_put(
+                perm = _up_sharded(
                     sharded_epoch_perm(rng_np, n_train_padded, ndev,
-                                       steps_per_epoch, local_B),
-                    sharding)
+                                       steps_per_epoch, local_B))
             s0 = 0
             while s0 < steps_per_epoch:
                 k = min(train_cfg.step_interval, steps_per_epoch - s0)
