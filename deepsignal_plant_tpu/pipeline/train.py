@@ -480,6 +480,51 @@ def sharded_epoch_perm(rng_np, n_padded: int, ndev: int, steps: int,
     return np.concatenate(parts)
 
 
+def host_block_shards(ds, mesh):
+    """Multihost resident layout: contiguous per-device row blocks of a
+    dataset every host loaded identically. Returns this process's local
+    (Batch, labels, row_valid) — the concatenation of its devices'
+    global blocks, each padded to rows_per_device — plus the padded
+    GLOBAL row count. Lift with to_global(sharding, ..., n_padded)."""
+    total = mesh.devices.size
+    pid = jax.process_index()
+    n = len(ds)
+    rpd = -(-n // total)                    # rows per device
+    idxs, valid = [], []
+    for i, d in enumerate(mesh.devices.flat):
+        if d.process_index != pid:
+            continue
+        lo = min(i * rpd, n)
+        hi = min(lo + rpd, n)
+        take = np.arange(lo, hi)
+        idxs.append(np.concatenate(
+            [take, np.zeros(rpd - len(take), np.int64)]))
+        v = np.zeros(rpd, np.float32)
+        v[:len(take)] = 1.0
+        valid.append(v)
+    idx = np.concatenate(idxs)
+    batch = Batch(ds.kmer[idx], ds.base_means[idx], ds.base_stds[idx],
+                  ds.base_signal_lens[idx], ds.signals[idx])
+    return batch, ds.labels[idx], np.concatenate(valid), rpd * total
+
+
+def multihost_epoch_perm(rng_np, rows_per_device: int, mesh, steps: int,
+                         local_batch: int) -> np.ndarray:
+    """This process's slice of the global per-device epoch permutations:
+    every host draws ALL devices' perms from the identically-seeded rng
+    stream (so the global shuffle is consistent) and keeps the blocks of
+    its own devices. Lift with to_global(..., total_dev*steps*local_B)."""
+    width = steps * local_batch
+    pid = jax.process_index()
+    parts = []
+    for d in mesh.devices.flat:
+        p = pad_epoch_perm(rng_np.permutation(rows_per_device), steps,
+                           local_batch)[:width]
+        if d.process_index == pid:
+            parts.append(p)
+    return np.concatenate(parts)
+
+
 def make_score_chunk(cfg: ModelConfig, batch_size: int, k_steps: int,
                      n_rows: int):
     """Score a device-resident dataset in ONE dispatch: scan over row
@@ -696,9 +741,20 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         batch_size = global_bs // pcount          # this host's slice
         n_train_global = len(train_ds)
         n_valid_global = len(valid_ds)
-        train_ds = train_ds.take(host_row_shard(len(train_ds)))
-        valid_ds = valid_ds.take(host_row_shard(len(valid_ds)))
+        # multihost resident: every host keeps the full (identically
+        # loaded) datasets and uploads its devices' contiguous row
+        # blocks; host-fed mode takes the strided per-host row shard
+        resident_mh = (train_cfg.device_resident != "never"
+                       and hasattr(train_ds, "batch_at")
+                       and hasattr(valid_ds, "batch_at")
+                       and (dataset_nbytes(train_ds)
+                            + dataset_nbytes(valid_ds)) // pcount
+                       <= RESIDENT_MAX_BYTES)
+        if not resident_mh:
+            train_ds = train_ds.take(host_row_shard(len(train_ds)))
+            valid_ds = valid_ds.take(host_row_shard(len(valid_ds)))
     else:
+        resident_mh = False
         mesh = make_mesh()
         # single-device: plain jit (the SPMD partitioner only adds compile
         # latency); multi-device: shard the batch axis over the mesh
@@ -802,31 +858,46 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                       len(train_ds), len(valid_ds),
                       train_cfg.step_interval))
 
-    # sharded-resident plane: multi-device (single-host) meshes hold the
-    # dataset SHARDED over the row axis — each device shuffles and
-    # gathers from its own shard (stratified shuffling; PARITY.md) and
-    # the scan body psums loss terms + grads exactly like the host-fed
-    # shard_map step
-    resident_sharded = (not resident
-                        and train_cfg.device_resident != "never"
-                        and not multihost and sharding is not None
-                        and hasattr(train_ds, "batch_at")
-                        and hasattr(valid_ds, "batch_at")
-                        and dataset_nbytes(train_ds)
-                        + dataset_nbytes(valid_ds) <= RESIDENT_MAX_BYTES)
+    # sharded-resident plane: multi-device meshes hold the dataset
+    # SHARDED over the row axis — each device shuffles and gathers from
+    # its own shard (stratified shuffling; PARITY.md) and the scan body
+    # psums loss terms + grads exactly like the host-fed shard_map step.
+    # On pods (resident_mh) every host uploads its devices' contiguous
+    # row blocks via make_array_from_process_local_data.
+    resident_sharded = (not resident and sharding is not None
+                        and (resident_mh
+                             or (train_cfg.device_resident != "never"
+                                 and not multihost
+                                 and hasattr(train_ds, "batch_at")
+                                 and hasattr(valid_ds, "batch_at")
+                                 and dataset_nbytes(train_ds)
+                                 + dataset_nbytes(valid_ds)
+                                 <= RESIDENT_MAX_BYTES)))
     if resident_sharded:
         ndev = mesh.devices.size
-        local_B = batch_size // ndev
-        # jitted identity with explicit out_shardings (bare device_put can
-        # stall on remote-attached links; see to_device) — one transfer
-        # helper serves the datasets and the per-epoch permutations
-        _up_sharded = jax.jit(lambda x: x, out_shardings=sharding)
-        tb_, tl_, tvalid_ = shard_dataset_rows(train_ds, ndev)
-        vb_, vl_, vvalid_ = shard_dataset_rows(valid_ds, ndev)
-        dtrain, ltrain, tvalid_mask = _up_sharded((tb_, tl_, tvalid_))
-        dvalid, lvalid, vvalid_mask = _up_sharded((vb_, vl_, vvalid_))
-        n_train_padded = len(tl_)
-        steps_eval_sh = max(1, -(-(len(vl_) // ndev) // local_B))
+        local_B = global_bs // ndev
+        if multihost:
+            tb_, tl_, tvalid_, n_train_padded = host_block_shards(
+                train_ds, mesh)
+            vb_, vl_, vvalid_, n_valid_padded = host_block_shards(
+                valid_ds, mesh)
+            dtrain, ltrain, tvalid_mask = to_global(
+                sharding, (tb_, tl_, tvalid_), n_train_padded)
+            dvalid, lvalid, vvalid_mask = to_global(
+                sharding, (vb_, vl_, vvalid_), n_valid_padded)
+            steps_eval_sh = max(1, -(-(n_valid_padded // ndev) // local_B))
+        else:
+            # jitted identity with explicit out_shardings (bare
+            # device_put can stall on remote-attached links; see
+            # to_device) — one transfer helper serves the datasets and
+            # the per-epoch permutations
+            _up_sharded = jax.jit(lambda x: x, out_shardings=sharding)
+            tb_, tl_, tvalid_ = shard_dataset_rows(train_ds, ndev)
+            vb_, vl_, vvalid_ = shard_dataset_rows(valid_ds, ndev)
+            dtrain, ltrain, tvalid_mask = _up_sharded((tb_, tl_, tvalid_))
+            dvalid, lvalid, vvalid_mask = _up_sharded((vb_, vl_, vvalid_))
+            n_train_padded = len(tl_)
+            steps_eval_sh = max(1, -(-(len(vl_) // ndev) // local_B))
         eval_chunk_sh = make_eval_chunk_sharded(
             model_cfg, class_weights, local_B, steps_eval_sh, sharding)
         _chunk_cache_sh: dict = {}
@@ -965,6 +1036,12 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 perm = to_device(pad_epoch_perm(
                     rng_np.permutation(len(train_ds)), steps_per_epoch,
                     batch_size))
+            elif multihost:
+                perm = to_global(
+                    sharding,
+                    multihost_epoch_perm(rng_np, n_train_padded // ndev,
+                                         mesh, steps_per_epoch, local_B),
+                    ndev * steps_per_epoch * local_B)
             else:
                 perm = _up_sharded(
                     sharded_epoch_perm(rng_np, n_train_padded, ndev,

@@ -51,19 +51,31 @@ model_dir = out if pid == 0 else out + "_p1"
 os.makedirs(model_dir, exist_ok=True)
 
 cfg1 = TrainConfig(batch_size=32, max_epoch_num=1, min_epoch_num=1,
-                   step_interval=10)
+                   step_interval=10, device_resident="never")
 res1 = train_loop(model_cfg, cfg1, train_ds, valid_ds, model_dir,
                   verbose=False)
 print("RUN1 pid=%d epochs=%d" % (pid, res1["epochs_run"]), flush=True)
 
 cfg2 = TrainConfig(batch_size=32, max_epoch_num=2, min_epoch_num=1,
-                   step_interval=10)
+                   step_interval=10, device_resident="never")
 res2 = train_loop(model_cfg, cfg2, train_ds, valid_ds, model_dir,
                   verbose=True, resume=True)
 leaves = jax.tree.leaves(res2["params"])
 checksum = float(sum(abs(x).sum() for x in leaves))
 print("RUN2 pid=%d epochs=%d checksum=%.6f" % (pid, res2["epochs_run"],
                                                checksum), flush=True)
+
+# multihost RESIDENT plane: each host uploads its devices' contiguous
+# row blocks; epochs run as psum'd scan chunks (one dispatch per eval
+# interval). Checksums must agree across hosts (replicated updates).
+cfg3 = TrainConfig(batch_size=32, max_epoch_num=2, min_epoch_num=2,
+                   step_interval=10, device_resident="auto")
+res3 = train_loop(model_cfg, cfg3, train_ds, valid_ds, None,
+                  verbose=True)
+leaves3 = jax.tree.leaves(res3["params"])
+checksum3 = float(sum(abs(x).sum() for x in leaves3))
+print("RUN3 pid=%d epochs=%d checksum=%.6f" % (pid, res3["epochs_run"],
+                                               checksum3), flush=True)
 
 # chunked variable-length all-gather (lengths differ across hosts and
 # exceed the chunk, so the int31-word size exchange + multi-round
@@ -151,11 +163,18 @@ def test_two_process_train_loop_with_resume(tmp_path):
         # both hosts resumed from the pid-0 state at epoch 1
         assert "resuming training from epoch 1" in stdout, stdout[-2000:]
         assert f"RUN2 pid={i} epochs=2" in stdout, stdout[-2000:]
+        # the multihost resident plane actually engaged
+        assert "sharded device-resident data plane" in stdout, \
+            stdout[-2000:]
+        assert f"RUN3 pid={i} epochs=2" in stdout, stdout[-2000:]
 
-    # identical collectives -> bit-identical replicated params on all hosts
-    sums = [ln.split("checksum=")[1] for o in outs
-            for ln in o.splitlines() if "checksum=" in ln]
-    assert len(sums) == 2 and sums[0] == sums[1], sums
+    # identical collectives -> bit-identical replicated params on all
+    # hosts, for the host-fed (RUN2) and resident (RUN3) planes alike
+    for run in ("RUN2", "RUN3"):
+        sums = [ln.split("checksum=")[1] for o in outs
+                for ln in o.splitlines()
+                if ln.startswith(run) and "checksum=" in ln]
+        assert len(sums) == 2 and sums[0] == sums[1], (run, sums)
 
     # cross-host call_freq reduction: process 0 (the writer) holds the
     # merged table, equal to a single-process aggregation of both
