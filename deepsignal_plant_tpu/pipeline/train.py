@@ -190,7 +190,9 @@ def make_eval_counts_step(cfg: ModelConfig, class_weights: np.ndarray,
 # permutation. No per-step host->device input traffic exists at all; on
 # remote-attached links this amortizes the round-trip latency over the whole
 # eval interval, and on any rig it removes the host input pipeline from the
-# step loop (single-device mode; pods keep host-sharded feeding).
+# step loop. Covers the full topology matrix: single device (bitwise-
+# equal to per-step feeding), single-host multi-device and pods (row-
+# sharded data, shard-local shuffles, psum'd scan chunks).
 # ---------------------------------------------------------------------------
 
 #: resident mode auto-enables only when both datasets fit comfortably in
@@ -444,48 +446,15 @@ def make_eval_chunk_sharded(cfg: ModelConfig, class_weights: np.ndarray,
     return jax.jit(smapped)
 
 
-def shard_dataset_rows(ds, ndev: int):
-    """Pad a dataset's arrays to a row multiple of ndev and build the
-    (N_padded,) row_valid mask — the layout the sharded-resident chunks
-    consume (contiguous shards of N_padded/ndev rows per device)."""
-    n = len(ds)
-    n_pad = ((n + ndev - 1) // ndev) * ndev - n
-
-    def _pad(a):
-        if n_pad == 0:
-            return a
-        return np.concatenate([a, np.zeros((n_pad,) + a.shape[1:],
-                                           a.dtype)])
-    batch = Batch(_pad(ds.kmer), _pad(ds.base_means), _pad(ds.base_stds),
-                  _pad(ds.base_signal_lens), _pad(ds.signals))
-    labels = _pad(ds.labels)
-    row_valid = np.zeros(n + n_pad, np.float32)
-    row_valid[:n] = 1.0
-    return batch, labels, row_valid
-
-
-def sharded_epoch_perm(rng_np, n_padded: int, ndev: int, steps: int,
-                       local_batch: int) -> np.ndarray:
-    """Per-shard epoch permutations (local indices), each exactly
-    steps*local_batch long (zero-padded, or truncated when a caller
-    undersizes steps for a partial epoch), concatenated in shard order —
-    the fixed stride is the layout contract; sharding the result on
-    axis 0 hands every device its own shard's shuffle."""
-    n_local = n_padded // ndev
-    width = steps * local_batch
-    parts = []
-    for _ in range(ndev):
-        parts.append(pad_epoch_perm(rng_np.permutation(n_local), steps,
-                                    local_batch)[:width])
-    return np.concatenate(parts)
-
-
-def host_block_shards(ds, mesh):
-    """Multihost resident layout: contiguous per-device row blocks of a
-    dataset every host loaded identically. Returns this process's local
-    (Batch, labels, row_valid) — the concatenation of its devices'
-    global blocks, each padded to rows_per_device — plus the padded
-    GLOBAL row count. Lift with to_global(sharding, ..., n_padded)."""
+def shard_dataset_rows(ds, mesh):
+    """The sharded-resident row layout: contiguous per-device blocks of
+    ``rows_per_device = ceil(N/ndev)`` rows (zero-index padding inside a
+    block's tail, masked by the returned f32 row_valid). Returns THIS
+    process's local (Batch, labels, row_valid) — the concatenation of
+    its devices' blocks, every device on a single host — plus the padded
+    GLOBAL row count. Single-host callers upload the result directly
+    (all blocks are local); pods lift it with to_global(sharding, ...,
+    n_padded)."""
     total = mesh.devices.size
     pid = jax.process_index()
     n = len(ds)
@@ -508,12 +477,15 @@ def host_block_shards(ds, mesh):
     return batch, ds.labels[idx], np.concatenate(valid), rpd * total
 
 
-def multihost_epoch_perm(rng_np, rows_per_device: int, mesh, steps: int,
-                         local_batch: int) -> np.ndarray:
-    """This process's slice of the global per-device epoch permutations:
-    every host draws ALL devices' perms from the identically-seeded rng
-    stream (so the global shuffle is consistent) and keeps the blocks of
-    its own devices. Lift with to_global(..., total_dev*steps*local_B)."""
+def sharded_epoch_perm(rng_np, rows_per_device: int, mesh, steps: int,
+                       local_batch: int) -> np.ndarray:
+    """This process's slice of the global per-device epoch permutations
+    (shard-local indices), each part exactly steps*local_batch long
+    (zero-padded, or truncated when a caller undersizes steps for a
+    partial epoch) — the fixed stride is the layout contract. Every host
+    draws ALL devices' perms from the identically-seeded rng stream, so
+    the global shuffle stays consistent across processes; each keeps the
+    blocks of its own devices."""
     width = steps * local_batch
     pid = jax.process_index()
     parts = []
@@ -744,9 +716,8 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         # multihost resident: every host keeps the full (identically
         # loaded) datasets and uploads its devices' contiguous row
         # blocks; host-fed mode takes the strided per-host row shard
+        # (streaming datasets were rejected above, so batch_at holds)
         resident_mh = (train_cfg.device_resident != "never"
-                       and hasattr(train_ds, "batch_at")
-                       and hasattr(valid_ds, "batch_at")
                        and (dataset_nbytes(train_ds)
                             + dataset_nbytes(valid_ds)) // pcount
                        <= RESIDENT_MAX_BYTES)
@@ -876,28 +847,24 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     if resident_sharded:
         ndev = mesh.devices.size
         local_B = global_bs // ndev
+        tb_, tl_, tvalid_, n_train_padded = shard_dataset_rows(train_ds,
+                                                               mesh)
+        vb_, vl_, vvalid_, n_valid_padded = shard_dataset_rows(valid_ds,
+                                                               mesh)
         if multihost:
-            tb_, tl_, tvalid_, n_train_padded = host_block_shards(
-                train_ds, mesh)
-            vb_, vl_, vvalid_, n_valid_padded = host_block_shards(
-                valid_ds, mesh)
-            dtrain, ltrain, tvalid_mask = to_global(
-                sharding, (tb_, tl_, tvalid_), n_train_padded)
-            dvalid, lvalid, vvalid_mask = to_global(
-                sharding, (vb_, vl_, vvalid_), n_valid_padded)
-            steps_eval_sh = max(1, -(-(n_valid_padded // ndev) // local_B))
+            _up_sharded = lambda t, rows: to_global(  # noqa: E731
+                sharding, t, rows)
         else:
             # jitted identity with explicit out_shardings (bare
             # device_put can stall on remote-attached links; see
-            # to_device) — one transfer helper serves the datasets and
-            # the per-epoch permutations
-            _up_sharded = jax.jit(lambda x: x, out_shardings=sharding)
-            tb_, tl_, tvalid_ = shard_dataset_rows(train_ds, ndev)
-            vb_, vl_, vvalid_ = shard_dataset_rows(valid_ds, ndev)
-            dtrain, ltrain, tvalid_mask = _up_sharded((tb_, tl_, tvalid_))
-            dvalid, lvalid, vvalid_mask = _up_sharded((vb_, vl_, vvalid_))
-            n_train_padded = len(tl_)
-            steps_eval_sh = max(1, -(-(len(vl_) // ndev) // local_B))
+            # to_device) — serves the datasets and the per-epoch perms
+            _jit_up = jax.jit(lambda x: x, out_shardings=sharding)
+            _up_sharded = lambda t, rows: _jit_up(t)  # noqa: E731
+        dtrain, ltrain, tvalid_mask = _up_sharded((tb_, tl_, tvalid_),
+                                                  n_train_padded)
+        dvalid, lvalid, vvalid_mask = _up_sharded((vb_, vl_, vvalid_),
+                                                  n_valid_padded)
+        steps_eval_sh = max(1, -(-(n_valid_padded // ndev) // local_B))
         eval_chunk_sh = make_eval_chunk_sharded(
             model_cfg, class_weights, local_B, steps_eval_sh, sharding)
         _chunk_cache_sh: dict = {}
@@ -1036,16 +1003,11 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 perm = to_device(pad_epoch_perm(
                     rng_np.permutation(len(train_ds)), steps_per_epoch,
                     batch_size))
-            elif multihost:
-                perm = to_global(
-                    sharding,
-                    multihost_epoch_perm(rng_np, n_train_padded // ndev,
-                                         mesh, steps_per_epoch, local_B),
-                    ndev * steps_per_epoch * local_B)
             else:
                 perm = _up_sharded(
-                    sharded_epoch_perm(rng_np, n_train_padded, ndev,
-                                       steps_per_epoch, local_B))
+                    sharded_epoch_perm(rng_np, n_train_padded // ndev,
+                                       mesh, steps_per_epoch, local_B),
+                    ndev * steps_per_epoch * local_B)
             s0 = 0
             while s0 < steps_per_epoch:
                 k = min(train_cfg.step_interval, steps_per_epoch - s0)
