@@ -80,3 +80,61 @@ def test_formatter_extreme_values():
                               np.ones((1, 13), np.int32), rect)
     assert out is not None and len(out) == 1
     assert "inf" in out[0] and "nan" in out[0]
+
+
+def _try_pack(block: bytes):
+    """parse -> repack -> verify window equality; malformed input must be
+    rejected by the parser, never crash the packer."""
+    from deepsignal_plant_tpu.utils.fastparse import (pack_raw_block,
+                                                      parse_raw_feature_block)
+    try:
+        rb = parse_raw_feature_block(block)
+    except ValueError:
+        return "rejected"
+    pb = pack_raw_block(rb)
+    assert pb.n == rb.n
+    if pb.n:
+        win = pb.window_index()
+        np.testing.assert_array_equal(pb.codes[win], rb.kmer)
+        np.testing.assert_array_equal(pb.means[win], rb.means)
+        np.testing.assert_array_equal(pb.stds[win], rb.stds)
+        np.testing.assert_array_equal(pb.lens[win], rb.slens)
+        np.testing.assert_array_equal(pb.rect[win], rb.signals)
+        assert np.all(np.diff(pb.centers) >= 0)
+    return "ok"
+
+
+def test_pack_rows_fuzz_mutations(rng):
+    """Random byte mutations of valid read-structured rows: dsp_pack_rows
+    must never crash, and every surviving parse must repack to EXACTLY
+    the same windows (the byte-verified dedup guarantee)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from deepsignal_plant_tpu.pipeline.extract import features_to_rows
+    # read-structured rows (real overlap) so mutations hit live dedup
+    # comparisons, not just fresh segments
+    base = "ACGT"
+    r = np.random.default_rng(11)
+    L = 200
+    locs = np.flatnonzero(r.random(L) < 0.3)
+    locs = locs[(locs >= 6) & (locs < L - 6)]
+    feats = {
+        "chrom": "chr1", "strand": "+", "readname": "rd0",
+        "read_strand": "t", "pos": locs + 50, "pos_in_strand": locs + 50,
+        "locs": locs, "kmer_len": 13,
+        "seq": "".join(base[i] for i in r.integers(0, 4, L)),
+        "r_means": np.around(r.normal(size=L), 6),
+        "r_stds": np.around(np.abs(r.normal(size=L)), 6),
+        "r_lens": r.integers(1, 30, L).astype(np.int32),
+        "r_rect": r.normal(size=(L, 16)).astype(np.float32),
+        "label": 0,
+    }
+    good = ("\n".join(features_to_rows(feats)) + "\n").encode()
+    assert _try_pack(good) == "ok"
+    for _ in range(200):
+        buf = bytearray(good)
+        for _k in range(int(r.integers(1, 6))):
+            buf[int(r.integers(0, len(buf)))] = int(r.integers(0, 256))
+        _try_pack(bytes(buf))
+    for cut in range(0, len(good), 311):      # truncations
+        _try_pack(good[:cut])
