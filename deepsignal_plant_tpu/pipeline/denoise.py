@@ -69,8 +69,10 @@ class CrossRankTrainer:
         # early-break signal computed in-scan). The denoise loop runs up
         # to 60 mini-trainings of hundreds of steps each — per-step
         # dispatch latency, not compute, dominates it on remote-attached
-        # rigs. Cached by (steps, n_rows): halves resample every round
-        # but their SIZES repeat, so two compiles serve the whole run.
+        # rigs. Cached by (steps, n_rows): half sizes repeat across the
+        # ROUNDS of one iteration (two compiles per iteration), but the
+        # train file shrinks between iterations, so each iteration
+        # recompiles — hence RESIDENT_MIN_ROWS below.
         self.resident = (train_cfg.device_resident != "never"
                          and self.sharding is None)
         self._chunk_cache: dict[tuple, tuple] = {}
