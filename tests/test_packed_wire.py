@@ -336,6 +336,34 @@ def test_engine_tsv_packed_route_byte_identical(tmp_path, feats_fixture):
     assert open(out_a).read() == open(out_b).read()
 
 
+def test_engine_empty_inputs(tmp_path, feats_fixture):
+    """Empty TSV / empty packed blocks: the engine writes an empty output
+    and reports zero sites instead of crashing."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, _ = feats_fixture
+    eng = _make_engine(tmp_path)
+    empty = str(tmp_path / "empty.tsv")
+    open(empty, "w").close()
+    out = str(tmp_path / "out.tsv")
+    st = eng.run_features_file(empty, out)
+    assert st.sites == 0 and open(out).read() == ""
+    # a packed dir whose first block is empty but later blocks are not
+    pdir = tmp_path / "p"
+    pdir.mkdir()
+    pb = features_to_packed(feats_list[:1])
+    empty_pb = type(pb)(b"", pb.row_starts[:0], pb.info_ends[:0],
+                        pb.centers[:0], pb.codes[:0], pb.means[:0],
+                        pb.stds[:0], pb.lens[:0], pb.rect[:0],
+                        pb.labels[:0], pb.kmer_len)
+    save_packed_npz(str(pdir / "000.npz"), empty_pb)
+    save_packed_npz(str(pdir / "001.npz"), pb)
+    st = eng.run_features_file(str(pdir), out)
+    assert st.sites == pb.n
+    assert len(open(out).read().splitlines()) == pb.n
+
+
 def test_extract_packed_cli_to_call_mods(tmp_path):
     """extract --w_format npz_packed -> call_mods over the directory."""
     import jax
