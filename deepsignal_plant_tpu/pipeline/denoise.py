@@ -52,6 +52,7 @@ class CrossRankTrainer:
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         mesh = make_mesh()
+        self.mesh = mesh
         self.sharding = batch_sharding(mesh) if mesh.devices.size > 1 \
             else None
         ndev = mesh.devices.size
@@ -63,18 +64,20 @@ class CrossRankTrainer:
         # the same shape across all rounds and iterations
         self._step_cache: dict[int, tuple] = {}
         self.eval_step = make_eval_step(model_cfg, self.sharding)
-        # device-resident mini-trainings (single-device): the halves stay
-        # in HBM and each epoch is ONE dispatch (a lax.scan over all its
-        # steps, with the reference's per-interval batch-accuracy
-        # early-break signal computed in-scan). The denoise loop runs up
-        # to 60 mini-trainings of hundreds of steps each — per-step
-        # dispatch latency, not compute, dominates it on remote-attached
-        # rigs. Cached by (steps, n_rows): half sizes repeat across the
-        # ROUNDS of one iteration (two compiles per iteration), but the
-        # train file shrinks between iterations, so each iteration
-        # recompiles — hence RESIDENT_MIN_ROWS below.
+        # device-resident mini-trainings: the halves stay in HBM (row-
+        # sharded over multi-device meshes) and each epoch is ONE
+        # dispatch (a lax.scan over all its steps, with the reference's
+        # per-interval batch-accuracy early-break signal computed
+        # in-scan). The denoise loop runs up to 60 mini-trainings of
+        # hundreds of steps each — per-step dispatch latency, not
+        # compute, dominates it on remote-attached rigs. Cached by
+        # (steps, n_rows): half sizes repeat across the ROUNDS of one
+        # iteration (two compiles per iteration), but the train file
+        # shrinks between iterations, so each iteration recompiles —
+        # hence RESIDENT_MIN_ROWS below.
+        import jax as _jax
         self.resident = (train_cfg.device_resident != "never"
-                         and self.sharding is None)
+                         and _jax.process_count() == 1)
         self._chunk_cache: dict[tuple, tuple] = {}
         self._score_cache: dict[tuple, object] = {}
 
@@ -86,9 +89,10 @@ class CrossRankTrainer:
         "DSP_DENOISE_RESIDENT_MIN_ROWS", 100_000))
 
     def _use_resident(self, train_ds, score_ds) -> bool:
-        """Resident gate: single device, in-memory halves that fit HBM
-        and are big enough that one-dispatch epochs beat the per-
-        iteration compile cost."""
+        """Resident gate: in-memory halves that fit HBM and are big
+        enough that one-dispatch epochs beat the per-iteration compile
+        cost (single process; multi-device meshes run the row-sharded
+        variant)."""
         from .train import RESIDENT_MAX_BYTES, dataset_nbytes
         if not (self.resident and hasattr(train_ds, "batch_at")
                 and hasattr(score_ds, "batch_at")):
@@ -100,28 +104,41 @@ class CrossRankTrainer:
 
     def _get_chunk(self, steps_per_epoch: int, n_rows: int,
                    acc_interval: int):
-        from .train import make_train_chunk
+        from .train import make_train_chunk, make_train_chunk_sharded
         k = (steps_per_epoch, n_rows, acc_interval)
         cached = self._chunk_cache.get(k)
         if cached is None:
             schedule = step_decay_schedule(self.train_cfg.lr,
                                            steps_per_epoch, 2, 0.1)
             tx = make_optimizer("Adam", schedule)
-            chunk = make_train_chunk(self.model_cfg, tx,
-                                     self.class_weights,
-                                     self.train_cfg.clip_grad,
-                                     steps_per_epoch, self.batch_size,
-                                     n_rows, acc_interval=acc_interval)
+            if self.sharding is None:
+                chunk = make_train_chunk(self.model_cfg, tx,
+                                         self.class_weights,
+                                         self.train_cfg.clip_grad,
+                                         steps_per_epoch, self.batch_size,
+                                         n_rows,
+                                         acc_interval=acc_interval)
+            else:
+                local_b = self.batch_size // self.mesh.devices.size
+                chunk = make_train_chunk_sharded(
+                    self.model_cfg, tx, self.class_weights,
+                    self.train_cfg.clip_grad, steps_per_epoch, local_b,
+                    self.sharding, acc_interval=acc_interval)
             cached = (tx, chunk)
             self._chunk_cache[k] = cached
         return cached
 
     def _get_score_chunk(self, k_steps: int, n_rows: int):
-        from .train import make_score_chunk
+        from .train import make_score_chunk, make_score_chunk_sharded
         key = (k_steps, n_rows)
         if key not in self._score_cache:
-            self._score_cache[key] = make_score_chunk(
-                self.model_cfg, self.batch_size, k_steps, n_rows)
+            if self.sharding is None:
+                self._score_cache[key] = make_score_chunk(
+                    self.model_cfg, self.batch_size, k_steps, n_rows)
+            else:
+                local_b = self.batch_size // self.mesh.devices.size
+                self._score_cache[key] = make_score_chunk_sharded(
+                    self.model_cfg, local_b, k_steps, self.sharding)
         return self._score_cache[key]
 
     def _get_step(self, steps_per_epoch: int):
@@ -201,21 +218,45 @@ class CrossRankTrainer:
         """Resident variant of train_then_score: one dispatch per epoch +
         one scoring dispatch, same rng streams as the host path (same
         epoch permutations, same fold_in dropout) so results match."""
-        from .train import device_put_dataset, pad_epoch_perm, to_device
+        from .train import (device_put_dataset, pad_epoch_perm,
+                            shard_dataset_rows, sharded_epoch_perm,
+                            to_device)
         B = self.batch_size
+        sharded = self.sharding is not None
         tx, chunk = self._get_chunk(steps_per_epoch, len(train_ds),
                                     step_interval)
         opt_state = tx.init(params)
-        dtrain, ltrain = device_put_dataset(train_ds)
-        dscore, _ = device_put_dataset(score_ds)
+        if sharded:
+            ndev = self.mesh.devices.size
+            local_b = B // ndev
+            _up = jax.jit(lambda x: x, out_shardings=self.sharding)
+            tb_, tl_, tvalid_, n_tpad = shard_dataset_rows(train_ds,
+                                                           self.mesh)
+            dtrain, ltrain, tvalid = _up((tb_, tl_, tvalid_))
+            sb_, sl_, svalid_, n_spad = shard_dataset_rows(score_ds,
+                                                           self.mesh)
+            dscore, _, _ = _up((sb_, sl_, svalid_))
+        else:
+            dtrain, ltrain = device_put_dataset(train_ds)
+            dscore, _ = device_put_dataset(score_ds)
 
         gstep = 0
         for epoch in range(epoch_num):
             # same rng stream position as iter_batches(shuffle=True)
-            perm = to_device(pad_epoch_perm(
-                rng_np.permutation(len(train_ds)), steps_per_epoch, B))
-            params, opt_state, losses, accs = chunk(
-                params, opt_state, dtrain, ltrain, perm, 0, gstep, key)
+            if sharded:
+                perm = _up(sharded_epoch_perm(
+                    rng_np, n_tpad // ndev, self.mesh, steps_per_epoch,
+                    local_b))
+                params, opt_state, losses, accs = chunk(
+                    params, opt_state, dtrain, ltrain, tvalid, perm, 0,
+                    gstep, key)
+            else:
+                perm = to_device(pad_epoch_perm(
+                    rng_np.permutation(len(train_ds)), steps_per_epoch,
+                    B))
+                params, opt_state, losses, accs = chunk(
+                    params, opt_state, dtrain, ltrain, perm, 0, gstep,
+                    key)
             gstep += steps_per_epoch
             accs = np.asarray(accs)
             epoch_accs = accs[accs >= 0.0]
@@ -232,6 +273,20 @@ class CrossRankTrainer:
             if len(epoch_accs) and float(np.mean(epoch_accs)) >= 0.95:
                 break
 
+        if sharded:
+            rpd = n_spad // ndev
+            k_score = max(1, -(-rpd // local_b))
+            # (K, ndev*local_b): device d's local row r sits at
+            # [r // local_b, d*local_b + r % local_b]
+            p1 = np.asarray(self._get_score_chunk(k_score, n_spad)(
+                params, dscore))
+            per_dev = p1.reshape(k_score, ndev, local_b) \
+                .transpose(1, 0, 2).reshape(ndev, -1)
+            counts = np.clip(len(score_ds) - np.arange(ndev) * rpd, 0,
+                             rpd)
+            return np.concatenate(
+                [per_dev[d, :counts[d]] for d in range(ndev)]
+            ).astype(np.float32)
         k_score = max(1, int(np.ceil(len(score_ds) / B)))
         p1 = np.asarray(self._get_score_chunk(k_score, len(score_ds))(
             params, dscore))

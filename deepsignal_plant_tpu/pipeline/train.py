@@ -340,7 +340,7 @@ def make_train_chunk_sharded(cfg: ModelConfig,
                              tx: optax.GradientTransformation,
                              class_weights: np.ndarray, clip_grad: float,
                              k_steps: int, local_batch: int,
-                             sharding):
+                             sharding, acc_interval: int | None = None):
     """Sharded-resident chunk: the dataset lives in HBM sharded over the
     mesh's row axis; every step each device gathers ``local_batch`` rows
     from ITS OWN shard by its shard-local epoch permutation (stratified
@@ -390,18 +390,64 @@ def make_train_chunk_sharded(cfg: ModelConfig,
             grads = jax.lax.psum(grads, axis)
             params, opt_state = _clip_and_update(tx, clip_grad, params,
                                                  opt_state, grads)
-            return (params, opt_state), loss
+            if acc_interval is None:
+                return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(
+            def _batch_acc(_):
+                # post-update no-dropout accuracy on the step's own
+                # global batch (denoise early-break signal; psum'd)
+                _, probs = forward(params, batch, cfg, train=False)
+                pred = jnp.argmax(probs, axis=1)
+                ok = jax.lax.psum(jnp.sum((pred == labels) * mask), axis)
+                tot = jax.lax.psum(jnp.sum(mask), axis)
+                return ok / jnp.maximum(tot, 1.0)
+
+            acc = jax.lax.cond((t + 1) % acc_interval == 0, _batch_acc,
+                               lambda _: jnp.float32(-1.0), None)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), out = jax.lax.scan(
             body, (params, opt_state), jnp.arange(K))
-        return params, opt_state, losses
+        if acc_interval is None:
+            return params, opt_state, out
+        return params, opt_state, out[0], out[1]
 
+    n_out = 3 if acc_interval is None else 4
     smapped = jax.shard_map(
         chunk_local, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(), P(),
                   P()),
-        out_specs=(P(), P(), P()), check_vma=False)
+        out_specs=(P(),) * n_out, check_vma=False)
     return jax.jit(smapped, donate_argnums=(0, 1))
+
+
+def make_score_chunk_sharded(cfg: ModelConfig, local_batch: int,
+                             k_steps: int, sharding):
+    """Sharded scoring in one dispatch: every device scans row slices of
+    its resident shard -> (K, ndev*local_batch) prob_1, columns grouped
+    by device. Host-side row order: device d's local row r sits at
+    out[r // local_batch, d*local_batch + r % local_batch]."""
+    from jax.sharding import PartitionSpec as P
+    K, B = k_steps, local_batch
+    mesh = sharding.mesh
+
+    def chunk_local(params, data):
+        n_local = data.kmer.shape[0]
+
+        def body(_, t):
+            idx = jnp.minimum(t * B + jnp.arange(B), n_local - 1)
+            batch = Batch(*(a[idx] for a in data))
+            _, probs = forward(params, batch, cfg, train=False)
+            return 0, probs[:, 1]
+
+        _, p1 = jax.lax.scan(body, 0, jnp.arange(K))
+        return p1
+
+    axis = mesh.axis_names[0]
+    smapped = jax.shard_map(chunk_local, mesh=mesh,
+                            in_specs=(P(), P(axis)),
+                            out_specs=P(None, axis), check_vma=False)
+    return jax.jit(smapped)
 
 
 def make_eval_chunk_sharded(cfg: ModelConfig, class_weights: np.ndarray,

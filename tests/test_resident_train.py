@@ -114,6 +114,34 @@ def test_denoise_resident_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(p_res, p_host, atol=1e-6)
 
 
+def test_denoise_sharded_resident_multi_device(tmp_path, monkeypatch):
+    """CrossRankTrainer on the multi-device mesh: the row-sharded
+    resident plane must reproduce the host shard_map path's scores
+    (dropout 0, one full-coverage batch per step)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    import deepsignal_plant_tpu.pipeline.denoise as D
+    monkeypatch.setattr(D.CrossRankTrainer, "RESIDENT_MIN_ROWS", 0)
+    rng = np.random.default_rng(9)
+    ds = _dataset(tmp_path, rng, 96)
+    sds = _dataset(tmp_path, rng, 99, "s.npz")   # indivisible by ndev
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.0,
+                       module="signal_bilstm")
+
+    def run(mode):
+        tr = D.CrossRankTrainer(
+            mcfg, TrainConfig(batch_size=96, device_resident=mode))
+        assert (tr.sharding is not None) and \
+            tr._use_resident(ds, sds) == (mode == "auto")
+        return tr.train_then_score(ds, sds, seed=13, epoch_num=2,
+                                   step_interval=1)
+
+    p_host = run("never")
+    p_res = run("auto")
+    assert p_res.shape == (len(sds),)
+    np.testing.assert_allclose(p_res, p_host, atol=2e-5, rtol=2e-5)
+
+
 def test_resident_sharded_multi_device(tmp_path, capsys):
     """On a multi-device mesh auto takes the SHARDED-resident plane:
     dataset sharded over the row axis, shard-local shuffles, psum'd
