@@ -75,11 +75,15 @@ class CrossRankTrainer:
         # iteration (two compiles per iteration), but the train file
         # shrinks between iterations, so each iteration recompiles —
         # hence RESIDENT_MIN_ROWS below.
-        import jax as _jax
         self.resident = (train_cfg.device_resident != "never"
-                         and _jax.process_count() == 1)
+                         and jax.process_count() == 1)
         self._chunk_cache: dict[tuple, tuple] = {}
         self._score_cache: dict[tuple, object] = {}
+        # one jitted identity per trainer (a per-call jit would recompile
+        # the transfer up to 2*rounds*iterations times)
+        self._up_sharded = (jax.jit(lambda x: x,
+                                    out_shardings=self.sharding)
+                            if self.sharding is not None else None)
 
     #: below this many train rows the per-iteration scan recompiles
     #: (dataset sizes shrink every denoise iteration, so chunk compiles
@@ -105,7 +109,11 @@ class CrossRankTrainer:
     def _get_chunk(self, steps_per_epoch: int, n_rows: int,
                    acc_interval: int):
         from .train import make_train_chunk, make_train_chunk_sharded
-        k = (steps_per_epoch, n_rows, acc_interval)
+        # the sharded chunk bakes no row count (masks derive from the
+        # runtime shapes), so one wrapper serves both halves of a round
+        # and jax's jit cache dedupes equal-shape compiles
+        k = (steps_per_epoch,
+             None if self.sharding is not None else n_rows, acc_interval)
         cached = self._chunk_cache.get(k)
         if cached is None:
             schedule = step_decay_schedule(self.train_cfg.lr,
@@ -130,7 +138,8 @@ class CrossRankTrainer:
 
     def _get_score_chunk(self, k_steps: int, n_rows: int):
         from .train import make_score_chunk, make_score_chunk_sharded
-        key = (k_steps, n_rows)
+        key = (k_steps,
+               None if self.sharding is not None else n_rows)
         if key not in self._score_cache:
             if self.sharding is None:
                 self._score_cache[key] = make_score_chunk(
@@ -218,9 +227,8 @@ class CrossRankTrainer:
         """Resident variant of train_then_score: one dispatch per epoch +
         one scoring dispatch, same rng streams as the host path (same
         epoch permutations, same fold_in dropout) so results match."""
-        from .train import (device_put_dataset, pad_epoch_perm,
-                            shard_dataset_rows, sharded_epoch_perm,
-                            to_device)
+        from .train import (device_put_dataset, device_put_dataset_sharded,
+                            pad_epoch_perm, sharded_epoch_perm, to_device)
         B = self.batch_size
         sharded = self.sharding is not None
         tx, chunk = self._get_chunk(steps_per_epoch, len(train_ds),
@@ -229,13 +237,10 @@ class CrossRankTrainer:
         if sharded:
             ndev = self.mesh.devices.size
             local_b = B // ndev
-            _up = jax.jit(lambda x: x, out_shardings=self.sharding)
-            tb_, tl_, tvalid_, n_tpad = shard_dataset_rows(train_ds,
-                                                           self.mesh)
-            dtrain, ltrain, tvalid = _up((tb_, tl_, tvalid_))
-            sb_, sl_, svalid_, n_spad = shard_dataset_rows(score_ds,
-                                                           self.mesh)
-            dscore, _, _ = _up((sb_, sl_, svalid_))
+            dtrain, ltrain, tvalid, n_tpad = device_put_dataset_sharded(
+                train_ds, self.mesh, self._up_sharded)
+            dscore, _, _, n_spad = device_put_dataset_sharded(
+                score_ds, self.mesh, self._up_sharded)
         else:
             dtrain, ltrain = device_put_dataset(train_ds)
             dscore, _ = device_put_dataset(score_ds)
@@ -244,7 +249,7 @@ class CrossRankTrainer:
         for epoch in range(epoch_num):
             # same rng stream position as iter_batches(shuffle=True)
             if sharded:
-                perm = _up(sharded_epoch_perm(
+                perm = self._up_sharded(sharded_epoch_perm(
                     rng_np, n_tpad // ndev, self.mesh, steps_per_epoch,
                     local_b))
                 params, opt_state, losses, accs = chunk(

@@ -238,6 +238,25 @@ def device_put_dataset(ds) -> tuple[Batch, jax.Array]:
     return out
 
 
+def device_put_dataset_sharded(ds, mesh, up) -> tuple:
+    """Sharded-resident upload of a dataset, memoized on the dataset
+    object (the cross-rank round's two calls reuse both halves' shards
+    and uploads; the trainer's mesh/sharding are fixed per run).
+    ``up`` is the jitted identity with the row sharding. Returns
+    (data, labels, row_valid, n_padded_global)."""
+    cached = getattr(ds, "_device_cache_sharded", None)
+    if cached is not None:
+        return cached
+    b, l, v, n_pad = shard_dataset_rows(ds, mesh)
+    data, labels, valid = up((b, l, v))
+    out = (data, labels, valid, n_pad)
+    try:
+        ds._device_cache_sharded = out
+    except AttributeError:
+        pass
+    return out
+
+
 def pad_epoch_perm(perm: np.ndarray, steps: int, batch_size: int
                    ) -> np.ndarray:
     """Zero-pad an epoch permutation to steps*batch_size (the chunked

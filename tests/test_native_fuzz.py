@@ -104,12 +104,10 @@ def _try_pack(block: bytes):
     return "ok"
 
 
-def test_pack_rows_fuzz_mutations(rng):
+def test_pack_rows_fuzz_mutations():
     """Random byte mutations of valid read-structured rows: dsp_pack_rows
     must never crash, and every surviving parse must repack to EXACTLY
     the same windows (the byte-verified dedup guarantee)."""
-    import sys
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from deepsignal_plant_tpu.pipeline.extract import features_to_rows
     # read-structured rows (real overlap) so mutations hit live dedup
     # comparisons, not just fresh segments
