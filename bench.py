@@ -192,7 +192,56 @@ def measure_torch_baseline(features_path: str) -> float:
     return rate
 
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """Remote-attached backends can hang INDEFINITELY in init during
+    tunnel outages (observed: 1h+ with no exception). Probe device init
+    in a subprocess so the bench degrades to CPU instead of hanging the
+    driver."""
+    import signal
+    import subprocess
+    # DEVNULL + own session: the remote-attach plugin spawns helper
+    # processes that inherit pipes (a piped run would block past its
+    # timeout waiting on them) and must die with the probe (killpg)
+    p = subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        return p.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except Exception:
+            p.kill()
+        p.wait()
+        return False
+
+
 def main() -> None:
+    global N_ROWS, DEVICE_BATCH
+    if os.environ.get("DSP_BENCH_CPU_FALLBACK") == "1":
+        # outage mode (re-exec'd below): produce a valid, clearly
+        # CPU-scale line quickly rather than grind 32768-wide CPU compiles
+        N_ROWS = min(N_ROWS, 16384)
+        DEVICE_BATCH = min(DEVICE_BATCH, 4096)
+    elif not _probe_backend():
+        # during tunnel outages even `import jax` hangs in this process
+        # (the remote-attach plugin registers at import when the env
+        # names it); re-exec with a CPU-only env so the plugin never
+        # engages and the driver still gets its JSON line
+        print("# TPU backend unavailable (init hang/error); re-exec'ing "
+              "on CPU at reduced size", file=sys.stderr)
+        sys.stderr.flush()
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   DSP_BENCH_CPU_FALLBACK="1")
+        # during hard outages the remote-attach plugin hangs ANY jax use
+        # in processes that load its sitecustomize — drop those
+        # PYTHONPATH entries so the re-exec'd interpreter never sees it
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p)
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     import jax
 
     from deepsignal_plant_tpu.utils.jaxinit import setup_jax
