@@ -317,9 +317,14 @@ def main() -> None:
     # (5-12 ms/dispatch) with multi-minute stalls, so the best pass is the
     # pipeline's capability; median/passes/spread alongside keep the
     # distribution honest
+    cpu_fallback = os.environ.get("DSP_BENCH_CPU_FALLBACK") == "1"
     result = {
         "metric": "call_mods sites/s/chip (features TSV end-to-end, "
-                  "best pass; median+spread alongside)",
+                  "best pass; median+spread alongside)"
+                  + (" [TPU TUNNEL OUTAGE: CPU fallback at reduced size "
+                     "— NOT a TPU number; see docs/BENCH.md for the "
+                     "measured TPU rates]" if cpu_fallback else ""),
+        "backend": "cpu-fallback" if cpu_fallback else "tpu",
         "value": round(tsv_best, 1),
         "unit": "sites/s",
         "vs_baseline": round(tsv_best / base_rate, 2) if base_rate else None,
