@@ -81,10 +81,16 @@ def make_features_file(path: str, n_rows: int) -> None:
 def build_engine(ckpt_path: str):
     from deepsignal_plant_tpu.config import CallConfig, ModelConfig
     from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
-    from deepsignal_plant_tpu.utils.jaxinit import resolve_recurrence
+    from deepsignal_plant_tpu.utils.jaxinit import (resolve_compute_dtype,
+                                                    resolve_recurrence)
     return CallModsEngine(
         ckpt_path,
+        # auto = what `call_mods` gives a CLI user on this backend:
+        # bf16 compute on TPU (f32 gate math/head; deviation ~190x below
+        # the reference's own run-to-run noise — docs/BENCH.md), f32 off
         ModelConfig(dropout_rate=0.0,
+                    compute_dtype=resolve_compute_dtype(
+                        os.environ.get("BENCH_COMPUTE_DTYPE", "auto")),
                     recurrence=resolve_recurrence(
                         "auto", allow_multi_device=True)),
         CallConfig(device_batch=DEVICE_BATCH,

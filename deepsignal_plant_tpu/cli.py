@@ -24,7 +24,8 @@ def display_args(args):
     print("# ===============================================")
 
 
-def _add_model_args(p, dropout_default: float, model_type_default="both_bilstm"):
+def _add_model_args(p, dropout_default: float, model_type_default="both_bilstm",
+                    compute_dtype_default="float32"):
     p.add_argument("--model_type", type=str, default=model_type_default,
                    choices=["both_bilstm", "seq_bilstm", "signal_bilstm"],
                    help="model variant, default %(default)s")
@@ -48,6 +49,17 @@ def _add_model_args(p, dropout_default: float, model_type_default="both_bilstm")
                    choices=["auto", "scan", "pallas"],
                    help="BiLSTM recurrence impl: fused pallas kernels "
                         "(auto on TPU) or lax.scan")
+    p.add_argument("--compute_dtype", type=str,
+                   default=compute_dtype_default,
+                   choices=["auto", "float32", "bfloat16"],
+                   help="on-device math dtype (default %(default)s). "
+                        "bfloat16 is the MXU's native rate (fused "
+                        "recurrence 1.76x f32) with f32 gate math and an "
+                        "f32 head: prob deviation vs f32 is ~190x below "
+                        "the reference's own randn-h0/c0 run-to-run "
+                        "noise, 100.0000%% call agreement. auto = "
+                        "bfloat16 on TPU, float32 elsewhere. See "
+                        "docs/BENCH.md")
 
 
 def _add_f5_args(p):
@@ -170,7 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--f5_batch_size", type=int, default=30)
     p.add_argument("--model_path", "-m", type=str, required=True,
                    help=".ckpt (torch) or .ckpt.npz (native) checkpoint")
-    _add_model_args(p, dropout_default=0.0)
+    # inference defaults to auto (bf16 on TPU): deviation vs f32 is far
+    # inside the reference's own run-to-run noise; training keeps f32
+    # (bitwise-tested update math, no fused bf16 backward)
+    _add_model_args(p, dropout_default=0.0, compute_dtype_default="auto")
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")

@@ -37,6 +37,10 @@ class ModelConfig:
             raise ValueError("recurrence must be 'scan' or 'pallas' "
                              "(resolve 'auto' via "
                              "utils.jaxinit.resolve_recurrence first)")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError("compute_dtype must be 'float32' or "
+                             "'bfloat16' (resolve 'auto' via "
+                             "utils.jaxinit.resolve_compute_dtype first)")
 
     @property
     def nhid_seq(self) -> int:

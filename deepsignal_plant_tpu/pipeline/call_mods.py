@@ -777,7 +777,7 @@ def call_mods(args) -> CallStats:
     import os
 
     from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_recurrence
+    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
 
     model_cfg = ModelConfig(
         seq_len=args.seq_len, signal_len=args.signal_len,
@@ -786,6 +786,8 @@ def call_mods(args) -> CallStats:
         hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
         embedding_size=args.n_embed, is_base=str2bool(args.is_base),
         is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        compute_dtype=resolve_compute_dtype(
+            getattr(args, "compute_dtype", "auto")),
         # the engine has a runtime scan fallback, so auto may pick pallas
         # even on multi-device meshes
         recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),

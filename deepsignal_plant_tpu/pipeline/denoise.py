@@ -302,7 +302,7 @@ def denoise(args) -> str:
     """CLI entry mirroring reference denoise(args) (denoise.py:318).
     Returns the path of the final denoised training file."""
     from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_recurrence
+    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
 
     total_start = time.time()
     model_cfg = ModelConfig(
@@ -312,6 +312,8 @@ def denoise(args) -> str:
         hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
         embedding_size=args.n_embed, is_base=str2bool(args.is_base),
         is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        compute_dtype=resolve_compute_dtype(
+            getattr(args, "compute_dtype", "float32")),
         recurrence=resolve_recurrence(getattr(args, "recurrence", "auto")))
     train_cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                             pos_weight=args.pos_weight,

@@ -687,7 +687,7 @@ def train(args) -> dict:
     """CLI entry mirroring reference train(args) (train.py:22). Returns a
     summary dict {best_accuracy, best_ckpt, epochs_run}."""
     from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_recurrence
+    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
 
     t_start = time.time()
     print("[main] train starts..")
@@ -698,6 +698,8 @@ def train(args) -> dict:
         hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
         embedding_size=args.n_embed, is_base=str2bool(args.is_base),
         is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        compute_dtype=resolve_compute_dtype(
+            getattr(args, "compute_dtype", "float32")),
         recurrence=resolve_recurrence(getattr(args, "recurrence", "auto")))
     train_cfg = TrainConfig(
         batch_size=args.batch_size, lr=args.lr, lr_decay=args.lr_decay,

@@ -29,3 +29,39 @@ def test_bf16_forward_close_to_f32(rng):
     d16 = np.asarray(p16[:, 1] > 0.5)
     margin = np.abs(np.asarray(p32[:, 1]) - 0.5) > 0.05
     assert (d32[margin] == d16[margin]).all()
+
+
+def test_resolve_compute_dtype():
+    from deepsignal_plant_tpu.utils.jaxinit import resolve_compute_dtype
+
+    # explicit choices pass through untouched
+    assert resolve_compute_dtype("float32") == "float32"
+    assert resolve_compute_dtype("bfloat16") == "bfloat16"
+    # auto on the CPU test backend resolves to f32 (bf16 is emulated
+    # there); on tpu/axon backends it resolves to bfloat16
+    assert resolve_compute_dtype("auto") == (
+        "bfloat16" if jax.default_backend() in ("tpu", "axon")
+        else "float32")
+
+
+def test_config_rejects_unresolved_auto():
+    import pytest
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ModelConfig(compute_dtype="auto")
+
+
+def test_cli_compute_dtype_defaults():
+    """call_mods defaults to auto (bf16 on TPU); train/denoise keep f32
+    (bitwise-tested update math, no fused bf16 backward)."""
+    from deepsignal_plant_tpu.cli import build_parser
+
+    parser = build_parser()
+    call = parser.parse_args(
+        ["call_mods", "--input_path", "x", "--model_path", "m",
+         "--result_file", "r"])
+    assert call.compute_dtype == "auto"
+    train = parser.parse_args(
+        ["train", "--train_file", "t", "--valid_file", "v",
+         "--model_dir", "d"])
+    assert train.compute_dtype == "float32"
