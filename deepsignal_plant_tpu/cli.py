@@ -273,8 +273,14 @@ def build_parser() -> argparse.ArgumentParser:
                                           "cross-rank")
     p.add_argument("--train_file", type=str, required=True)
     p.add_argument("--is_filter_fn", type=str, default="no")
+    # denoise trains THROWAWAY filter models (up to 2*rounds*iterations
+    # of them) whose only output is averaged probabilities against a
+    # coarse threshold — bf16's ~1e-4 prob noise is immaterial there, so
+    # auto (bf16 on TPU, 1.29x the f32-pallas chunk) is the default;
+    # `train` keeps float32 for the production model
     _add_model_args(p, dropout_default=0.5,
-                    model_type_default="signal_bilstm")
+                    model_type_default="signal_bilstm",
+                    compute_dtype_default="auto")
     p.add_argument("--pos_weight", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--lr", type=float, default=0.001)

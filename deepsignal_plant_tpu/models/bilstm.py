@@ -106,12 +106,11 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     L = cfg.seq_len
     rngs = (list(jax.random.split(dropout_rng, 4))
             if (train and dropout_rng is not None) else [None] * 4)
-    # pallas carries a fused custom-VJP backward (f32), so both inference
-    # and training honor cfg.recurrence; bf16 training has no fused
-    # backward and routes to scan
+    # pallas carries a fused custom-VJP backward in both f32 and bf16
+    # (bf16 storage/matmuls, f32 gate math and dW accumulation, f32 cell
+    # states), so both inference and training honor cfg.recurrence at
+    # either compute dtype
     impl = cfg.recurrence
-    if train and impl == "pallas" and cdt == jnp.bfloat16:
-        impl = "scan"
 
     out_seq = out_signal = None
     if cfg.module != "signal_bilstm":

@@ -128,7 +128,12 @@ def _lstm_fwd_save_kernel(x_ref, w_ref, y_ref, c_out_ref, g_ref,
                           h_ref, c_ref, *, hidden_size: int):
     """Forward step that also writes cell states and gate activations —
     the residuals the backward kernel needs (saving them beats recomputing
-    the W_hh matmul per step in the backward)."""
+    the W_hh matmul per step in the backward).
+
+    Storage dtype follows the refs (bf16 in mixed-precision training —
+    halves residual HBM traffic and runs the recurrent dot at the MXU's
+    bf16 rate); gate math and the cell state stay f32 (c_ref/c_out are
+    always f32: tanh'(c) in the backward is precision-sensitive)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -141,10 +146,10 @@ def _lstm_fwd_save_kernel(x_ref, w_ref, y_ref, c_out_ref, g_ref,
         h_new, c_new, gates = _cell_step(x_ref[0, d], h_ref[d], c_ref[d],
                                          w_ref[d], H)
         c_ref[d] = c_new
-        h_ref[d] = h_new
-        y_ref[0, d] = h_new
+        h_ref[d] = h_new.astype(h_ref.dtype)
+        y_ref[0, d] = h_new.astype(y_ref.dtype)
         c_out_ref[0, d] = c_new
-        g_ref[0, d] = gates
+        g_ref[0, d] = gates.astype(g_ref.dtype)
 
 
 def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
@@ -164,19 +169,25 @@ def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
         dc_ref[...] = jnp.zeros_like(dc_ref)
 
     H = hidden_size
+    wdt = w_ref.dtype  # matmul storage dtype (bf16 in mixed precision)
     for d in range(2):
-        gates = g_ref[0, d]
+        # elementwise gate math in f32 regardless of storage dtype; the
+        # dh/dW dots take storage-dtype operands (MXU native rate) with
+        # f32 accumulation
+        gates = g_ref[0, d].astype(jnp.float32)
         i = gates[:, 0 * H:1 * H]
         f = gates[:, 1 * H:2 * H]
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:4 * H]
         c_t = c_ref[0, d]
         # the shifted blocks clamp at time 0; zero them there (h_-1 = c_-1 = 0)
-        c_prev = jnp.where(at_time_zero, 0.0, cprev_ref[0, d])
-        h_prev = jnp.where(at_time_zero, 0.0, hprev_ref[0, d])
+        c_prev = jnp.where(at_time_zero, 0.0,
+                           cprev_ref[0, d].astype(jnp.float32))
+        h_prev = jnp.where(at_time_zero,
+                           jnp.zeros((), wdt), hprev_ref[0, d])
 
         tanh_c = jnp.tanh(c_t)
-        dh_total = dy_ref[0, d] + dh_ref[d]
+        dh_total = dy_ref[0, d].astype(jnp.float32) + dh_ref[d]
         dc_total = dc_ref[d] + dh_total * o * (1.0 - tanh_c * tanh_c)
         da_i = dc_total * g * i * (1.0 - i)
         da_f = dc_total * c_prev * f * (1.0 - f)
@@ -184,12 +195,12 @@ def _lstm_bwd_kernel(dy_ref, g_ref, c_ref, hprev_ref, cprev_ref, w_ref,
         da_o = dh_total * tanh_c * o * (1.0 - o)
         dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)
 
-        dx_ref[0, d] = dgates
+        dx_ref[0, d] = dgates.astype(dx_ref.dtype)
         # dh_{t-1} contribution through the recurrent matmul
-        dh_ref[d] = jnp.dot(dgates, w_ref[d].T,
+        dh_ref[d] = jnp.dot(dgates.astype(wdt), w_ref[d].T,
                             preferred_element_type=jnp.float32)
         dc_ref[d] = dc_total * f
-        dw_ref[0, d] += jnp.dot(h_prev.T, dgates,
+        dw_ref[0, d] += jnp.dot(h_prev.T, dgates.astype(wdt),
                                 preferred_element_type=jnp.float32)
 
 
@@ -199,6 +210,8 @@ def _recurrence_fwd_save(xproj, w_hh, hidden_size, block_b=128,
                          interpret=False):
     T, D, B, G = xproj.shape
     H = hidden_size
+    dtype = xproj.dtype if xproj.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
     pad_b = _round_up(max(B, 8), block_b) - B
     if pad_b:
         xproj = jnp.pad(xproj, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
@@ -223,18 +236,20 @@ def _recurrence_fwd_save(xproj, w_hh, hidden_size, block_b=128,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            # h states and gates in the storage dtype (bf16 halves the
+            # residual bytes); cell states stay f32 for tanh'(c)
+            jax.ShapeDtypeStruct((T, 2, Bp, H), dtype),
             jax.ShapeDtypeStruct((T, 2, Bp, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, 2, Bp, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, H), jnp.float32),
-            pltpu.VMEM((2, block_b, H), jnp.float32),
+            pltpu.VMEM((2, block_b, H), dtype),         # h (matmul input)
+            pltpu.VMEM((2, block_b, H), jnp.float32),   # c (f32 state)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xproj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(xproj.astype(dtype), w_hh.astype(dtype))
     return ys, cs, gs
 
 
@@ -242,9 +257,12 @@ def _recurrence_fwd_save(xproj, w_hh, hidden_size, block_b=128,
                                              "interpret"))
 def _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size, block_b=128,
                     interpret=False):
-    """-> (dxproj (T,2,B,4H), dw_hh (2,H,4H)); all args already padded."""
+    """-> (dxproj (T,2,B,4H), dw_hh (2,H,4H)); all args already padded.
+    Storage dtype (f32 or bf16) follows the saved gates; carries and the
+    dW accumulator are always f32."""
     T, D, Bp, H4 = gs.shape
     H = hidden_size
+    dtype = gs.dtype
     nb = Bp // block_b
 
     rev = lambda b, t: (T - 1 - t, 0, b, 0)  # noqa: E731
@@ -275,7 +293,7 @@ def _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size, block_b=128,
                          memory_space=pltpu.VMEM),    # dw_hh per-tile partial
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), dtype),
             jax.ShapeDtypeStruct((nb, 2, H, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
@@ -285,7 +303,7 @@ def _recurrence_bwd(dys, ys, cs, gs, w_hh, hidden_size, block_b=128,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(dys.astype(jnp.float32), gs, cs, ys, cs, w_hh.astype(jnp.float32))
+    )(dys.astype(dtype), gs, cs, ys, cs, w_hh.astype(dtype))
     return dx, jnp.sum(dw, axis=0)
 
 
