@@ -1,9 +1,12 @@
 """block_b sweep, hardened: non-converging loop (value must depend on
-salt), print raw times and values, and bust caches with a fresh 8KB
+salt), print raw times and values, and bust caches with a fresh ~53KB
 random array per call (scalar salts appear to be memoized by the relay
 in some phases)."""
+import os
 import sys
-sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), ".."))
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 import time
 import numpy as np
 import jax

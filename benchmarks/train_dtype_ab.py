@@ -3,7 +3,8 @@ f32-scan vs f32-pallas vs bf16-scan vs bf16-pallas. One dispatch = K
 train steps (multi-second compute), params mutate every dispatch so the
 tunnel cannot memoize. Measured 2026-08 on the v5e (B=2048, K=100,
 medians of 3 interleaved rounds): f32-scan 56.1k / f32-pallas 83.7k /
-bf16-scan 100.5k / bf16-pallas 109.3k samples/s."""
+bf16-scan 100.7k / bf16-pallas 145.8k samples/s (after removing the
+round-1 f32 force-cast at the kernel call site in ops/lstm.py)."""
 import os
 import sys
 

@@ -53,13 +53,15 @@ def _add_model_args(p, dropout_default: float, model_type_default="both_bilstm",
                    default=compute_dtype_default,
                    choices=["auto", "float32", "bfloat16"],
                    help="on-device math dtype (default %(default)s). "
-                        "bfloat16 is the MXU's native rate (fused "
-                        "recurrence 1.76x f32) with f32 gate math and an "
-                        "f32 head: prob deviation vs f32 is ~190x below "
-                        "the reference's own randn-h0/c0 run-to-run "
-                        "noise, 100.0000%% call agreement. auto = "
-                        "bfloat16 on TPU, float32 elsewhere. See "
-                        "docs/BENCH.md")
+                        "bfloat16 runs the matmuls at the MXU's native "
+                        "rate (fused recurrence 1.76x f32; the pallas "
+                        "kernels keep gate math, cell states and dW "
+                        "accumulation f32; logits upcast to f32 before "
+                        "softmax). Measured prob deviation vs f32 on the "
+                        "real chip: max ~1.2e-4, 100.0000%% call "
+                        "agreement — ~30x below the reference's own "
+                        "randn-h0/c0 run-to-run noise. auto = bfloat16 "
+                        "on TPU, float32 elsewhere. See docs/BENCH.md")
 
 
 def _add_f5_args(p):

@@ -93,12 +93,17 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
     hidden states concatenated (B, 2H) — which equals the reference readout
     ``cat(out[:, -1, :H], out[:, 0, H:])`` (models.py:229-231).
 
-    impl: "scan" (lax.scan, differentiable) or "pallas" (fused TPU kernel,
-    inference path).
+    impl: "scan" (lax.scan) or "pallas" (fused TPU kernels; a custom VJP
+    serves training). Both run in compute_dtype; the pallas kernels keep
+    gate math / cell states / dW accumulation f32 internally, the scan
+    path computes gates in compute_dtype.
     """
     x = x.astype(compute_dtype)
     # (B,T,F) @ (2,F,4H) -> (2,B,T,4H): one MXU matmul for every step x dir
-    xproj = jnp.einsum("btf,dfg->dbtg", x, params["w_ih"],
+    # (w_ih cast too: a mixed bf16 x f32 dot would promote back to f32
+    # and forfeit the MXU bf16 rate on the model's largest matmul)
+    xproj = jnp.einsum("btf,dfg->dbtg", x,
+                       params["w_ih"].astype(compute_dtype),
                        preferred_element_type=compute_dtype)
     xproj = xproj + params["b"][:, None, None, :].astype(compute_dtype)
     # flip time for the backward direction, then scan time-major
@@ -112,15 +117,13 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
         from .pallas_lstm import bilstm_recurrence_trainable
         # differentiable wrapper: primal = the minimal forward kernel;
         # under jax.grad a residual-saving forward + fused reverse-time
-        # backward kernel run instead. Always f32 inside the kernel: a
-        # bf16-storage variant measured 27x SLOWER on v5e (Mosaic layout
-        # pathology with (2, B, H) bf16 tiles), and the f32 kernel already
-        # sits at the f32 MXU roofline — bf16 compute stays a scan-mode
-        # option.
+        # backward kernel run instead. The kernels take the storage dtype
+        # from xproj (bf16 = MXU native rate, 1.76x f32 — the round-1
+        # "27x slower" bf16 measurement was a tunnel artifact, see
+        # docs/BENCH.md); gate math, cell states and dW accumulation are
+        # f32 inside the kernel at either storage dtype.
         ys = bilstm_recurrence_trainable(
-            xproj.astype(jnp.float32),
-            params["w_hh"].astype(jnp.float32), hidden_size)
-        ys = ys.astype(compute_dtype)
+            xproj, params["w_hh"].astype(compute_dtype), hidden_size)
         h_T = ys[-1]
     else:
         ys, h_T, _ = _scan_bidir(xproj, params["w_hh"].astype(compute_dtype),

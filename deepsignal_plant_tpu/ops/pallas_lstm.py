@@ -15,9 +15,13 @@ Layout contract (same as ops/lstm.py):
     out:   (T, 2, B, H)   per-step hidden states (direction 1 in flipped
                           time, caller un-flips)
 
-Used for inference only; training takes the scan path (which XLA
-differentiates). Grid = (batch_tiles, T); scratch persists across the
-sequential T dimension of the grid.
+Inference runs the minimal kernel below; training runs the
+residual-saving forward + fused reverse-time backward pair behind
+``bilstm_recurrence_trainable`` (custom VJP, bottom of this file). All
+kernels take their storage dtype (f32 or bf16) from xproj; gate math,
+cell states and gradient accumulation stay f32. Grid =
+(batch_tiles, T); scratch persists across the sequential T dimension of
+the grid.
 """
 from __future__ import annotations
 

@@ -77,16 +77,17 @@ def resolve_recurrence(choice: str = "auto",
 def resolve_compute_dtype(choice: str = "auto") -> str:
     """Map --compute_dtype auto|float32|bfloat16 to a concrete dtype.
 
-    auto selects bfloat16 on TPU backends for inference: the MXU's
-    native rate (fused recurrence measured 1.76x f32,
-    benchmarks/bf16_slope.py) with f32 gate math/accumulation and an f32
-    head, so the prob deviation vs f32 is ~190x SMALLER than the
+    auto selects bfloat16 on TPU backends: matmuls at the MXU's native
+    rate (fused recurrence measured 1.76x f32,
+    benchmarks/bf16_slope.py). The pallas kernels keep gate math, cell
+    states and dW accumulation f32; the scan path computes gates in
+    bf16; logits upcast to f32 before softmax either way. Measured prob
+    deviation vs f32 on the real chip (both recurrences): mean ~3e-5 /
+    max ~1.2e-4 with 100.0000% call agreement — far below the
     reference's own run-to-run noise (it draws randn h0/c0 every
-    forward, models.py:169-176): measured mean |dP| 2.0e-5 / max 8.1e-5
-    vs the reference's self-noise mean 3.8e-3 / max 2.0e-2, with
-    100.0000% call agreement (docs/BENCH.md). float32 everywhere else
-    (CPU bf16 is emulated and slower, and exact f32 keeps golden tests
-    bitwise)."""
+    forward, models.py:169-176: mean |dP| 3.8e-3 / max 2.0e-2, self
+    call agreement 99.78%). float32 everywhere else (CPU bf16 is
+    emulated and slower, and exact f32 keeps golden tests bitwise)."""
     if choice != "auto":
         return choice
     import jax

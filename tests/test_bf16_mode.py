@@ -52,8 +52,9 @@ def test_config_rejects_unresolved_auto():
 
 
 def test_cli_compute_dtype_defaults():
-    """call_mods defaults to auto (bf16 on TPU); train/denoise keep f32
-    (bitwise-tested update math, no fused bf16 backward)."""
+    """call_mods and denoise default to auto (bf16 on TPU — inference
+    and throwaway filter models); train keeps float32 for the
+    production model (bf16 one flag away)."""
     from deepsignal_plant_tpu.cli import build_parser
 
     parser = build_parser()
@@ -65,3 +66,5 @@ def test_cli_compute_dtype_defaults():
         ["train", "--train_file", "t", "--valid_file", "v",
          "--model_dir", "d"])
     assert train.compute_dtype == "float32"
+    denoise = parser.parse_args(["denoise", "--train_file", "t"])
+    assert denoise.compute_dtype == "auto"
