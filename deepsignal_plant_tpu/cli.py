@@ -185,8 +185,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", "-m", type=str, required=True,
                    help=".ckpt (torch) or .ckpt.npz (native) checkpoint")
     # inference defaults to auto (bf16 on TPU): deviation vs f32 is far
-    # inside the reference's own run-to-run noise; training keeps f32
-    # (bitwise-tested update math, no fused bf16 backward)
+    # inside the reference's own run-to-run noise
     _add_model_args(p, dropout_default=0.0, compute_dtype_default="auto")
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None,
@@ -241,7 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_file", type=str, required=True)
     p.add_argument("--valid_file", type=str, required=True)
     p.add_argument("--model_dir", type=str, required=True)
-    _add_model_args(p, dropout_default=0.5)
+    # auto = bf16 mixed precision on TPU (2.6x the f32 scan step; f32
+    # master params/optimizer, f32 gate math in the kernels). Evidence
+    # for defaulting it: identical best accuracy across seeds on both
+    # the separable AND the 10%-label-noise fixtures, loss traces
+    # matching to the 3rd decimal, grads within bf16 rounding of the
+    # f32 truth (tests/test_pallas_vjp.py). --compute_dtype float32
+    # restores exact f32 math.
+    _add_model_args(p, dropout_default=0.5, compute_dtype_default="auto")
     p.add_argument("--optim_type", type=str, default="Adam",
                    choices=["Adam", "RMSprop", "SGD", "Ranger"])
     p.add_argument("--batch_size", type=int, default=512)
@@ -278,8 +284,7 @@ def build_parser() -> argparse.ArgumentParser:
     # denoise trains THROWAWAY filter models (up to 2*rounds*iterations
     # of them) whose only output is averaged probabilities against a
     # coarse threshold — bf16's ~1e-4 prob noise is immaterial there, so
-    # auto (bf16 on TPU, 1.29x the f32-pallas chunk) is the default;
-    # `train` keeps float32 for the production model
+    # auto (bf16 on TPU) is the default here as everywhere
     _add_model_args(p, dropout_default=0.5,
                     model_type_default="signal_bilstm",
                     compute_dtype_default="auto")

@@ -61,26 +61,34 @@ def _scan_bidir(xproj: jax.Array, w_hh: jax.Array, hidden_size: int,
     """
     T, _, B, _ = xproj.shape
     H = hidden_size
+    # same mixed-precision contract as the pallas kernels: h (the matmul
+    # operand) is stored in compute_dtype for the MXU-native dot rate,
+    # but gate math and the cell state stay f32 — so the engine's
+    # pallas->scan runtime fallback is semantically equivalent, not just
+    # approximately so
     if h0c0 is None:
         h0 = jnp.zeros((2, B, H), compute_dtype)
-        c0 = jnp.zeros((2, B, H), compute_dtype)
+        c0 = jnp.zeros((2, B, H), jnp.float32)
     else:
         h0, c0 = h0c0
+        h0 = h0.astype(compute_dtype)
+        c0 = c0.astype(jnp.float32)
 
     def step(carry, x_t):
         h, c = carry
-        gates = x_t + jnp.einsum("dbh,dhg->dbg", h, w_hh,
-                                 preferred_element_type=compute_dtype)
+        gates = x_t.astype(jnp.float32) + \
+            jnp.einsum("dbh,dhg->dbg", h, w_hh,
+                       preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
         f = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
         g = jnp.tanh(gates[..., 2 * H:3 * H])
         o = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
         c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new = (o * jnp.tanh(c_new)).astype(compute_dtype)
         return (h_new, c_new), h_new
 
     (h_T, c_T), ys = lax.scan(step, (h0, c0), xproj)
-    return ys, h_T, c_T
+    return ys, h_T, c_T.astype(compute_dtype)
 
 
 def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
@@ -94,9 +102,9 @@ def bilstm_layer(x: jax.Array, params: Params, hidden_size: int,
     ``cat(out[:, -1, :H], out[:, 0, H:])`` (models.py:229-231).
 
     impl: "scan" (lax.scan) or "pallas" (fused TPU kernels; a custom VJP
-    serves training). Both run in compute_dtype; the pallas kernels keep
-    gate math / cell states / dW accumulation f32 internally, the scan
-    path computes gates in compute_dtype.
+    serves training). Both share one mixed-precision contract: storage
+    and matmul operands in compute_dtype; gate math, cell states and
+    gradient accumulation f32.
     """
     x = x.astype(compute_dtype)
     # (B,T,F) @ (2,F,4H) -> (2,B,T,4H): one MXU matmul for every step x dir

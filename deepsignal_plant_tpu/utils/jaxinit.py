@@ -79,9 +79,10 @@ def resolve_compute_dtype(choice: str = "auto") -> str:
 
     auto selects bfloat16 on TPU backends: matmuls at the MXU's native
     rate (fused recurrence measured 1.76x f32,
-    benchmarks/bf16_slope.py). The pallas kernels keep gate math, cell
-    states and dW accumulation f32; the scan path computes gates in
-    bf16; logits upcast to f32 before softmax either way. Measured prob
+    benchmarks/bf16_slope.py). Both recurrences share one
+    mixed-precision contract — bf16 storage/matmul operands, f32 gate
+    math, f32 cell states, f32 gradient accumulation — and logits
+    upcast to f32 before softmax. Measured prob
     deviation vs f32 on the real chip (both recurrences): mean ~3e-5 /
     max ~1.2e-4 with 100.0000% call agreement — far below the
     reference's own run-to-run noise (it draws randn h0/c0 every

@@ -52,9 +52,10 @@ def test_config_rejects_unresolved_auto():
 
 
 def test_cli_compute_dtype_defaults():
-    """call_mods and denoise default to auto (bf16 on TPU — inference
-    and throwaway filter models); train keeps float32 for the
-    production model (bf16 one flag away)."""
+    """All three model subcommands default to auto: bf16 mixed precision
+    on TPU (f32 master params, f32 gate math in the kernels; convergence
+    and grad parity tested), float32 elsewhere. --compute_dtype float32
+    restores exact f32 math."""
     from deepsignal_plant_tpu.cli import build_parser
 
     parser = build_parser()
@@ -65,6 +66,6 @@ def test_cli_compute_dtype_defaults():
     train = parser.parse_args(
         ["train", "--train_file", "t", "--valid_file", "v",
          "--model_dir", "d"])
-    assert train.compute_dtype == "float32"
+    assert train.compute_dtype == "auto"
     denoise = parser.parse_args(["denoise", "--train_file", "t"])
     assert denoise.compute_dtype == "auto"
