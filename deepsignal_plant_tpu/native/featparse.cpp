@@ -824,3 +824,92 @@ int64_t dsp_pack_rows(const char* buf, const int64_t* row_starts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// per-site info-row formatting (extraction side)
+// ---------------------------------------------------------------------------
+//
+// Builds the 6-column info prefix "chrom\tpos\tstrand\tpos_in_strand\t
+// readname\tread_strand" for every site of one read. Everything but the
+// two position columns is constant per read, so the Python genexpr this
+// replaces (str() + "\t".join + encode per site) was pure interpreter
+// overhead — ~25% of the packed extraction worker's time.
+
+namespace {
+
+inline char* write_i64(char* p, int64_t v) {
+    if (v < 0) { *p++ = '-'; v = -v; }
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = char('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Signal-rect assembly for the packed (f16) wire: per base, either
+// evenly-spaced downsampling (length > S) or center-zero-padding
+// (length <= S), written directly as IEEE half — fuses the numpy fancy
+// gather + astype(float16) pass (python fallback:
+// pipeline/extract.py::build_signal_rect, "even" mode only; "compat"
+// random sampling stays in Python). norm values are already 6-decimal
+// rounded; double->half here uses the same round-to-nearest-even as
+// numpy's astype.
+void dsp_build_rect_f16(const double* norm, const int64_t* starts,
+                        const int64_t* lengths, int64_t n, int32_t S,
+                        _Float16* rect_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t len = lengths[i];
+        const int64_t st = starts[i];
+        _Float16* row = rect_out + i * S;
+        if (len > S) {
+            for (int32_t j = 0; j < S; ++j)
+                row[j] = _Float16(norm[st + (int64_t(j) * len) / S]);
+        } else {
+            const int64_t pad = (S - len) / 2;
+            for (int64_t j = 0; j < pad; ++j) row[j] = _Float16(0.0f);
+            for (int64_t j = 0; j < len; ++j)
+                row[pad + j] = _Float16(norm[st + j]);
+            for (int64_t j = pad + len; j < S; ++j)
+                row[j] = _Float16(0.0f);
+        }
+    }
+}
+
+// out must hold n * (head_len + mid_len + tail_len + 42) bytes
+// (two int64 columns are <= 20 digits + sign each). Writes each row's
+// byte length into row_lens. Returns total bytes written.
+int64_t dsp_format_info_rows(const char* chrom, int64_t chrom_len,
+                             const char* strand, int64_t strand_len,
+                             const char* readname, int64_t readname_len,
+                             const char* read_strand,
+                             int64_t read_strand_len, const int64_t* pos,
+                             const int64_t* pis, int64_t n, char* out,
+                             int64_t* row_lens) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        char* row = p;
+        memcpy(p, chrom, size_t(chrom_len));
+        p += chrom_len;
+        *p++ = '\t';
+        p = write_i64(p, pos[i]);
+        *p++ = '\t';
+        memcpy(p, strand, size_t(strand_len));
+        p += strand_len;
+        *p++ = '\t';
+        p = write_i64(p, pis[i]);
+        *p++ = '\t';
+        memcpy(p, readname, size_t(readname_len));
+        p += readname_len;
+        *p++ = '\t';
+        memcpy(p, read_strand, size_t(read_strand_len));
+        p += read_strand_len;
+        row_lens[i] = p - row;
+    }
+    return p - out;
+}
+
+}  // extern "C"

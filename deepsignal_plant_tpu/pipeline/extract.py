@@ -20,7 +20,7 @@ import shutil
 import time
 import multiprocessing as mp
 from concurrent.futures import ProcessPoolExecutor, as_completed
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 
 import numpy as np
 
@@ -144,6 +144,12 @@ class ExtractOptions:
     region: str | None = None
     reference_path: str | None = None
     downsample: str = "even"
+    # packed-wire producers set this: the signal rect is assembled
+    # natively straight to float16 (the wire's dtype), skipping the
+    # float64 numpy gather + astype pass. Identical values (same
+    # round-to-nearest-even, tested); only honored with downsample
+    # "even" and the native library present.
+    rect_f16: bool = False
 
 
 @dataclass
@@ -224,8 +230,15 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
     stats_fn = (segment_stats_exact if opts.downsample == "compat"
                 else segment_stats)
     means, stds = stats_fn(norm, read.event_starts, read.event_lengths)
-    rect = build_signal_rect(norm, read.event_starts, read.event_lengths,
-                             opts.signal_len, opts.downsample, rng)
+    rect = None
+    if opts.rect_f16 and opts.downsample == "even":
+        from ..utils.fastparse import build_rect_f16
+        rect = build_rect_f16(norm, read.event_starts,
+                              read.event_lengths, opts.signal_len)
+    if rect is None:
+        rect = build_signal_rect(norm, read.event_starts,
+                                 read.event_lengths, opts.signal_len,
+                                 opts.downsample, rng)
 
     # per-read arrays + site locs; the 13-mer windows are gathered lazily
     # (windowize_features) or on device by the packed wire path — adjacent
@@ -325,9 +338,10 @@ def features_to_packed(feats_list: list[dict]):
     (fastparse.PackedFeatureBlock): per-base arrays concatenated across
     reads + per-site window centers. No per-site windows are materialized
     anywhere on the host — the kmer gather happens on device."""
-    from ..utils.fastparse import PackedFeatureBlock
+    from ..utils.fastparse import PackedFeatureBlock, format_info_rows
 
-    infos: list[bytes] = []
+    info_blobs: list[bytes] = []
+    info_lens_l: list[np.ndarray] = []
     centers_l, labels_l = [], []
     codes_l, means_l, stds_l, lens_l, rect_l = [], [], [], [], []
     base_off = 0
@@ -337,9 +351,20 @@ def features_to_packed(feats_list: list[dict]):
         chrom, strand = f["chrom"], f["strand"]
         readname, read_strand = f["readname"], f["read_strand"]
         pos, pis = f["pos"], f["pos_in_strand"]
-        infos.extend("\t".join([chrom, str(int(pos[i])), strand,
-                                str(int(pis[i])), readname,
-                                read_strand]).encode() for i in range(n))
+        # per-site info prefixes: native formatter (one C call per read);
+        # the Python genexpr fallback measured ~25% of this worker's time
+        native = format_info_rows(chrom, strand, readname, read_strand,
+                                  pos, pis)
+        if native is not None:
+            blob, rlens = native
+            info_blobs.append(blob)
+            info_lens_l.append(rlens)
+        else:
+            rows = ["\t".join([chrom, str(int(pos[i])), strand,
+                               str(int(pis[i])), readname,
+                               read_strand]).encode() for i in range(n)]
+            info_blobs.append(b"".join(rows))
+            info_lens_l.append(np.fromiter(map(len, rows), np.int64, n))
         centers_l.append(f["locs"].astype(np.int64) + base_off)
         labels_l.append(np.full(n, f["label"], np.int32))
         codes_l.append(seq_to_codes(f["seq"]).astype(np.int8))
@@ -348,14 +373,16 @@ def features_to_packed(feats_list: list[dict]):
         means_l.append(np.around(f["r_means"], 6).astype(np.float16))
         stds_l.append(np.around(f["r_stds"], 6).astype(np.float16))
         lens_l.append(f["r_lens"].astype(np.float16))
-        rect_l.append(f["r_rect"].astype(np.float16))
+        rect_l.append(np.asarray(f["r_rect"], np.float16))
         base_off += len(f["seq"])
-    lens_b = np.fromiter((len(b) for b in infos), np.int64, len(infos))
-    row_starts = np.zeros(len(infos), np.int64)
-    if len(infos) > 1:
+    lens_b = np.concatenate(info_lens_l) if info_lens_l else \
+        np.zeros(0, np.int64)
+    n_rows = len(lens_b)
+    row_starts = np.zeros(n_rows, np.int64)
+    if n_rows > 1:
         np.cumsum(lens_b[:-1], out=row_starts[1:])
     return PackedFeatureBlock(
-        b"".join(infos), row_starts, row_starts + lens_b,
+        b"".join(info_blobs), row_starts, row_starts + lens_b,
         np.concatenate(centers_l).astype(np.int32),
         np.concatenate(codes_l), np.concatenate(means_l),
         np.concatenate(stds_l), np.concatenate(lens_l),
@@ -611,6 +638,10 @@ def extract_features(fast5_dir: str, is_recursive: bool,
 
     print("[main] extract_features starts..")
     t0 = time.time()
+    if out_format == "npz_packed":
+        # the packed wire is f16: assemble the rect natively at that
+        # dtype (same rounding; skips a float64 gather per read)
+        ctx = dc_replace(ctx, opts=dc_replace(ctx.opts, rect_f16=True))
     if not os.path.isdir(fast5_dir):
         raise ValueError("--fast5_dir is not a directory!")
     from ..io.fast5 import vbz_plugin_available
@@ -778,10 +809,14 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
         # engine loop dies mid-stream the abandoned generator would
         # never exit its with-block, and part_dir would be removed
         # under still-running workers
+        # packed parts are f16: let workers assemble the rect natively
+        # at that dtype (same rounding, no float64 gather)
+        ctx_f16 = dc_replace(ctx,
+                             opts=dc_replace(ctx.opts, rect_f16=True))
         pool = ProcessPoolExecutor(max_workers=nworkers,
                                    mp_context=mp.get_context("spawn"),
                                    initializer=_init_worker,
-                                   initargs=(ctx, None,
+                                   initargs=(ctx_f16, None,
                                              (part_dir, "npz_packed")))
         try:
             futs = {pool.submit(_worker_batch_save, b, bi): bi

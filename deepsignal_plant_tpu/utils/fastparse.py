@@ -62,6 +62,12 @@ def _configure(lib) -> None:
                                   u16p, u16p, i64, i32, i32, i8p, u16p,
                                   u16p, u16p, u16p, i32p]
     lib.dsp_pack_rows.restype = i64
+    lib.dsp_format_info_rows.argtypes = [c_char_p, i64, c_char_p, i64,
+                                         c_char_p, i64, c_char_p, i64,
+                                         i64p, i64p, i64, u8p, i64p]
+    lib.dsp_format_info_rows.restype = i64
+    lib.dsp_build_rect_f16.argtypes = [f64p, i64p, i64p, i64, i32, f16p]
+    lib.dsp_build_rect_f16.restype = None
     _configured = True
 
 
@@ -90,6 +96,51 @@ def quantize_int8(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
 
 def native_available() -> bool:
     return get_native_lib() is not None
+
+
+def build_rect_f16(norm: np.ndarray, starts: np.ndarray,
+                   lengths: np.ndarray, signal_len: int
+                   ) -> np.ndarray | None:
+    """Native signal-rect assembly straight to float16 ("even"
+    downsampling semantics of pipeline.extract.build_signal_rect).
+    Returns the (n, signal_len) f16 matrix, or None without the native
+    library."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    norm = np.ascontiguousarray(norm, np.float64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    rect = np.empty((len(starts), signal_len), np.float16)
+    lib.dsp_build_rect_f16(norm, starts, lengths, len(starts),
+                           signal_len, rect)
+    return rect
+
+
+def format_info_rows(chrom: str, strand: str, readname: str,
+                     read_strand: str, pos: np.ndarray, pis: np.ndarray
+                     ) -> tuple[bytes, np.ndarray] | None:
+    """Native per-site info prefixes for one read:
+    ``chrom\\tpos\\tstrand\\tpos_in_strand\\treadname\\tread_strand``.
+    Returns (concatenated bytes, per-row byte lengths), or None without
+    the native library (callers fall back to the Python genexpr)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    n = len(pos)
+    cb, sb = chrom.encode(), strand.encode()
+    rb_, rsb = readname.encode(), read_strand.encode()
+    pos = np.ascontiguousarray(pos, np.int64)
+    pis = np.ascontiguousarray(pis, np.int64)
+    cap = n * (len(cb) + len(sb) + len(rb_) + len(rsb) + 47)
+    out = np.empty(cap, np.uint8)
+    row_lens = np.empty(n, np.int64)
+    total = lib.dsp_format_info_rows(cb, len(cb), sb, len(sb), rb_,
+                                     len(rb_), rsb, len(rsb), pos, pis, n,
+                                     out, row_lens)
+    return out[:total].tobytes(), row_lens
 
 
 def parse_feature_bytes(block: bytes, kmer_len: int = 13,

@@ -94,3 +94,45 @@ def test_native_format_edge_probs():
     assert rows[3][6] == "0.25" and rows[3][7] == "0.75"
     # center 5-mer of codes 0..12 -> indices 4..8 -> N W S M K
     assert rows[0][9] == "NWSMK"
+
+
+def test_native_info_rows_match_python(rng):
+    from deepsignal_plant_tpu.utils.fastparse import format_info_rows
+
+    pos = np.concatenate([rng.integers(0, 2**40, 200),
+                          np.array([0, 1, 10, 99, 2**62])]).astype(np.int64)
+    pis = np.concatenate([rng.integers(-1, 2**31, 200),
+                          np.array([-1, 0, 7, 123456789, 2**40])]
+                         ).astype(np.int64)
+    out = format_info_rows("scaffold_12|x", "-", "read/with:chars", "c",
+                           pos, pis)
+    assert out is not None, "native library must be present in CI"
+    blob, lens = out
+    rows, off = [], 0
+    for L in lens:
+        rows.append(blob[off:off + int(L)])
+        off += int(L)
+    expect = ["\t".join(["scaffold_12|x", str(int(pos[i])), "-",
+                         str(int(pis[i])), "read/with:chars", "c"]).encode()
+              for i in range(len(pos))]
+    assert rows == expect
+
+
+def test_native_rect_f16_matches_numpy(rng):
+    from deepsignal_plant_tpu.pipeline.extract import build_signal_rect
+    from deepsignal_plant_tpu.utils.fastparse import build_rect_f16
+
+    norm = np.around(rng.normal(size=20000), 6)
+    # lengths spanning every regime: 0 (empty), short (pad), == S, long
+    lengths = np.concatenate([[0, 1, 2, 15, 16, 17, 40],
+                              rng.integers(0, 60, 300)]).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths[:-1])]).astype(np.int64)
+    assert starts[-1] + lengths[-1] <= len(norm)
+
+    native = build_rect_f16(norm, starts, lengths, 16)
+    assert native is not None, "native library must be present in CI"
+    ref = build_signal_rect(norm, starts, lengths, 16,
+                            "even").astype(np.float16)
+    assert native.dtype == np.float16
+    np.testing.assert_array_equal(native.view(np.uint16),
+                                  ref.view(np.uint16))
