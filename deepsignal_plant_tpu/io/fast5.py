@@ -90,6 +90,82 @@ class TomboRead:
     seq: str                # genome-aligned base sequence
 
 
+class _FallbackToHighLevel(Exception):
+    """Internal: the low-level reader punts to the high-level path."""
+
+
+def _ll_attr(obj, name: bytes):
+    """Read one attribute via the low-level API (no property dance)."""
+    a = h5py.h5a.open(obj, name)
+    out = np.empty(a.shape if a.shape else (), a.dtype)
+    a.read(out)
+    return out[()]
+
+
+def _read_tombo_fast5_ll(path: str, corrected_group: str,
+                         basecall_subgroup: str) -> TomboRead:
+    """Low-level (h5f/h5o/h5a/h5d) reader — 2.5x the high-level h5py
+    property chain per read (the fast5 open/attr overhead is ~half the
+    extraction worker's time). Raises _FallbackToHighLevel for anything
+    it doesn't recognize — missing alignment, multi-read containers,
+    exotic attr encodings, VBZ errors — so the high-level reader below
+    remains the single source of truth for semantics and error
+    messages."""
+    import os as _os
+    h5a, h5d, h5f, h5g, h5o = (h5py.h5a, h5py.h5d, h5py.h5f, h5py.h5g,
+                               h5py.h5o)
+    corr = f"Analyses/{corrected_group}/{basecall_subgroup}".encode()
+    try:
+        fid = h5f.open(_os.fsencode(path), h5f.ACC_RDONLY)
+    except Exception:
+        raise _FallbackToHighLevel
+    try:
+        try:
+            align = h5o.open(fid, corr + b"/Alignment")
+            alignstrand = _attr_str(_ll_attr(align, b"mapped_strand"))
+            chrom = _attr_str(_ll_attr(align, b"mapped_chrom"))
+            chrom_start = int(_ll_attr(align, b"mapped_start"))
+
+            ev = h5d.open(fid, corr + b"/Events")
+            rel = int(_ll_attr(ev, b"read_start_rel_to_raw"))
+            table = np.empty(ev.shape, ev.dtype)
+            ev.read(h5py.h5s.ALL, h5py.h5s.ALL, table)
+
+            reads = h5g.open(fid, READS_GROUP.encode())
+            rg = h5g.open(reads, reads.get_objname_by_idx(0))
+            readname = _attr_str(_ll_attr(rg, b"read_id"))
+            sig = h5d.open(rg, b"Signal")
+            raw = np.empty(sig.shape, sig.dtype)
+            sig.read(h5py.h5s.ALL, h5py.h5s.ALL, raw)
+
+            try:
+                ch = h5g.open(fid, b"UniqueGlobalKey/channel_id")
+                scaling = (float(_ll_attr(ch, b"range"))
+                           / float(_ll_attr(ch, b"digitisation")))
+                offset = float(_ll_attr(ch, b"offset"))
+                raw = np.asarray(scaling * (raw + offset), dtype=float)
+            except KeyError:
+                raw = np.asarray(raw, dtype=float)
+        except _FallbackToHighLevel:
+            raise
+        except Exception:
+            # missing groups, multi-read layout, VBZ filter errors,
+            # unusual attr types: let the high-level reader produce the
+            # correct skip/None/error
+            raise _FallbackToHighLevel
+    finally:
+        fid.close()
+
+    starts = table["start"].astype(np.int64) + rel
+    lengths = table["length"].astype(np.int64)
+    bases = table["base"]
+    seq = b"".join(bases).decode("utf-8") \
+        if bases.dtype.kind == "S" else "".join(map(str, bases))
+    read_strand = "t" if basecall_subgroup.endswith("template") else "c"
+    return TomboRead(readname, read_strand, alignstrand, chrom,
+                     chrom_start, raw, starts, lengths, seq)
+
+
 def read_tombo_fast5(path: str,
                      corrected_group: str = "RawGenomeCorrected_000",
                      basecall_subgroup: str = "BaseCalled_template",
@@ -97,6 +173,11 @@ def read_tombo_fast5(path: str,
     """Read one fast5; returns None when the read has no alignment group
     (reference's skip, extract_features.py:164-176). Raises on corrupt files
     (caller counts errors, extract_features.py:373)."""
+    try:
+        return _read_tombo_fast5_ll(path, corrected_group,
+                                    basecall_subgroup)
+    except _FallbackToHighLevel:
+        pass
     with h5py.File(path, "r") as h5:
         corr_path = f"Analyses/{corrected_group}/{basecall_subgroup}"
         if f"{corr_path}/Alignment" not in h5:

@@ -120,3 +120,50 @@ def test_iter_read_grouped_blocks(tmp_path, rng):
         assert not (reads_here & seen), "a read spans two blocks"
         seen |= reads_here
     assert len(seen) == 7
+
+
+def test_lowlevel_fast5_reader_matches_highlevel(tmp_path, rng):
+    """The h5f/h5a fast path must return exactly what the high-level
+    reader returns, and punt (not crash) on files it can't handle."""
+    import h5py
+
+    from make_synthetic import synth_fast5_dir, synth_genome
+    from deepsignal_plant_tpu.io import fast5 as F
+
+    genome = synth_genome(rng, {"chr1": 5000})
+    f5dir = tmp_path / "f5"
+    synth_fast5_dir(str(f5dir), genome, rng, n_reads=6, read_len=400)
+    paths = sorted(str(p) for p in f5dir.glob("*.fast5"))
+    assert paths
+
+    for p in paths:
+        ll = F._read_tombo_fast5_ll(p, "RawGenomeCorrected_000",
+                                    "BaseCalled_template")
+        # force the public reader down the high-level branch
+        orig = F._read_tombo_fast5_ll
+        F._read_tombo_fast5_ll = lambda *a, **k: (_ for _ in ()).throw(
+            F._FallbackToHighLevel())
+        try:
+            hl = F.read_tombo_fast5(p)
+        finally:
+            F._read_tombo_fast5_ll = orig
+        assert hl is not None
+        assert ll.readname == hl.readname
+        assert ll.chrom == hl.chrom
+        assert ll.alignstrand == hl.alignstrand
+        assert ll.chrom_start == hl.chrom_start
+        assert ll.read_strand == hl.read_strand
+        assert ll.seq == hl.seq
+        np.testing.assert_array_equal(ll.raw_signal, hl.raw_signal)
+        np.testing.assert_array_equal(ll.event_starts, hl.event_starts)
+        np.testing.assert_array_equal(ll.event_lengths, hl.event_lengths)
+
+    # a file without the alignment group: public reader returns None
+    # (the ll path punts to high-level, which implements the skip)
+    import numpy as _np
+    bare = tmp_path / "bare.fast5"
+    with h5py.File(bare, "w") as h5:
+        g = h5.create_group("Raw/Reads/Read_1")
+        g.attrs["read_id"] = "r1"
+        g.create_dataset("Signal", data=_np.arange(10, dtype=_np.int16))
+    assert F.read_tombo_fast5(str(bare)) is None
