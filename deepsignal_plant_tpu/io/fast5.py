@@ -112,8 +112,7 @@ def _read_tombo_fast5_ll(path: str, corrected_group: str,
     remains the single source of truth for semantics and error
     messages."""
     import os as _os
-    h5a, h5d, h5f, h5g, h5o = (h5py.h5a, h5py.h5d, h5py.h5f, h5py.h5g,
-                               h5py.h5o)
+    h5d, h5f, h5g, h5o = h5py.h5d, h5py.h5f, h5py.h5g, h5py.h5o
     corr = f"Analyses/{corrected_group}/{basecall_subgroup}".encode()
     try:
         fid = h5f.open(_os.fsencode(path), h5f.ACC_RDONLY)

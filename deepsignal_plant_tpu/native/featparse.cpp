@@ -857,7 +857,10 @@ extern "C" {
 // pipeline/extract.py::build_signal_rect, "even" mode only; "compat"
 // random sampling stays in Python). norm values are already 6-decimal
 // rounded; double->half here uses the same round-to-nearest-even as
-// numpy's astype.
+// numpy's astype. Indexing is UNCHECKED: the Python wrapper
+// (fastparse.build_rect_f16) validates 0 <= start, 0 <= length and
+// start+length <= len(norm) and falls back to the clipping numpy path
+// for corrupt event tables.
 void dsp_build_rect_f16(const double* norm, const int64_t* starts,
                         const int64_t* lengths, int64_t n, int32_t S,
                         _Float16* rect_out) {
@@ -879,9 +882,10 @@ void dsp_build_rect_f16(const double* norm, const int64_t* starts,
     }
 }
 
-// out must hold n * (head_len + mid_len + tail_len + 42) bytes
-// (two int64 columns are <= 20 digits + sign each). Writes each row's
-// byte length into row_lens. Returns total bytes written.
+// out must hold n * (chrom_len + strand_len + readname_len +
+// read_strand_len + 47) bytes: two int64 columns are <= 21 bytes each
+// (20 digits + sign) plus 5 tab separators. Writes each row's byte
+// length into row_lens. Returns total bytes written.
 int64_t dsp_format_info_rows(const char* chrom, int64_t chrom_len,
                              const char* strand, int64_t strand_len,
                              const char* readname, int64_t readname_len,

@@ -112,6 +112,14 @@ def build_rect_f16(norm: np.ndarray, starts: np.ndarray,
     norm = np.ascontiguousarray(norm, np.float64)
     starts = np.ascontiguousarray(starts, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
+    # the C loop indexes norm[start .. start+len) unchecked — a corrupt
+    # event table (negative length, segment past the signal) must fall
+    # back to the Python path, which clips indices and zero-pads, rather
+    # than read/write out of bounds (a negative length would corrupt the
+    # heap and SIGABRT the pool worker)
+    if len(starts) and (int(lengths.min()) < 0 or int(starts.min()) < 0
+                        or int((starts + lengths).max()) > len(norm)):
+        return None
     rect = np.empty((len(starts), signal_len), np.float16)
     lib.dsp_build_rect_f16(norm, starts, lengths, len(starts),
                            signal_len, rect)

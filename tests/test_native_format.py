@@ -136,3 +136,25 @@ def test_native_rect_f16_matches_numpy(rng):
     assert native.dtype == np.float16
     np.testing.assert_array_equal(native.view(np.uint16),
                                   ref.view(np.uint16))
+
+
+def test_native_rect_f16_rejects_corrupt_event_tables(rng):
+    """Corrupt event tables (negative lengths, segments past the signal)
+    must return None — falling back to the clipping numpy path — never
+    read/write out of bounds."""
+    from deepsignal_plant_tpu.utils.fastparse import build_rect_f16
+
+    norm = np.around(rng.normal(size=100), 6)
+    # segment runs past the signal end
+    assert build_rect_f16(norm, np.array([90], np.int64),
+                          np.array([20], np.int64), 16) is None
+    # negative length (would make pad exceed S and corrupt the heap)
+    assert build_rect_f16(norm, np.array([10], np.int64),
+                          np.array([-4], np.int64), 16) is None
+    # negative start
+    assert build_rect_f16(norm, np.array([-1], np.int64),
+                          np.array([4], np.int64), 16) is None
+    # boundary case exactly at the end stays native
+    out = build_rect_f16(norm, np.array([84], np.int64),
+                         np.array([16], np.int64), 16)
+    assert out is not None and out.shape == (1, 16)
