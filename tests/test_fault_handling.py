@@ -121,3 +121,37 @@ def test_vbz_missing_plugin_actionable_error():
 def test_vbz_probe_is_bool():
     from deepsignal_plant_tpu.io.fast5 import vbz_plugin_available
     assert isinstance(vbz_plugin_available(), bool)
+
+
+def test_mutated_fast5_never_aborts_reader(tmp_path, rng):
+    """Byte-level mutations of a valid fast5 must yield a TomboRead, a
+    None skip, or a Python exception through the public reader — never
+    a crash (the low-level path must punt cleanly on anything odd)."""
+    from make_synthetic import synth_fast5_dir, synth_genome
+    from deepsignal_plant_tpu.io.fast5 import read_tombo_fast5
+
+    genome = synth_genome(rng, {"chr1": 3000})
+    f5dir = tmp_path / "f5"
+    synth_fast5_dir(str(f5dir), genome, rng, n_reads=1, read_len=200)
+    src = next(f5dir.glob("*.fast5"))
+    data = bytearray(src.read_bytes())
+
+    mut = tmp_path / "mut.fast5"
+    outcomes = {"read": 0, "none": 0, "error": 0}
+    for trial in range(40):
+        m = bytearray(data)
+        if trial < 8:                      # truncations
+            m = m[:max(16, len(m) * trial // 8)]
+        else:                              # byte flips, incl. the header
+            for _ in range(rng.integers(1, 8)):
+                pos = int(rng.integers(0, len(m)))
+                m[pos] ^= int(rng.integers(1, 256))
+        mut.write_bytes(bytes(m))
+        try:
+            r = read_tombo_fast5(str(mut))
+            outcomes["read" if r is not None else "none"] += 1
+        except Exception:
+            outcomes["error"] += 1
+    # the exact split depends on where mutations land; what matters is
+    # that every trial completed without killing the process
+    assert sum(outcomes.values()) == 40
