@@ -110,6 +110,12 @@ def main_call_mods(args):
     call_mods(args)
 
 
+def main_serve(args):
+    from .pipeline.serve import serve
+    display_args(args)
+    serve(args)
+
+
 def main_call_freq(args):
     from .pipeline.call_freq import call_mods_frequency_to_file
     display_args(args)
@@ -213,6 +219,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose_stages", action="store_true", default=False,
                    help="print per-stage host timing counters at the end")
     p.set_defaults(func=main_call_mods)
+
+    # ---- serve (watch-directory call_mods; not in the reference) ----
+    p = subparsers.add_parser(
+        "serve",
+        description="long-running call_mods over a watched directory: one "
+                    "warm engine (checkpoint + compiles paid once) calls "
+                    "each feature file (.tsv/.tsv.gz/.npz any wire "
+                    "version) as it lands; outputs + .done/.failed "
+                    "markers land in --result_dir; stable-size pickup, "
+                    "at-most-once semantics across restarts, graceful "
+                    "SIGTERM")
+    p.add_argument("--watch_dir", "-i", type=str, required=True)
+    p.add_argument("--result_dir", "-o", type=str, required=True)
+    p.add_argument("--model_path", "-m", type=str, required=True)
+    p.add_argument("--poll_s", type=float, default=2.0,
+                   help="poll interval seconds, default %(default)s")
+    p.add_argument("--once", action="store_true", default=False,
+                   help="process the current backlog and exit")
+    p.add_argument("--batch_size", "-b", type=int, default=512)
+    p.add_argument("--device_batch", type=int, default=None)
+    p.add_argument("--transfer_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "float16", "int8"])
+    p.add_argument("--dispatch_workers", type=int, default=4)
+    p.add_argument("--gzip", action="store_true", default=False)
+    _add_model_args(p, dropout_default=0.0, compute_dtype_default="auto")
+    p.set_defaults(func=main_serve)
 
     # ---- call_freq ----
     p = subparsers.add_parser("call_freq",

@@ -1,0 +1,176 @@
+"""serve — long-running call_mods over a watched directory.
+
+Production deployment mode the reference does not have: sequencing
+runs deposit feature files (TSV / any .npz wire version) continuously;
+this keeps ONE warm engine (checkpoint loaded once, executables
+compiled once) and calls each file as it lands, instead of paying
+model-load + jit compile per CLI invocation (minutes on remote-attached
+TPU rigs, seconds warm).
+
+Contract per input file ``X``:
+    <result_dir>/X.call_mods.tsv      the calls (atomic: written to a
+                                      dot-temp name, renamed when done)
+    <result_dir>/X.done               marker: "<sites>\t<seconds>"
+    <result_dir>/X.failed             marker: first line of the error
+
+A file is picked up when its (size, mtime) is STABLE across two polls —
+half-written uploads are never read — and is processed at most once
+(markers are the dedup record, so restarts resume where they left off).
+SIGTERM/SIGINT finish the in-flight file, then exit cleanly.
+"""
+from __future__ import annotations
+
+import os
+import signal
+import time
+
+#: input extensions the engine accepts directly
+_EXTS = (".tsv", ".npz", ".tsv.gz")
+
+
+def _candidates(watch_dir: str) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(watch_dir)):
+        if name.startswith("."):
+            continue
+        if any(name.endswith(e) for e in _EXTS):
+            out.append(os.path.join(watch_dir, name))
+    return out
+
+
+def _stat_sig(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_size, st.st_mtime_ns)
+
+
+class WatchServer:
+    """Poll-loop server around one warm CallModsEngine."""
+
+    def __init__(self, engine, watch_dir: str, result_dir: str,
+                 poll_s: float = 2.0, is_gzip: bool = False):
+        self.engine = engine
+        self.watch_dir = watch_dir
+        self.result_dir = result_dir
+        self.poll_s = poll_s
+        self.is_gzip = is_gzip
+        self._stop = False
+        self._last_sig: dict[str, tuple] = {}
+        os.makedirs(result_dir, exist_ok=True)
+
+    def request_stop(self, *_):
+        self._stop = True
+
+    def _marker(self, name: str, kind: str) -> str:
+        return os.path.join(self.result_dir, f"{name}.{kind}")
+
+    def _is_done(self, name: str) -> bool:
+        return (os.path.exists(self._marker(name, "done"))
+                or os.path.exists(self._marker(name, "failed")))
+
+    def _ready(self, path: str) -> bool:
+        """Stable across two polls (size+mtime unchanged)."""
+        sig = _stat_sig(path)
+        if sig is None:
+            return False
+        prev = self._last_sig.get(path)
+        self._last_sig[path] = sig
+        return prev == sig
+
+    def process_one(self, path: str) -> bool:
+        name = os.path.basename(path)
+        out_name = name + ".call_mods.tsv" + (".gz" if self.is_gzip else "")
+        final = os.path.join(self.result_dir, out_name)
+        tmp = os.path.join(self.result_dir, "." + out_name + ".tmp")
+        t0 = time.time()
+        try:
+            stats = self.engine.run_features_file(path, tmp,
+                                                  is_gzip=self.is_gzip)
+            os.replace(tmp, final)
+            with open(self._marker(name, "done"), "w") as fh:
+                fh.write(f"{stats.sites}\t{time.time() - t0:.3f}\n")
+            print(f"[serve] {name}: {stats.sites} sites in "
+                  f"{time.time() - t0:.2f}s ({stats.sites_per_s:,.0f}/s)",
+                  flush=True)
+            return True
+        except Exception as exc:  # keep serving: one bad file != outage
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            with open(self._marker(name, "failed"), "w") as fh:
+                fh.write(str(exc).split("\n")[0] + "\n")
+            print(f"[serve] {name}: FAILED ({exc})", flush=True)
+            return False
+
+    def sweep(self) -> int:
+        """One poll: process every stable, unprocessed input. Returns the
+        number of files processed."""
+        n = 0
+        for path in _candidates(self.watch_dir):
+            if self._stop:
+                break
+            if self._is_done(os.path.basename(path)):
+                continue
+            if not self._ready(path):
+                continue
+            self.process_one(path)
+            n += 1
+        return n
+
+    def run(self, once: bool = False) -> None:
+        if once:
+            # process the current backlog: first poll records signatures,
+            # second confirms stability
+            self.sweep()
+            self.sweep()
+            return
+        while not self._stop:
+            self.sweep()
+            # interruptible sleep
+            deadline = time.time() + self.poll_s
+            while not self._stop and time.time() < deadline:
+                time.sleep(0.1)
+        print("[serve] stopped.", flush=True)
+
+
+def serve(args) -> None:
+    """CLI entry: build one warm engine and watch a directory."""
+    from ..config import CallConfig, ModelConfig
+    from ..utils.bases import str2bool
+    from ..utils.jaxinit import (resolve_compute_dtype, resolve_recurrence,
+                                 setup_jax)
+    from .call_mods import CallModsEngine
+
+    setup_jax()
+    model_cfg = ModelConfig(
+        seq_len=args.seq_len, signal_len=args.signal_len,
+        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
+        num_classes=args.class_num, dropout_rate=0.0,
+        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
+        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
+        is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        compute_dtype=resolve_compute_dtype(
+            getattr(args, "compute_dtype", "auto")),
+        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),
+                                      allow_multi_device=True))
+    call_cfg = CallConfig(batch_size=args.batch_size,
+                          device_batch=getattr(args, "device_batch", None),
+                          transfer_dtype=getattr(args, "transfer_dtype",
+                                                 "auto"),
+                          dispatch_workers=getattr(args, "dispatch_workers",
+                                                   4))
+    engine = CallModsEngine(os.path.abspath(args.model_path), model_cfg,
+                            call_cfg)
+    server = WatchServer(engine, os.path.abspath(args.watch_dir),
+                         os.path.abspath(args.result_dir),
+                         poll_s=args.poll_s,
+                         is_gzip=getattr(args, "gzip", False))
+    signal.signal(signal.SIGTERM, server.request_stop)
+    signal.signal(signal.SIGINT, server.request_stop)
+    print(f"[serve] watching {args.watch_dir} -> {args.result_dir} "
+          f"(poll {args.poll_s}s, compute {model_cfg.compute_dtype}, "
+          f"once={args.once})", flush=True)
+    server.run(once=args.once)

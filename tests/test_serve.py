@@ -1,0 +1,129 @@
+"""serve — watch-directory call_mods with one warm engine."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from make_synthetic import synth_feature_rows, write_feature_file
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+
+    path = str(tmp_path_factory.mktemp("m") / "m.ckpt.npz")
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    save_checkpoint(path, init_params(jax.random.PRNGKey(0), cfg), cfg)
+    return path, cfg
+
+
+def _make_engine(ckpt):
+    from deepsignal_plant_tpu.config import CallConfig
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+
+    path, cfg = ckpt
+    return CallModsEngine(path, cfg, CallConfig(device_batch=256))
+
+
+def test_watch_server_backlog_and_markers(tmp_path, rng, ckpt):
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    write_feature_file(str(watch / "a.tsv"),
+                       synth_feature_rows(rng, 4, 16))
+    write_feature_file(str(watch / "b.tsv"),
+                       synth_feature_rows(rng, 3, 16))
+    (watch / "ignored.txt").write_text("not features\n")
+    (watch / ".hidden.tsv").write_text("skip\n")
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01)
+    server.run(once=True)
+
+    for name, rows in (("a.tsv", 4 * 16), ("b.tsv", 3 * 16)):
+        res = out / f"{name}.call_mods.tsv"
+        assert res.exists()
+        assert sum(1 for _ in open(res)) == rows
+        marker = (out / f"{name}.done").read_text().split("\t")
+        assert int(marker[0]) == rows
+    assert not (out / "ignored.txt.call_mods.tsv").exists()
+
+    # at-most-once: a second backlog run reprocesses nothing
+    before = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    server2 = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                          poll_s=0.01)
+    server2.run(once=True)
+    after = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    assert before == after
+
+
+def test_watch_server_failed_marker_keeps_serving(tmp_path, rng, ckpt):
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    (watch / "bad.tsv").write_text("this\tis\tnot\ta\tfeature\trow\n")
+    write_feature_file(str(watch / "good.tsv"),
+                       synth_feature_rows(rng, 2, 8))
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01)
+    server.run(once=True)
+
+    assert (out / "bad.tsv.failed").exists()
+    assert not (out / "bad.tsv.call_mods.tsv").exists()
+    assert (out / "good.tsv.done").exists()
+    assert sum(1 for _ in open(out / "good.tsv.call_mods.tsv")) == 16
+
+
+def test_watch_server_waits_for_stable_files(tmp_path, rng, ckpt):
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    write_feature_file(str(watch / "x.tsv"), synth_feature_rows(rng, 2, 8))
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01)
+    # first sweep only records the signature — nothing processed yet
+    assert server.sweep() == 0
+    # file grows between polls: still not stable
+    with open(watch / "x.tsv", "a") as fh:
+        fh.write("\n".join(synth_feature_rows(rng, 1, 8)) + "\n")
+    assert server.sweep() == 0
+    # unchanged across two polls: processed now
+    assert server.sweep() == 1
+    assert (out / "x.tsv.done").exists()
+    assert sum(1 for _ in open(out / "x.tsv.call_mods.tsv")) == 3 * 8
+
+
+def test_serve_cli_once(tmp_path, rng, ckpt):
+    """End-to-end through the CLI with --once."""
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    write_feature_file(str(watch / "f.tsv"), synth_feature_rows(rng, 3, 8))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "deepsignal_plant_tpu", "serve",
+         "--watch_dir", str(watch), "--result_dir", str(out),
+         "--model_path", ckpt[0], "--hid_rnn", "32", "--once",
+         "--device_batch", "256"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (out / "f.tsv.done").exists()
+    assert sum(1 for _ in open(out / "f.tsv.call_mods.tsv")) == 24
