@@ -243,7 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "float32", "float16", "int8"])
     p.add_argument("--dispatch_workers", type=int, default=4)
     p.add_argument("--gzip", action="store_true", default=False)
+    p.add_argument("--nproc", "-p", type=int, default=4,
+                   help="extraction workers for run-folder (fast5 dir) "
+                        "inputs")
+    p.add_argument("--f5_batch_size", type=int, default=30)
     _add_model_args(p, dropout_default=0.0, compute_dtype_default="auto")
+    _add_f5_args(p)
     p.set_defaults(func=main_serve)
 
     # ---- call_freq ----

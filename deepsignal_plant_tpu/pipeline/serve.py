@@ -28,34 +28,66 @@ import time
 _EXTS = (".tsv", ".npz", ".tsv.gz")
 
 
-def _candidates(watch_dir: str) -> list[str]:
+def _holds_fast5s(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".fast5") for f in files):
+            return True
+    return False
+
+
+def _candidates(watch_dir: str, include_dirs: bool) -> list[str]:
+    """Feature files, plus run-folders (subdirectories holding fast5s —
+    what a sequencer deposits) which go through the fused
+    fast5->call_mods path."""
     out = []
     for name in sorted(os.listdir(watch_dir)):
         if name.startswith("."):
             continue
+        path = os.path.join(watch_dir, name)
         if any(name.endswith(e) for e in _EXTS):
-            out.append(os.path.join(watch_dir, name))
+            out.append(path)
+        elif include_dirs and os.path.isdir(path) and _holds_fast5s(path):
+            out.append(path)
     return out
 
 
 def _stat_sig(path: str) -> tuple | None:
+    """Stability signature: (size, mtime) for a file; (file count, total
+    bytes, newest mtime) over the tree for a run-folder."""
     try:
-        st = os.stat(path)
+        if not os.path.isdir(path):
+            st = os.stat(path)
+            return (st.st_size, st.st_mtime_ns)
+        n = total = newest = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    st = os.stat(os.path.join(root, f))
+                except OSError:
+                    continue
+                n += 1
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+        return (n, total, newest)
     except OSError:
         return None
-    return (st.st_size, st.st_mtime_ns)
 
 
 class WatchServer:
     """Poll-loop server around one warm CallModsEngine."""
 
     def __init__(self, engine, watch_dir: str, result_dir: str,
-                 poll_s: float = 2.0, is_gzip: bool = False):
+                 poll_s: float = 2.0, is_gzip: bool = False,
+                 extract_args=None):
         self.engine = engine
         self.watch_dir = watch_dir
         self.result_dir = result_dir
         self.poll_s = poll_s
         self.is_gzip = is_gzip
+        # argparse-like namespace with the extraction options the fused
+        # fast5 path needs (motifs, corrected_group, nproc, ...); None
+        # disables run-folder processing
+        self.extract_args = extract_args
         self._stop = False
         self._last_sig: dict[str, tuple] = {}
         os.makedirs(result_dir, exist_ok=True)
@@ -86,8 +118,14 @@ class WatchServer:
         tmp = os.path.join(self.result_dir, "." + out_name + ".tmp")
         t0 = time.time()
         try:
-            stats = self.engine.run_features_file(path, tmp,
-                                                  is_gzip=self.is_gzip)
+            if os.path.isdir(path):
+                from .extract import extract_to_call_mods
+                stats = extract_to_call_mods(self.engine, path,
+                                             self.extract_args,
+                                             result_file=tmp)
+            else:
+                stats = self.engine.run_features_file(
+                    path, tmp, is_gzip=self.is_gzip)
             os.replace(tmp, final)
             with open(self._marker(name, "done"), "w") as fh:
                 fh.write(f"{stats.sites}\t{time.time() - t0:.3f}\n")
@@ -109,7 +147,8 @@ class WatchServer:
         """One poll: process every stable, unprocessed input. Returns the
         number of files processed."""
         n = 0
-        for path in _candidates(self.watch_dir):
+        for path in _candidates(self.watch_dir,
+                                include_dirs=self.extract_args is not None):
             if self._stop:
                 break
             if self._is_done(os.path.basename(path)):
@@ -164,10 +203,14 @@ def serve(args) -> None:
                                                    4))
     engine = CallModsEngine(os.path.abspath(args.model_path), model_cfg,
                             call_cfg)
+    # run-folder (fast5 dir) inputs take the fused path with these
+    # extraction options; args already carries the f5/extraction flags
+    # (the serve parser includes _add_f5_args), so pass it through
     server = WatchServer(engine, os.path.abspath(args.watch_dir),
                          os.path.abspath(args.result_dir),
                          poll_s=args.poll_s,
-                         is_gzip=getattr(args, "gzip", False))
+                         is_gzip=getattr(args, "gzip", False),
+                         extract_args=args)
     signal.signal(signal.SIGTERM, server.request_stop)
     signal.signal(signal.SIGINT, server.request_stop)
     print(f"[serve] watching {args.watch_dir} -> {args.result_dir} "

@@ -127,3 +127,42 @@ def test_serve_cli_once(tmp_path, rng, ckpt):
     assert r.returncode == 0, r.stderr[-1500:]
     assert (out / "f.tsv.done").exists()
     assert sum(1 for _ in open(out / "f.tsv.call_mods.tsv")) == 24
+
+
+def test_watch_server_run_folder_fused(tmp_path, rng, ckpt):
+    """A subdirectory of fast5s (a sequencer run-folder) goes through
+    the fused extract->call path; non-fast5 dirs are ignored."""
+    import argparse
+
+    from make_synthetic import synth_fast5_dir, synth_genome
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    genome = synth_genome(rng, {"chr1": 4000})
+    synth_fast5_dir(str(watch / "run_0001"), genome, rng, n_reads=4,
+                    read_len=300)
+    (watch / "not_a_run").mkdir()
+    (watch / "not_a_run" / "x.txt").write_text("hi")
+
+    ex_args = argparse.Namespace(
+        recursively="yes", corrected_group="RawGenomeCorrected_000",
+        basecall_subgroup="BaseCalled_template", normalize_method="mad",
+        motifs="CG", mod_loc=0, seq_len=13, signal_len=16, positions=None,
+        region=None, reference_path=None, is_dna="yes", f5_batch_size=30,
+        nproc=2, gzip=False)
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01, extract_args=ex_args)
+    server.run(once=True)
+
+    res = out / "run_0001.call_mods.tsv"
+    assert (out / "run_0001.done").exists()
+    assert res.exists() and sum(1 for _ in open(res)) > 0
+    assert not (out / "not_a_run.done").exists()
+
+    # without extract_args, run-folders are not picked up at all
+    server2 = WatchServer(_make_engine(ckpt), str(watch),
+                          str(tmp_path / "out2"), poll_s=0.01)
+    server2.run(once=True)
+    assert not (tmp_path / "out2" / "run_0001.done").exists()
