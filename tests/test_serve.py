@@ -166,3 +166,36 @@ def test_watch_server_run_folder_fused(tmp_path, rng, ckpt):
                           str(tmp_path / "out2"), poll_s=0.01)
     server2.run(once=True)
     assert not (tmp_path / "out2" / "run_0001.done").exists()
+
+
+def test_watch_server_gz_and_npz_inputs(tmp_path, rng, ckpt):
+    """.tsv.gz and .npz inputs call identically to the same rows as
+    plain TSV (serve accepts every input plane the engine does)."""
+    import gzip
+
+    from deepsignal_plant_tpu.io.batching import batches_from_features_file
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+    from deepsignal_plant_tpu.utils.formats import save_feature_npz
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    rows = synth_feature_rows(rng, 3, 8)
+    write_feature_file(str(watch / "a.tsv"), rows)
+    with gzip.open(watch / "b.tsv.gz", "wt") as fh:
+        fh.write("\n".join(rows) + "\n")
+    pb = next(batches_from_features_file(str(watch / "a.tsv"), 256))
+    from deepsignal_plant_tpu.io.batching import _split
+    fb, _ = _split(pb.features, pb.n_valid)
+    save_feature_npz(str(watch / "c.npz"), fb)
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01)
+    server.run(once=True)
+
+    ref = (out / "a.tsv.call_mods.tsv").read_bytes()
+    assert len(ref.splitlines()) == 24
+    assert (out / "b.tsv.gz.done").exists()
+    assert (out / "b.tsv.gz.call_mods.tsv").read_bytes() == ref
+    assert (out / "c.npz.done").exists()
+    assert (out / "c.npz.call_mods.tsv").read_bytes() == ref
