@@ -18,8 +18,6 @@ import statistics
 import tempfile
 import time
 
-import numpy as np
-
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
 ARMS = ([int(a) for a in sys.argv[2].split(",")]
         if len(sys.argv) > 2 else [32768, 65536])
@@ -69,12 +67,23 @@ for b, eng in engines.items():
     print(f"warm b={b}: {st.sites_per_s:.0f} sites/s", flush=True)
 
 rates = {b: [] for b in ARMS}
+outs = {b: os.path.join(td.name, f"out_{b}.tsv") for b in ARMS}
 for r in range(ROUNDS):
-    for b in ARMS:
-        st = engines[b].run_features_file(features, out)
+    # reverse arm order on odd rounds so monotonic within-round drift
+    # (tunnel warmup/decay) cancels instead of favoring one arm
+    order = ARMS if r % 2 == 0 else list(reversed(ARMS))
+    for b in order:
+        st = engines[b].run_features_file(features, outs[b])
         rates[b].append(st.sites_per_s)
         print(f"round {r} b={b}: {st.sites_per_s:,.0f} sites/s "
               f"({st.seconds:.2f}s)", flush=True)
+
+# correctness cross-check: every arm must call every site identically
+ref_rows = sorted(open(outs[ARMS[0]]).readlines())
+for b in ARMS[1:]:
+    assert sorted(open(outs[b]).readlines()) == ref_rows, \
+        f"device_batch={b} output differs from device_batch={ARMS[0]}"
+print(f"outputs identical across arms ({len(ref_rows)} rows)")
 
 for b in ARMS:
     print(f"b={b}: median {statistics.median(rates[b]):,.0f} "

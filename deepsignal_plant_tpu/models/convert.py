@@ -125,8 +125,62 @@ def _convert_linear(sd: dict, torch_prefix: str) -> Params:
             "b": _np(sd[f"{torch_prefix}.bias"])}
 
 
+def _expected_torch_keys(cfg: ModelConfig) -> set[str]:
+    """The exact state_dict keys our converter consumes for this config."""
+    keys: set[str] = set()
+
+    def lstm(name: str, num_layers: int) -> None:
+        for li in range(num_layers):
+            for suffix in ("", "_reverse"):
+                for w in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                    keys.add(f"{name}.{w}_l{li}{suffix}")
+
+    def linear(name: str) -> None:
+        keys.add(f"{name}.weight")
+        keys.add(f"{name}.bias")
+
+    if cfg.module != "signal_bilstm":
+        keys.add("embed.weight")
+        lstm("lstm_seq", cfg.num_layers_branch)
+        linear("fc_seq")
+    if cfg.module != "seq_bilstm":
+        lstm("lstm_signal", cfg.num_layers_branch)
+        linear("fc_signal")
+    lstm("lstm_comb", cfg.num_layers_comb)
+    linear("fc1")
+    linear("fc2")
+    return keys
+
+
+def normalize_torch_state_dict(sd: dict, cfg: ModelConfig) -> dict:
+    """Strip DataParallel ``module.`` prefixes and audit the key set.
+
+    The reference loads checkpoints by filtered-dict update
+    (call_modifications.py:219-224), which silently tolerates partial
+    state_dicts. We are stricter: a checkpoint that is missing weights
+    would silently run with whatever sat in those slots, so missing keys
+    are a hard error with a full report; keys we do not consume (e.g.
+    extra buffers) are ignored, matching the reference's filtered update.
+    """
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    expected = _expected_torch_keys(cfg)
+    present = set(sd.keys())
+    missing = sorted(expected - present)
+    if missing:
+        unexpected = sorted(present - expected)
+        raise ValueError(
+            "torch checkpoint does not match model config "
+            f"(module={cfg.module!r}, layers={cfg.num_layers_branch}/"
+            f"{cfg.num_layers_comb}):\n"
+            f"  missing keys ({len(missing)}): {missing}\n"
+            f"  unexpected keys ({len(unexpected)}): {unexpected}")
+    return sd
+
+
 def convert_torch_state_dict(sd: dict, cfg: ModelConfig) -> Params:
     """Map a reference torch state_dict onto our parameter pytree."""
+    sd = normalize_torch_state_dict(sd, cfg)
     params: Params = {}
     if cfg.module != "signal_bilstm":
         params["embed"] = _np(sd["embed.weight"])
@@ -148,28 +202,41 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Params:
 
     Mirrors the reference's CPU map_location load
     (call_modifications.py:219-224). Requires torch (CPU) at call time only.
+    Prefers ``weights_only=True`` (no pickle code execution) and falls back
+    to a full load for old-format checkpoints that need it.
     """
     import torch
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(sd, dict):
         sd = sd.state_dict()
     return convert_torch_state_dict(sd, cfg)
 
 
+def _is_native_npz(path: str) -> bool:
+    """True iff the file is a numpy .npz archive (vs a torch zip ckpt).
+
+    Both are PK zip archives, so sniff the member list: npz members are all
+    ``*.npy``; torch-serialized archives carry ``data.pkl`` + raw tensor
+    blobs. np.load on a torch archive does NOT fail — it hands back raw
+    bytes per member — so a try/except on np.load cannot distinguish them.
+    """
+    import zipfile
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+    except zipfile.BadZipFile:
+        return False
+    return bool(names) and all(n.endswith(".npy") for n in names)
+
+
 def load_any_checkpoint(path: str, cfg: ModelConfig) -> Params:
     """Dispatch on file type: .npz native checkpoints, else torch."""
-    if path.endswith(".npz"):
+    if path.endswith(".npz") or _is_native_npz(path):
         params, _ = load_checkpoint(path)
         return params
-    # quick magic sniff: numpy zip archives start with PK
-    with open(path, "rb") as fh:
-        magic = fh.read(2)
-    if magic == b"PK":
-        try:
-            params, _ = load_checkpoint(path)
-            return params
-        except Exception:
-            pass  # torch zip-serialized checkpoints are also PK archives
     return load_torch_checkpoint(path, cfg)
 
 

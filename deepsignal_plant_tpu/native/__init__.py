@@ -22,7 +22,10 @@ def build_native(force: bool = False) -> bool:
             os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH):
         return True
     tmp_path = _SO_PATH + ".tmp"
-    for flags in (["-O3", "-march=native"], ["-O3"]):
+    # -ffp-contract=off: dsp_read_norm_stats promises bit-exactness with
+    # numpy's separate mul/sub ops — FMA contraction breaks it by 1 ulp
+    for flags in (["-O3", "-march=native", "-ffp-contract=off"],
+                  ["-O3", "-ffp-contract=off"]):
         try:
             subprocess.run(
                 ["g++", *flags, "-shared", "-fPIC", "-std=c++17",

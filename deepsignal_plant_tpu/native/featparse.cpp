@@ -14,6 +14,7 @@
 //
 //   dsp_count_lines(buf, len) -> newline count.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -21,6 +22,7 @@
 #include <cstring>
 #include <string_view>
 #include <unordered_map>
+#include <vector>
 #if defined(__AVX512F__) && defined(__AVX512BW__)
 #include <immintrin.h>
 #endif
@@ -881,6 +883,120 @@ void dsp_build_rect_f16(const double* norm, const int64_t* starts,
         }
     }
 }
+
+}  // extern "C"
+
+// Fused per-read extraction kernel (the last Python hot loop of the
+// fused fast5->call_mods path: pipeline/extract.py normalize_signals +
+// segment_stats + build_signal_rect measured ~66% of the packed
+// extraction worker). Replicates the numpy pipeline BIT-EXACTLY:
+//   norm  = around((sig - median(sig)) / (median(|sig-median|)/MAD_C), 6)
+//   cs    = sequential float64 prefix sums of norm and norm^2
+//   mean  = (cs[end]-cs[start]) / max(len,1)
+//   std   = sqrt(max(cs2diff/n - mean^2, 0))
+//   m16   = half(around(mean, 6)); s16 = half(around(std, 6))
+//   rect  = dsp_build_rect_f16 semantics ("even" downsampling)
+// numpy facts this relies on: np.median of even-length n is the exact
+// mean of the two middle order statistics; np.around(x, 6) is
+// rint(x*1e6)/1e6 (round-half-even); np.cumsum is sequential (not
+// pairwise) so a running double sum is identical; double->half uses
+// round-to-nearest-even. MAD only — np.mean/np.std (zscore mode) use
+// pairwise summation, which is NOT replicated here; the Python wrapper
+// falls back for zscore. Parity: pipeline/extract.py:40-130 and
+// reference extract_features.py:179-190,232-251,364-365.
+
+namespace {
+
+const double MAD_C = 0.6744897501960817;  // Gaussian.ppf(3/4)
+
+// exact np.median: partition, then middle element (odd) or the exact
+// mean of the two middle order statistics (even). Mutates buf.
+double median_inplace(double* buf, int64_t n) {
+    double* mid = buf + n / 2;
+    std::nth_element(buf, mid, buf + n);
+    const double hi = *mid;
+    if (n & 1) return hi;
+    const double lo = *std::max_element(buf, mid);
+    return (lo + hi) / 2.0;
+}
+
+inline double round6d(double v) {
+    return std::rint(v * 1e6) / 1e6;
+}
+
+}  // namespace
+
+extern "C" {
+
+// signal: rescaled raw signal (float64), ns samples.
+// starts/lengths: event table (int64, nb bases); caller validates
+//   0 <= start, 0 <= length, start+length <= ns (unchecked here).
+// Outputs (caller-allocated): norm_out (ns), means64/stds64 (nb,
+// unrounded — segment_stats' values for the TSV/f64 paths),
+// means16/stds16/lens16 (nb, the packed wire's rounded f16), rect16
+// (nb*S). Returns 0 on success, -1 on alloc failure.
+int32_t dsp_read_norm_stats(const double* signal, int64_t ns,
+                            const int64_t* starts, const int64_t* lengths,
+                            int64_t nb, int32_t S, double* norm_out,
+                            double* means64, double* stds64,
+                            _Float16* means16, _Float16* stds16,
+                            _Float16* lens16, _Float16* rect16) {
+    if (ns <= 0 || nb < 0) return -1;
+    std::vector<double> scratch;
+    std::vector<double> cs, cs2;
+    try {
+        scratch.assign(signal, signal + ns);
+        cs.resize(size_t(ns) + 1);
+        cs2.resize(size_t(ns) + 1);
+    } catch (...) {
+        return -1;
+    }
+    const double med = median_inplace(scratch.data(), ns);
+    for (int64_t i = 0; i < ns; ++i)
+        scratch[size_t(i)] = std::fabs(signal[i] - med);
+    const double scale = median_inplace(scratch.data(), ns) / MAD_C;
+
+    // normalize + 6-dp round + sequential prefix sums in one pass
+    cs[0] = 0.0;
+    cs2[0] = 0.0;
+    if (scale == 0.0) {
+        for (int64_t i = 0; i < ns; ++i) {
+            const double v = round6d(signal[i]);
+            norm_out[i] = v;
+            cs[size_t(i) + 1] = cs[size_t(i)] + v;
+            cs2[size_t(i) + 1] = cs2[size_t(i)] + v * v;
+        }
+    } else {
+        for (int64_t i = 0; i < ns; ++i) {
+            const double v = round6d((signal[i] - med) / scale);
+            norm_out[i] = v;
+            cs[size_t(i) + 1] = cs[size_t(i)] + v;
+            cs2[size_t(i) + 1] = cs2[size_t(i)] + v * v;
+        }
+    }
+
+    for (int64_t i = 0; i < nb; ++i) {
+        const int64_t st = starts[i];
+        const int64_t len = lengths[i];
+        const int64_t en = st + len;
+        const double n = double(len > 1 ? len : 1);
+        const double mean = (cs[size_t(en)] - cs[size_t(st)]) / n;
+        double var = (cs2[size_t(en)] - cs2[size_t(st)]) / n - mean * mean;
+        if (var < 0.0) var = 0.0;
+        const double sd = std::sqrt(var);
+        means64[i] = mean;
+        stds64[i] = sd;
+        means16[i] = _Float16(round6d(mean));
+        stds16[i] = _Float16(round6d(sd));
+        lens16[i] = _Float16(double(len));
+    }
+    dsp_build_rect_f16(norm_out, starts, lengths, nb, S, rect16);
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // out must hold n * (chrom_len + strand_len + readname_len +
 // read_strand_len + 47) bytes: two int64 columns are <= 21 bytes each

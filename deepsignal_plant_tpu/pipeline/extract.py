@@ -200,7 +200,6 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
             print("warning - chrom_name in fast5 not in provided reference "
                   "genome!")
 
-    norm = normalize_signals(read.raw_signal, opts.normalize_method)
     seq_bytes = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
     locs = motif_locs_in_codes(seq_bytes, ctx.motif_seqs, opts.mod_loc)
     nb = (opts.kmer_len - 1) // 2
@@ -227,18 +226,40 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
     if len(locs) == 0:
         return None
 
-    stats_fn = (segment_stats_exact if opts.downsample == "compat"
-                else segment_stats)
-    means, stds = stats_fn(norm, read.event_starts, read.event_lengths)
-    rect = None
-    if opts.rect_f16 and opts.downsample == "even":
-        from ..utils.fastparse import build_rect_f16
-        rect = build_rect_f16(norm, read.event_starts,
-                              read.event_lengths, opts.signal_len)
-    if rect is None:
-        rect = build_signal_rect(norm, read.event_starts,
-                                 read.event_lengths, opts.signal_len,
-                                 opts.downsample, rng)
+    # fused native kernel: normalize + round + segment stats + f16 rect
+    # in one C pass (dsp_read_norm_stats) — bit-exact with the numpy
+    # chain below, which remains the fallback (no native lib, zscore's
+    # pairwise-sum numerics, compat mode, corrupt event tables)
+    f16pre = None
+    nres = None
+    if opts.normalize_method == "mad" and opts.downsample == "even":
+        from ..utils.fastparse import extract_norm_stats
+        nres = extract_norm_stats(read.raw_signal, read.event_starts,
+                                  read.event_lengths, opts.signal_len)
+    if nres is not None:
+        norm, means, stds = nres["norm"], nres["means"], nres["stds"]
+        if opts.rect_f16:
+            rect = nres["rect16"]
+            f16pre = (nres["means16"], nres["stds16"], nres["lens16"])
+        else:
+            rect = build_signal_rect(norm, read.event_starts,
+                                     read.event_lengths, opts.signal_len,
+                                     opts.downsample, rng)
+    else:
+        norm = normalize_signals(read.raw_signal, opts.normalize_method)
+        stats_fn = (segment_stats_exact if opts.downsample == "compat"
+                    else segment_stats)
+        means, stds = stats_fn(norm, read.event_starts,
+                               read.event_lengths)
+        rect = None
+        if opts.rect_f16 and opts.downsample == "even":
+            from ..utils.fastparse import build_rect_f16
+            rect = build_rect_f16(norm, read.event_starts,
+                                  read.event_lengths, opts.signal_len)
+        if rect is None:
+            rect = build_signal_rect(norm, read.event_starts,
+                                     read.event_lengths, opts.signal_len,
+                                     opts.downsample, rng)
 
     # per-read arrays + site locs; the 13-mer windows are gathered lazily
     # (windowize_features) or on device by the packed wire path — adjacent
@@ -251,6 +272,9 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
         "locs": locs, "seq": seq, "kmer_len": opts.kmer_len,
         "r_means": means, "r_stds": stds,
         "r_lens": read.event_lengths, "r_rect": rect,
+        # packed-wire producers: round6+astype(f16) already fused into
+        # the native kernel — (means16, stds16, lens16) or None
+        "r_f16": f16pre,
         "label": opts.methy_label,
     }
 
@@ -369,10 +393,17 @@ def features_to_packed(feats_list: list[dict]):
         labels_l.append(np.full(n, f["label"], np.int32))
         codes_l.append(seq_to_codes(f["seq"]).astype(np.int8))
         # match the on-disk 6-decimal rounding (features_to_batch does the
-        # same on its windowed view — identical values either way)
-        means_l.append(np.around(f["r_means"], 6).astype(np.float16))
-        stds_l.append(np.around(f["r_stds"], 6).astype(np.float16))
-        lens_l.append(f["r_lens"].astype(np.float16))
+        # same on its windowed view — identical values either way); the
+        # native kernel pre-fuses this round+cast when it ran
+        if f.get("r_f16") is not None:
+            m16, s16, l16 = f["r_f16"]
+            means_l.append(m16)
+            stds_l.append(s16)
+            lens_l.append(l16)
+        else:
+            means_l.append(np.around(f["r_means"], 6).astype(np.float16))
+            stds_l.append(np.around(f["r_stds"], 6).astype(np.float16))
+            lens_l.append(f["r_lens"].astype(np.float16))
         rect_l.append(np.asarray(f["r_rect"], np.float16))
         base_off += len(f["seq"])
     lens_b = np.concatenate(info_lens_l) if info_lens_l else \

@@ -68,6 +68,10 @@ def _configure(lib) -> None:
     lib.dsp_format_info_rows.restype = i64
     lib.dsp_build_rect_f16.argtypes = [f64p, i64p, i64p, i64, i32, f16p]
     lib.dsp_build_rect_f16.restype = None
+    lib.dsp_read_norm_stats.argtypes = [f64p, i64, i64p, i64p, i64, i32,
+                                        f64p, f64p, f64p, f16p, f16p,
+                                        f16p, f16p]
+    lib.dsp_read_norm_stats.restype = i32
     _configured = True
 
 
@@ -124,6 +128,47 @@ def build_rect_f16(norm: np.ndarray, starts: np.ndarray,
     lib.dsp_build_rect_f16(norm, starts, lengths, len(starts),
                            signal_len, rect)
     return rect
+
+
+def extract_norm_stats(signal: np.ndarray, starts: np.ndarray,
+                       lengths: np.ndarray, signal_len: int
+                       ) -> dict | None:
+    """Fused native per-read extraction kernel (dsp_read_norm_stats):
+    MAD normalize + 6-dp round + per-event mean/std (cumsum semantics)
+    + f16 signal rect + the packed wire's rounded-f16 means/stds/lens,
+    in one C pass. Bit-exact with pipeline.extract's
+    normalize_signals -> segment_stats -> build_signal_rect("even")
+    chain (tested). Returns None when the native library is missing or
+    the event table is corrupt (negative/overflowing segments) —
+    callers fall back to the numpy path, which clips."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    signal = np.ascontiguousarray(signal, np.float64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    ns, nb = len(signal), len(starts)
+    if ns == 0 or nb == 0:
+        return None
+    if int(lengths.min()) < 0 or int(starts.min()) < 0 or \
+            int((starts + lengths).max()) > ns:
+        return None
+    norm = np.empty(ns, np.float64)
+    means64 = np.empty(nb, np.float64)
+    stds64 = np.empty(nb, np.float64)
+    means16 = np.empty(nb, np.float16)
+    stds16 = np.empty(nb, np.float16)
+    lens16 = np.empty(nb, np.float16)
+    rect16 = np.empty((nb, signal_len), np.float16)
+    rc = lib.dsp_read_norm_stats(signal, ns, starts, lengths, nb,
+                                 signal_len, norm, means64, stds64,
+                                 means16, stds16, lens16, rect16)
+    if rc != 0:
+        return None
+    return {"norm": norm, "means": means64, "stds": stds64,
+            "means16": means16, "stds16": stds16, "lens16": lens16,
+            "rect16": rect16}
 
 
 def format_info_rows(chrom: str, strand: str, readname: str,
