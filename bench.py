@@ -37,6 +37,7 @@ if _plat and "cpu" not in _plat:
     os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+REF_E2E_CACHE = os.path.join(REPO, ".bench_ref_e2e.json")
 N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
 DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "32768"))
 
@@ -198,6 +199,134 @@ def measure_torch_baseline(features_path: str) -> float:
     return rate
 
 
+def measure_reference_e2e(features_path: str) -> float:
+    """The reference's OWN end-to-end call_mods on the bench fixture:
+    its full multiprocessing pipeline (reader proc -> 2 CPU model procs
+    -> writer proc, call_modifications.py:584-636) run as a subprocess on
+    host CPU. This is the apples-to-apples denominator for ``vs_ref_e2e``
+    (the forward-only ``vs_baseline`` is conservative the other way).
+    Measured once and cached."""
+    if os.path.exists(REF_E2E_CACHE):
+        with open(REF_E2E_CACHE) as fh:
+            return json.load(fh)["ref_e2e_sites_per_s"]
+    import subprocess
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from deepsignal_plant.models import ModelBiLSTM as TorchModel
+
+    with tempfile.TemporaryDirectory() as td:
+        # this rig has no statsmodels; the TSV branch never calls
+        # robust.mad but extract_features.py imports it at module level,
+        # so give the subprocess a faithful stub (same MAD definition)
+        stub = os.path.join(td, "stub", "statsmodels")
+        os.makedirs(stub)
+        with open(os.path.join(stub, "__init__.py"), "w") as fh:
+            fh.write("")
+        with open(os.path.join(stub, "robust.py"), "w") as fh:
+            fh.write(
+                "import numpy as np\n"
+                "def mad(a, c=0.6744897501960817, axis=0, center=None):\n"
+                "    if center is None: center = np.median(a, axis=axis)\n"
+                "    return np.median(np.abs(np.asarray(a) - center),\n"
+                "                     axis=axis) / c\n")
+        ckpt = os.path.join(td, "ref.ckpt")
+        torch.save(TorchModel(dropout_rate=0).state_dict(), ckpt)
+        out = os.path.join(td, "ref_calls.tsv")
+        env = dict(os.environ,
+                   PYTHONPATH=os.pathsep.join(
+                       ["/root/reference", os.path.join(td, "stub")]),
+                   OMP_NUM_THREADS="4")
+        env.pop("JAX_PLATFORMS", None)
+        nproc = str(min(os.cpu_count() or 4, 8))
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, "-m", "deepsignal_plant.deepsignal_plant",
+             "call_mods", "--input_path", features_path,
+             "--model_path", ckpt, "--result_file", out,
+             "--nproc", nproc],
+            env=env, check=True, capture_output=True, timeout=3600)
+        dt = time.time() - t0
+        with open(out) as fh:
+            n = sum(1 for _ in fh)
+    if n == 0:
+        raise RuntimeError("reference call_mods produced no rows")
+    rate = n / dt
+    with open(REF_E2E_CACHE, "w") as fh:
+        json.dump({"ref_e2e_sites_per_s": rate, "rows": n,
+                   "seconds": round(dt, 2), "nproc": int(nproc),
+                   "note": "reference call_mods (features-TSV branch, "
+                           "full mp pipeline, host CPU) on the bench "
+                           "fixture; call_modifications.py:584-636"},
+                  fh)
+    return rate
+
+
+def measure_extract_rows_s(passes: int = 2) -> list:
+    """Host-side extraction throughput (rows/s): pooled packed-wire
+    extraction over a synthetic tombo fast5 dir — the fused flagship
+    path's binding stage. Pure host CPU; no device involved."""
+    import make_synthetic as ms
+    from deepsignal_plant_tpu.pipeline.extract import (ExtractContext,
+                                                       ExtractOptions,
+                                                       extract_features)
+    rng = np.random.default_rng(11)
+    rates = []
+    with tempfile.TemporaryDirectory() as td:
+        genome = ms.synth_genome(rng, {"chr1": 80000, "chr2": 80000})
+        f5dir = os.path.join(td, "fast5s")
+        # C motif (1/4 density) + 8k-base reads: ~128k sites/pass so the
+        # ~2 s pool spawn amortizes and the canary reads steady-state
+        ms.synth_fast5_dir(f5dir, genome, rng, n_reads=64, read_len=8000,
+                           max_event_len=25)
+        ctx = ExtractContext.build(ExtractOptions(motifs="C"))
+        for i in range(passes):
+            outdir = os.path.join(td, f"out{i}")
+            t0 = time.time()
+            extract_features(f5dir, True, ctx, outdir, nproc=4,
+                             f5_batch_size=16, out_format="npz_packed")
+            dt = time.time() - t0
+            from deepsignal_plant_tpu.utils.formats import load_packed_npz
+            n = sum(load_packed_npz(os.path.join(outdir, f)).n
+                    for f in os.listdir(outdir))
+            rates.append(n / dt)
+    return rates
+
+
+def measure_train_samples_s(features_path: str, passes: int = 2) -> list:
+    """Device-resident training throughput (samples/s/chip): one epoch of
+    train_loop per pass on a slice of the bench fixture (compile warmed
+    by a first run; jit cache is per-process so timed passes are
+    steady-state)."""
+    from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
+    from deepsignal_plant_tpu.io.dataset import FeatureDataset
+    from deepsignal_plant_tpu.pipeline.train import train_loop
+    from deepsignal_plant_tpu.utils.jaxinit import resolve_compute_dtype
+
+    n_rows = min(N_ROWS, 32768)
+    with tempfile.TemporaryDirectory() as td:
+        sub = os.path.join(td, "train.tsv")
+        with open(features_path) as rf, open(sub, "w") as wf:
+            for i, line in enumerate(rf):
+                if i >= n_rows:
+                    break
+                wf.write(line)
+        ds = FeatureDataset.from_file(sub)
+        vds = FeatureDataset.from_file(sub)  # tiny eval at epoch end only
+        mcfg = ModelConfig(dropout_rate=0.5,
+                           compute_dtype=resolve_compute_dtype("auto"))
+        kw = dict(batch_size=512, max_epoch_num=1, min_epoch_num=1,
+                  step_interval=10 ** 9)  # no mid-epoch eval sweeps
+        train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
+                   verbose=False)                                 # warm
+        rates = []
+        for _ in range(passes):
+            t0 = time.time()
+            train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
+                       verbose=False)
+            rates.append(len(ds) / (time.time() - t0))
+    return rates
+
+
 def _probe_backend(timeout_s: int = 240) -> bool:
     """Remote-attached backends can hang INDEFINITELY in init during
     tunnel outages (observed: 1h+ with no exception). Probe device init
@@ -316,6 +445,26 @@ def main() -> None:
             print(f"# torch baseline failed: {exc}", file=sys.stderr)
             base_rate = None
 
+        try:
+            ref_e2e_rate = measure_reference_e2e(features_path)
+        except Exception as exc:
+            print(f"# reference e2e baseline failed: {exc}",
+                  file=sys.stderr)
+            ref_e2e_rate = None
+
+        # driver-visible secondary planes (regressions in extraction and
+        # training must be visible round-over-round, not only in docs)
+        try:
+            extract_rates = measure_extract_rows_s()
+        except Exception as exc:
+            print(f"# extract bench failed: {exc}", file=sys.stderr)
+            extract_rates = []
+        try:
+            train_rates = measure_train_samples_s(features_path)
+        except Exception as exc:
+            print(f"# train bench failed: {exc}", file=sys.stderr)
+            train_rates = []
+
     import statistics
     tsv_med = statistics.median(tsv_rates)
     tsv_best = max(tsv_rates)
@@ -347,6 +496,17 @@ def main() -> None:
         "packed_npz_median": round(statistics.median(packed_rates), 1),
         "packed_npz_passes": [round(r, 1) for r in packed_rates],
         "packed_npz_best": round(max(packed_rates), 1),
+        # true end-to-end denominator: the reference's own call_mods mp
+        # pipeline (CPU) on this fixture, cached in .bench_ref_e2e.json
+        "vs_ref_e2e": (round(tsv_best / ref_e2e_rate, 2)
+                       if ref_e2e_rate else None),
+        "ref_e2e_sites_s": round(ref_e2e_rate, 1) if ref_e2e_rate else None,
+        "extract_rows_s": (round(max(extract_rates), 1)
+                           if extract_rates else None),
+        "extract_passes": [round(r, 1) for r in extract_rates],
+        "train_samples_s": (round(max(train_rates), 1)
+                            if train_rates else None),
+        "train_passes": [round(r, 1) for r in train_rates],
     }
     print(json.dumps(result))
 

@@ -197,7 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")
     p.add_argument("--transfer_dtype", type=str, default="auto",
-                   choices=["auto", "float32", "float16", "int8"],
+                   choices=["auto", "float32", "float16", "int8", "int4"],
                    help="host->device wire format; auto = int8 (quantized, "
                         "dequant on device) on remote-attached links where "
                         "wire MB/s binds, float16 on directly-attached "
@@ -240,7 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None)
     p.add_argument("--transfer_dtype", type=str, default="auto",
-                   choices=["auto", "float32", "float16", "int8"])
+                   choices=["auto", "float32", "float16", "int8", "int4"])
     p.add_argument("--dispatch_workers", type=int, default=4)
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4,

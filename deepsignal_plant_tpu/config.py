@@ -92,12 +92,21 @@ class CallConfig:
     # aggregate wire MB/s binds) and float16 on directly-attached
     # TPU/CPU backends (link is ~free; skip the quantization noise).
     transfer_dtype: str = "auto"
+    # read-packed wire plane: "auto" keeps the on-device window gather
+    # only while it saves wire bytes for the mesh (density <=
+    # engine.packed_density_threshold(); on an n-device mesh the base
+    # arrays replicate, so the threshold tightens to seq_len/n) and
+    # converts packed inputs to per-site windows on host otherwise;
+    # "force" always gathers on device; "off" always converts.
+    packed_wire: str = "auto"
 
     def __post_init__(self):
         if self.transfer_dtype not in ("auto", "float32", "float16",
-                                       "int8"):
+                                       "int8", "int4"):
             raise ValueError(
-                "transfer_dtype must be auto|float32|float16|int8")
+                "transfer_dtype must be auto|float32|float16|int8|int4")
+        if self.packed_wire not in ("auto", "force", "off"):
+            raise ValueError("packed_wire must be auto|force|off")
         if self.dispatch_workers < 1:
             raise ValueError("dispatch_workers must be >= 1")
         if self.device_batch is not None and self.device_batch < 1:

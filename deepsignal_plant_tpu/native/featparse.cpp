@@ -694,6 +694,49 @@ float dsp_quantize_i8_f32(const float* in, int64_t n, int8_t* out) {
 
 }  // extern "C"
 
+namespace {
+
+// Symmetric int4 quantization of the SIGNAL field (--transfer_dtype
+// int4): q = clip(round_even(x / (amax/7)), -7, 7), two values packed
+// per byte (value 2k -> low nibble, 2k+1 -> high). Same numerics
+// contract as quantize_impl (f32 division, round-half-even, NaN -> 0);
+// n must be even (the signal rect's last axis is signal_len=16).
+// Returns the dequant scale.
+template <typename T>
+float quantize_i4_impl(const T* in, int64_t n, uint8_t* out) {
+    float amax = 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        float v = fabsf(float(in[i]));
+        if (v > amax || v != v) amax = v;
+    }
+    double sd = double(amax) / 7.0;
+    float s = (sd == 0.0) ? 1.0f : float(sd);
+    for (int64_t i = 0; i + 1 < n; i += 2) {
+        float r0 = round_even_f32(float(in[i]) / s);
+        float r1 = round_even_f32(float(in[i + 1]) / s);
+        if (r0 > 7.0f) r0 = 7.0f; else if (r0 < -7.0f) r0 = -7.0f;
+        if (r1 > 7.0f) r1 = 7.0f; else if (r1 < -7.0f) r1 = -7.0f;
+        int q0 = (r0 != r0) ? 0 : int(r0);
+        int q1 = (r1 != r1) ? 0 : int(r1);
+        out[i / 2] = uint8_t((q0 & 0xF) | ((q1 & 0xF) << 4));
+    }
+    return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+float dsp_quantize_i4_f16(const _Float16* in, int64_t n, uint8_t* out) {
+    return quantize_i4_impl(in, n, out);
+}
+
+float dsp_quantize_i4_f32(const float* in, int64_t n, uint8_t* out) {
+    return quantize_i4_impl(in, n, out);
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // read-packed repacking of parsed per-site rows (the TSV -> packed-wire
 // bridge). Consecutive rows of one read carry overlapping kmer windows

@@ -48,6 +48,59 @@ def _quantize_field(a: np.ndarray) -> tuple[np.ndarray, float]:
     return np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8), scale
 
 
+def _quantize_field_int4(a: np.ndarray) -> tuple[np.ndarray, float]:
+    """Symmetric int4 quantization, two values per byte (native when
+    available; numpy fallback with identical numerics — amax/7 scale in
+    f64 then f32, f32 division, round-half-even, clip to [-7, 7],
+    NaN -> 0)."""
+    from ..utils.fastparse import quantize_int4
+    native = quantize_int4(np.asarray(a))
+    if native is not None:
+        return native
+    a32 = np.asarray(a, np.float32)
+    amax = float(np.max(np.abs(a32))) if a32.size else 0.0
+    sd = amax / 7.0
+    scale = float(np.float32(sd)) if sd != 0.0 else 1.0
+    with np.errstate(invalid="ignore"):
+        q = np.clip(np.rint(a32 / np.float32(scale)), -7, 7)
+    q = np.nan_to_num(q, nan=0.0).astype(np.int8).reshape(-1)
+    packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
+    return packed.reshape(a32.shape[:-1] + (a32.shape[-1] // 2,)), scale
+
+
+def unpack_int4_jnp(packed):
+    """Device-side int4 unpack: uint8 (..., M) -> int32 (..., 2M) in
+    [-7, 7] (sign-extended nibbles; low nibble = earlier value)."""
+    import jax.numpy as jnp
+    b = packed.astype(jnp.int32)
+    lo = b & 15
+    hi = (b >> 4) & 15
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    v = jnp.stack([lo, hi], axis=-1)
+    return v.reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
+
+
+def quantize_for_wire_int4(batch: Batch):
+    """int4 wire (EXPERIMENTAL, --transfer_dtype int4): the signal matrix
+    — 74%% of the packed payload — packs two 4-bit values per byte;
+    means/stds stay int8 (they are 2%% of the bytes and 4 bits would be
+    genuinely lossy on the decision-relevant mean shifts). ~1.9x fewer
+    signal bytes than int8. Added input noise is amax/14 per signal
+    value; gate before relying on calls: docs/BENCH.md "int4 signal
+    wire" documents the required >=99.99%% call-agreement check on a
+    trained checkpoint."""
+    qm, sm = _quantize_field(batch.base_means)
+    qs, ss = _quantize_field(batch.base_stds)
+    qg, sg = _quantize_field_int4(batch.signals)
+    lens = batch.base_signal_lens
+    if lens.dtype != np.float16:
+        lens = lens.astype(np.float16)
+    return (Batch(kmer=np.asarray(batch.kmer, np.int8), base_means=qm,
+                  base_stds=qs, base_signal_lens=lens, signals=qg),
+            np.array([sm, ss, sg], np.float32))
+
+
 def quantize_for_wire(batch: Batch):
     """int8 wire: symmetric per-batch-per-field quantization of the float
     features (means, stds, signals); signal_lens stay f16 (integer-valued,
@@ -187,22 +240,36 @@ class CallModsEngine:
         import threading
         self._fallback_lock = threading.Lock()
         self._quant = self.call_cfg.transfer_dtype == "int8"
+        self._quant4 = self.call_cfg.transfer_dtype == "int4"
+        if self._quant4:
+            print("[warn] EXPERIMENTAL --transfer_dtype int4: the signal "
+                  "matrix is quantized to 4 bits on the wire (means/stds "
+                  "int8). Validate >=99.99% call agreement vs "
+                  "--transfer_dtype float16 on YOUR checkpoint before "
+                  "trusting calls (see docs/BENCH.md, 'int4 signal "
+                  "wire').")
         self._rebuild_steps()
 
     def _rebuild_steps(self):
         # jit wrappers are lazy — only the variant actually called compiles
         self._step = self._build_step()
         self._step_q = self._build_step(quantized=True)
+        self._step_q4 = self._build_step(quantized=True, int4=True)
         self._step_packed = self._build_packed_step()
         self._step_packed_q = self._build_packed_step(quantized=True)
+        self._step_packed_q4 = self._build_packed_step(quantized=True,
+                                                       int4=True)
 
-    def _build_step(self, quantized: bool = False):
+    def _build_step(self, quantized: bool = False, int4: bool = False):
         cfg = self.model_cfg
 
         if quantized:
             import jax.numpy as jnp
 
             def _step(params, batch: Batch, scales):
+                sig = batch.signals
+                sig = (unpack_int4_jnp(sig) if int4 else sig).astype(
+                    jnp.float32) * scales[2]
                 b = Batch(
                     kmer=batch.kmer,
                     base_means=batch.base_means.astype(jnp.float32)
@@ -210,7 +277,7 @@ class CallModsEngine:
                     base_stds=batch.base_stds.astype(jnp.float32)
                     * scales[1],
                     base_signal_lens=batch.base_signal_lens,
-                    signals=batch.signals.astype(jnp.float32) * scales[2])
+                    signals=sig)
                 return forward(params, b, cfg, train=False)[1]
         else:
             def _step(params, batch: Batch):
@@ -230,7 +297,8 @@ class CallModsEngine:
             _step, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(axis), check_vma=False))
 
-    def _build_packed_step(self, quantized: bool = False):
+    def _build_packed_step(self, quantized: bool = False,
+                           int4: bool = False):
         """Step over the read-packed wire: gather each site's kmer window
         from the deduplicated per-base arrays ON DEVICE, then run the
         normal forward — the wire carries each base once instead of up to
@@ -255,10 +323,12 @@ class CallModsEngine:
                       scales):
                 # dequantize on the deduplicated base axis — cheaper than
                 # after the window gather
+                r = (unpack_int4_jnp(rect) if int4 else rect).astype(
+                    jnp.float32) * scales[2]
                 return _gather_forward(
                     params, codes, means.astype(jnp.float32) * scales[0],
-                    stds.astype(jnp.float32) * scales[1], lens,
-                    rect.astype(jnp.float32) * scales[2], centers)
+                    stds.astype(jnp.float32) * scales[1], lens, r,
+                    centers)
         else:
             _step = _gather_forward
 
@@ -280,7 +350,7 @@ class CallModsEngine:
 
     def predict_probs(self, fb) -> np.ndarray:
         """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""
-        if self.call_cfg.transfer_dtype in ("float16", "int8"):
+        if self.call_cfg.transfer_dtype in ("float16", "int8", "int4"):
             # shrink the host->device wire format: int8 base codes + f16
             # floats (values are 6-decimal-rounded, |x| < ~1e3; f16 rel
             # error ~5e-4 is far below call-decision scale). The native
@@ -312,12 +382,15 @@ class CallModsEngine:
         scales = None
         if self._quant:
             batch, scales = quantize_for_wire(batch)
+        elif self._quant4:
+            batch, scales = quantize_for_wire_int4(batch)
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
 
         def _run():
             if scales is not None:
-                return self._step_q(self.params, batch, scales)
+                step = self._step_q4 if self._quant4 else self._step_q
+                return step(self.params, batch, scales)
             return self._step(self.params, batch)
 
         return self._run_with_fallback(_run)
@@ -345,14 +418,19 @@ class CallModsEngine:
         centers); int8 mode quantizes the deduplicated base arrays here in
         the calling dispatch thread."""
         codes, means, stds, lens, rect, centers = arrays
-        if self._quant:
+        if self._quant or self._quant4:
             qm, sm = _quantize_field(means)
             qs, ss = _quantize_field(stds)
-            qr, sr = _quantize_field(rect)
+            if self._quant4:
+                qr, sr = _quantize_field_int4(rect)
+                step = self._step_packed_q4
+            else:
+                qr, sr = _quantize_field(rect)
+                step = self._step_packed_q
             scales = np.array([sm, ss, sr], np.float32)
             return self._run_with_fallback(
-                lambda: self._step_packed_q(self.params, codes, qm, qs,
-                                            lens, qr, centers, scales))
+                lambda: step(self.params, codes, qm, qs, lens, qr,
+                             centers, scales))
         return self._run_with_fallback(
             lambda: self._step_packed(self.params, codes, means, stds,
                                       lens, rect, centers))
@@ -509,6 +587,29 @@ class CallModsEngine:
     #: times); sparse inputs fall back to host-side windows
     PACKED_MAX_BASES_PER_SITE = 12.0
 
+    def packed_density_threshold(self) -> float:
+        """Max bases/site for which the packed plane is kept, per mesh.
+
+        Single device: the wire comparison is 1x base bytes vs seq_len/
+        density per-site copies — packed wins up to ~seq_len (threshold
+        12). On an n-device mesh the packed step REPLICATES the base
+        arrays (each device gathers its site shard's windows from the
+        full base axis, _build_packed_step), so packed ships
+        density*n base-rows per site vs the per-site plane's seq_len:
+        byte parity at density = seq_len/n. A user staging npz_packed
+        for an 8-chip host would otherwise silently ship ~8x bases —
+        the engine converts packed->per-site on host instead
+        (to_raw_block), which also keeps transfer_dtype semantics."""
+        if self.call_cfg.packed_wire == "force":
+            return float("inf")
+        if self.call_cfg.packed_wire == "off":
+            return 0.0
+        n = self.mesh.devices.size
+        if n == 1:
+            return self.PACKED_MAX_BASES_PER_SITE
+        return min(self.PACKED_MAX_BASES_PER_SITE,
+                   self.model_cfg.seq_len / n)
+
     def _run_fast_packed(self, packed_blocks, result_path: str,
                          is_gzip: bool, target: int) -> CallStats:
         """Read-packed wire -> calls: upload deduplicated per-base arrays
@@ -542,9 +643,10 @@ class CallModsEngine:
             return CallStats()
         stream = chain([first], it)
         density = first.n_bases / first.n
-        if density > self.PACKED_MAX_BASES_PER_SITE:
-            # sparse sites: windows share few bases — gather them on host
-            # and reuse the per-site fast loop
+        if density > self.packed_density_threshold():
+            # sparse sites (or a multi-device mesh where replicating the
+            # base arrays would inflate wire bytes past the per-site
+            # plane): gather windows on host and reuse the per-site loop
             return self._run_fast((pb.to_raw_block() for pb in stream),
                                   result_path, is_gzip, target)
 

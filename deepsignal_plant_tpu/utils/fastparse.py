@@ -72,6 +72,10 @@ def _configure(lib) -> None:
                                         f64p, f64p, f64p, f16p, f16p,
                                         f16p, f16p]
     lib.dsp_read_norm_stats.restype = i32
+    lib.dsp_quantize_i4_f16.argtypes = [f16p, i64, u8p]
+    lib.dsp_quantize_i4_f16.restype = ctypes.c_float
+    lib.dsp_quantize_i4_f32.argtypes = [f32p, i64, u8p]
+    lib.dsp_quantize_i4_f32.restype = ctypes.c_float
     _configured = True
 
 
@@ -95,6 +99,28 @@ def quantize_int8(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
         s = lib.dsp_quantize_i8_f16(a.reshape(-1), a.size, out.reshape(-1))
     else:
         s = lib.dsp_quantize_i8_f32(a.reshape(-1), a.size, out.reshape(-1))
+    return out, float(s)
+
+
+def quantize_int4(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
+    """Native symmetric int4 quantization of the signal field
+    (--transfer_dtype int4): q = clip(round_even(x/(amax/7)), -7, 7),
+    two values per byte (flat value 2k -> low nibble). Requires an even
+    last axis (signal_len is 16). Returns (uint8 packed array with last
+    axis halved, dequant scale), or None when unavailable (callers fall
+    back to the numpy path in pipeline.call_mods)."""
+    lib = get_native_lib()
+    if lib is None or arr.dtype not in (np.float16, np.float32):
+        return None
+    if arr.ndim == 0 or arr.shape[-1] % 2 or arr.size == 0:
+        return None
+    _configure(lib)
+    a = np.ascontiguousarray(arr)
+    out = np.empty(a.shape[:-1] + (a.shape[-1] // 2,), np.uint8)
+    if a.dtype == np.float16:
+        s = lib.dsp_quantize_i4_f16(a.reshape(-1), a.size, out.reshape(-1))
+    else:
+        s = lib.dsp_quantize_i4_f32(a.reshape(-1), a.size, out.reshape(-1))
     return out, float(s)
 
 

@@ -132,7 +132,11 @@ def test_packed_kmer_len_mismatch_rejected(tmp_path, feats_fixture):
 
 
 def _make_engine(tmp_path, device_batch=64, transfer_dtype="float16",
-                 name="m.npz"):
+                 name="m.npz", packed_wire="force"):
+    """packed_wire defaults to "force" here: these tests exercise the
+    on-device window gather, which "auto" would route to host windows on
+    the 8-device test mesh (threshold seq_len/8; see
+    test_packed_auto_selection_multi_device for the auto behavior)."""
     import jax
 
     from deepsignal_plant_tpu.config import CallConfig, ModelConfig
@@ -144,7 +148,8 @@ def _make_engine(tmp_path, device_batch=64, transfer_dtype="float16",
     save_checkpoint(ckpt, init_params(jax.random.PRNGKey(5), cfg), cfg)
     return CallModsEngine(ckpt, cfg,
                           CallConfig(device_batch=device_batch,
-                                     transfer_dtype=transfer_dtype))
+                                     transfer_dtype=transfer_dtype,
+                                     packed_wire=packed_wire))
 
 
 def test_engine_packed_vs_tsv(tmp_path, feats_fixture):
@@ -220,12 +225,77 @@ def test_engine_packed_sparse_fallback(tmp_path, feats_fixture):
     out_packed = str(tmp_path / "p.tsv")
     eng.run_features_file(str(pdir), out_packed)
 
-    eng2 = _make_engine(tmp_path, name="b.npz")
-    eng2.PACKED_MAX_BASES_PER_SITE = 0.0   # force the sparse route
+    eng2 = _make_engine(tmp_path, name="b.npz", packed_wire="off")
     out_win = str(tmp_path / "w.tsv")
     st = eng2.run_features_file(str(pdir), out_win)
     assert st.sites == len(rows)
     assert open(out_packed).read() == open(out_win).read()
+
+
+def test_packed_auto_selection_multi_device(tmp_path, feats_fixture):
+    """VERDICT r2 #4: on a multi-device mesh "auto" must NOT trust the
+    staged packed format — the packed step replicates base arrays per
+    device, so at this fixture's density (> seq_len/8) the engine
+    converts packed->per-site on host. Assert the chosen plane on the
+    8-device mesh and that outputs are identical to the forced
+    device-gather plane."""
+    import jax
+
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    pb = features_to_packed(feats_list)
+    save_packed_npz(str(pdir / "000.npz"), pb)
+
+    auto = _make_engine(tmp_path, name="a.npz", packed_wire="auto")
+    forced = _make_engine(tmp_path, name="b.npz", packed_wire="force")
+    assert auto.mesh.devices.size == 8
+    # the fixture is denser than the 8-device byte-parity point
+    density = pb.n_bases / pb.n
+    thresh = auto.packed_density_threshold()
+    assert thresh == pytest.approx(13 / 8)
+    assert density > thresh
+    assert forced.packed_density_threshold() == float("inf")
+
+    # plane choice is observable via the dispatch method used
+    calls = {"packed": 0, "persite": 0}
+    orig_packed = auto._predict_packed
+    orig_persite = auto.predict_probs
+    auto._predict_packed = lambda *a, **k: (
+        calls.__setitem__("packed", calls["packed"] + 1)
+        or orig_packed(*a, **k))
+
+    out_auto = str(tmp_path / "auto.tsv")
+    st = auto.run_features_file(str(pdir), out_auto)
+    assert st.sites == len(rows)
+    assert calls["packed"] == 0    # auto converted to per-site on host
+
+    out_forced = str(tmp_path / "forced.tsv")
+    forced.run_features_file(str(pdir), out_forced)
+    assert open(out_auto).read() == open(out_forced).read()
+
+    # single-device mesh keeps the packed plane at this density
+    single = CallModsEngine_single(tmp_path, feats_fixture)
+    assert single.packed_density_threshold() == pytest.approx(12.0)
+    assert density <= single.packed_density_threshold()
+
+
+def CallModsEngine_single(tmp_path, feats_fixture):
+    import jax
+
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / "single.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(5), cfg), cfg)
+    return CallModsEngine(ckpt, cfg, CallConfig(device_batch=64),
+                          mesh=make_mesh(jax.devices()[:1]))
 
 
 def test_engine_packed_int8_wire(tmp_path, feats_fixture):

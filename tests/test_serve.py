@@ -117,7 +117,13 @@ def test_serve_cli_once(tmp_path, rng, ckpt):
     write_feature_file(str(watch / "f.tsv"), synth_feature_rows(rng, 3, 8))
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # PYTHONPATH = repo ONLY: drop the axon sitecustomize dir so the TPU
+    # plugin never registers in the child — observed one suite run where
+    # the child resolved the axon backend despite JAX_PLATFORMS=cpu
+    # (plugin registration can pre-empt env selection) and hung past the
+    # test timeout attaching to a busy chip
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-m", "deepsignal_plant_tpu", "serve",
          "--watch_dir", str(watch), "--result_dir", str(out),
@@ -125,6 +131,7 @@ def test_serve_cli_once(tmp_path, rng, ckpt):
          "--device_batch", "256"],
         env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-1500:]
+    assert "compute float32" in r.stdout, r.stdout[-500:]
     assert (out / "f.tsv.done").exists()
     assert sum(1 for _ in open(out / "f.tsv.call_mods.tsv")) == 24
 
