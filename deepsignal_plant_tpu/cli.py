@@ -237,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll interval seconds, default %(default)s")
     p.add_argument("--once", action="store_true", default=False,
                    help="process the current backlog and exit")
+    p.add_argument("--require_complete", action="store_true", default=False,
+                   help="only process inputs X with a producer-written "
+                        "X.complete marker (exact pickup for rsync/scp "
+                        "deposits); default also accepts inputs whose "
+                        "size+mtime are stable across two polls. A "
+                        "marker always makes X ready immediately")
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None)
     p.add_argument("--transfer_dtype", type=str, default="auto",

@@ -17,6 +17,15 @@ A file is picked up when its (size, mtime) is STABLE across two polls —
 half-written uploads are never read — and is processed at most once
 (markers are the dedup record, so restarts resume where they left off).
 SIGTERM/SIGINT finish the in-flight file, then exit cleanly.
+
+Producer-side completion markers: if ``X.complete`` exists next to input
+``X``, ``X`` is picked up immediately (no stability wait). Stat
+stability is a heuristic — a transfer that stalls longer than one poll
+interval mid-file looks stable — so producers that can signal should:
+``touch X.complete`` after the upload finishes. ``--require_complete``
+turns the convention into a contract: ONLY marked inputs are processed
+(the mode for rsync/scp-style deposits; sequencer run-folders that never
+write markers keep the default stability heuristic).
 """
 from __future__ import annotations
 
@@ -78,12 +87,13 @@ class WatchServer:
 
     def __init__(self, engine, watch_dir: str, result_dir: str,
                  poll_s: float = 2.0, is_gzip: bool = False,
-                 extract_args=None):
+                 extract_args=None, require_complete: bool = False):
         self.engine = engine
         self.watch_dir = watch_dir
         self.result_dir = result_dir
         self.poll_s = poll_s
         self.is_gzip = is_gzip
+        self.require_complete = require_complete
         # argparse-like namespace with the extraction options the fused
         # fast5 path needs (motifs, corrected_group, nproc, ...); None
         # disables run-folder processing
@@ -103,7 +113,12 @@ class WatchServer:
                 or os.path.exists(self._marker(name, "failed")))
 
     def _ready(self, path: str) -> bool:
-        """Stable across two polls (size+mtime unchanged)."""
+        """Producer marker wins; else stable across two polls (size+mtime
+        unchanged). With require_complete, the marker is the ONLY signal."""
+        if os.path.exists(path + ".complete"):
+            return True
+        if self.require_complete:
+            return False
         sig = _stat_sig(path)
         if sig is None:
             return False
@@ -210,7 +225,9 @@ def serve(args) -> None:
                          os.path.abspath(args.result_dir),
                          poll_s=args.poll_s,
                          is_gzip=getattr(args, "gzip", False),
-                         extract_args=args)
+                         extract_args=args,
+                         require_complete=getattr(args, "require_complete",
+                                                  False))
     signal.signal(signal.SIGTERM, server.request_stop)
     signal.signal(signal.SIGINT, server.request_stop)
     print(f"[serve] watching {args.watch_dir} -> {args.result_dir} "

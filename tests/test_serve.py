@@ -109,6 +109,47 @@ def test_watch_server_waits_for_stable_files(tmp_path, rng, ckpt):
     assert sum(1 for _ in open(out / "x.tsv.call_mods.tsv")) == 3 * 8
 
 
+def test_watch_server_complete_marker(tmp_path, rng, ckpt):
+    """X.complete makes X ready on the FIRST sweep (no stability wait);
+    require_complete makes the marker the only pickup signal."""
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    write_feature_file(str(watch / "m.tsv"), synth_feature_rows(rng, 2, 8))
+    (watch / "m.tsv.complete").touch()
+    write_feature_file(str(watch / "u.tsv"), synth_feature_rows(rng, 1, 8))
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01)
+    # marked file processes immediately; unmarked still waits for the
+    # two-poll stability signature
+    assert server.sweep() == 1
+    assert (out / "m.tsv.done").exists()
+    assert not (out / "u.tsv.done").exists()
+    assert server.sweep() == 1
+    assert (out / "u.tsv.done").exists()
+
+    # require_complete: unmarked inputs are NEVER picked up
+    watch2 = tmp_path / "in2"
+    out2 = tmp_path / "out2"
+    watch2.mkdir()
+    write_feature_file(str(watch2 / "m.tsv"), synth_feature_rows(rng, 2, 8))
+    (watch2 / "m.tsv.complete").touch()
+    write_feature_file(str(watch2 / "u.tsv"), synth_feature_rows(rng, 1, 8))
+    strict = WatchServer(_make_engine(ckpt), str(watch2), str(out2),
+                         poll_s=0.01, require_complete=True)
+    for _ in range(3):
+        strict.sweep()
+    assert (out2 / "m.tsv.done").exists()
+    assert not (out2 / "u.tsv.done").exists()
+    # producer finishes the upload and marks it
+    (watch2 / "u.tsv.complete").touch()
+    assert strict.sweep() == 1
+    assert (out2 / "u.tsv.done").exists()
+
+
 def test_serve_cli_once(tmp_path, rng, ckpt):
     """End-to-end through the CLI with --once."""
     watch = tmp_path / "in"
