@@ -454,10 +454,31 @@ def _batch_rng(batch_idx: int) -> random.Random | None:
 _warned_actionable = False
 
 
+def _test_crash_hook(paths: list[str]) -> None:
+    """Deterministic worker-death injection for elastic-recovery tests:
+    SIGKILL this worker when the batch contains a path matching
+    $DSP_TEST_CRASH_MARKER. With $DSP_TEST_CRASH_ONCE set (a filesystem
+    sentinel path), only the FIRST matching worker dies — exercising the
+    respawn-and-retry path; without it every attempt dies — exercising
+    quarantine. No-op unless the env vars are set (tests only)."""
+    marker = os.environ.get("DSP_TEST_CRASH_MARKER")
+    if not marker or not any(marker in p for p in paths):
+        return
+    once = os.environ.get("DSP_TEST_CRASH_ONCE")
+    if once:
+        try:
+            os.close(os.open(once, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            return   # already crashed once: behave this time
+    import signal as _signal
+    os.kill(os.getpid(), _signal.SIGKILL)
+
+
 def _extract_batch_feats(paths: list[str], batch_idx: int = 0
                          ) -> tuple[list[dict], int]:
     from ..io.fast5 import MultiReadFast5Error, VBZPluginError
     global _warned_actionable
+    _test_crash_hook(paths)
     ctx = _G_CTX
     rng = _batch_rng(batch_idx)
     feats_list: list[dict] = []
@@ -503,6 +524,75 @@ def _worker_batch(paths: list[str], batch_idx: int = 0):
 
 def part_path(part_dir: str, batch_idx: int) -> str:
     return os.path.join(part_dir, f"{batch_idx:06d}.part")
+
+
+def _drain_pool_elastic(batches: list, worker, nworkers: int, initargs,
+                        on_done, label: str = "extract") -> None:
+    """Run ``worker(batch, bi)`` over a process pool, surviving worker
+    PROCESS death (segfault/OOM-kill in native or HDF5 code — distinct
+    from per-read exceptions, which workers already catch and count).
+
+    One dead worker breaks the whole ProcessPoolExecutor: every
+    outstanding future raises BrokenProcessPool and, without recovery,
+    the run aborts and completed work is lost. Recovery here: respawn
+    the pool for the unfinished batches while rounds make progress; a
+    round with NO progress switches to serial isolation (one
+    single-worker pool per batch) so the culprit batch is identified
+    exactly and quarantined — ``on_done(bi, None)``, its files counted
+    as failed — while innocent batches still complete. Reference
+    behavior: worker death there is detected only by is_alive polling
+    and kills the run (extract_features.py:633-639); per-read error
+    counting is extract_features.py:373-375.
+
+    ``on_done(bi, result)`` is called exactly once per batch, from this
+    thread; ``result`` is None only for quarantined batches."""
+    from concurrent.futures import CancelledError
+    from concurrent.futures.process import BrokenProcessPool
+
+    def _pool(workers: int):
+        return ProcessPoolExecutor(max_workers=workers,
+                                   mp_context=mp.get_context("spawn"),
+                                   initializer=_init_worker,
+                                   initargs=initargs)
+
+    pending = dict(enumerate(batches))
+    while pending:
+        before = len(pending)
+        pool = _pool(min(nworkers, len(pending)))
+        broken = False
+        try:
+            futs = {pool.submit(worker, b, bi): bi
+                    for bi, b in sorted(pending.items())}
+            for fut in as_completed(futs):
+                try:
+                    res = fut.result()
+                except (BrokenProcessPool, CancelledError):
+                    broken = True
+                    continue
+                on_done(futs[fut], res)
+                del pending[futs[fut]]
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+        if not broken:
+            return
+        if len(pending) < before:
+            print(f"[{label}] a worker process died; respawning the pool "
+                  f"for {len(pending)} unfinished batches", flush=True)
+            continue
+        # no progress: isolate serially to identify the culprit exactly
+        print(f"[{label}] worker pool died with no progress; isolating "
+              f"{len(pending)} batches serially", flush=True)
+        for bi in sorted(pending):
+            with _pool(1) as p1:
+                try:
+                    res = p1.submit(worker, pending[bi], bi).result()
+                except (BrokenProcessPool, CancelledError):
+                    print(f"[{label}] batch {bi} kills its worker — "
+                          f"quarantined ({len(pending[bi])} files "
+                          f"counted as failed)", flush=True)
+                    res = None
+            on_done(bi, res)
+        return
 
 
 def _worker_rows_part(paths: list[str], batch_idx: int = 0
@@ -736,16 +826,12 @@ def extract_features(fast5_dir: str, is_recursive: bool,
         if not as_npz:
             writer.close()
     elif as_npz:
-        with ProcessPoolExecutor(max_workers=nworkers,
-                                 mp_context=mp.get_context("spawn"),
-                                 initializer=_init_worker,
-                                 initargs=(ctx, seed,
-                                           (write_path, out_format))) \
-                as pool:
-            futs = [pool.submit(_worker_batch_save, b, bi)
-                    for bi, b in enumerate(batches)]
-            for fut in as_completed(futs):
-                errors += fut.result()[1]
+        def _on_npz(bi, res):
+            nonlocal errors
+            errors += len(batches[bi]) if res is None else res[1]
+
+        _drain_pool_elastic(batches, _worker_batch_save, nworkers,
+                            (ctx, seed, (write_path, out_format)), _on_npz)
     else:
         import tempfile
         writer = _PartConcatWriter(write_path, w_is_dir, w_batch_num,
@@ -755,27 +841,26 @@ def extract_features(fast5_dir: str, is_recursive: bool,
         parent = os.path.dirname(os.path.abspath(write_path)) or "."
         part_dir = tempfile.mkdtemp(prefix=".extract_parts_", dir=parent)
         try:
-            with ProcessPoolExecutor(max_workers=nworkers,
-                                     mp_context=mp.get_context("spawn"),
-                                     initializer=_init_worker,
-                                     initargs=(ctx, seed,
-                                               (part_dir, is_gzip))) \
-                    as pool:
-                futs = [pool.submit(_worker_rows_part, b, bi)
-                        for bi, b in enumerate(batches)]
+            done_parts: set[int] = set()
+
+            def _on_part(bi, res):
+                nonlocal errors
+                if res is None:   # quarantined: skip its (partial) part
+                    errors += len(batches[bi])
+                    return
+                errors += res[1]
                 if seed is not None:
-                    # submission-order drain: --seed promises
-                    # byte-identical (decompressed) output, so part order
-                    # must not depend on scheduling
-                    for bi, fut in enumerate(futs):
-                        errors += fut.result()[1]
-                        writer.append_part(part_path(part_dir, bi))
+                    # --seed promises byte-identical (decompressed)
+                    # output: parts are appended AFTER the drain, in
+                    # batch-index order, independent of scheduling
+                    done_parts.add(bi)
                 else:
-                    fut2bi = {fut: bi for bi, fut in enumerate(futs)}
-                    for fut in as_completed(futs):
-                        errors += fut.result()[1]
-                        writer.append_part(part_path(part_dir,
-                                                     fut2bi[fut]))
+                    writer.append_part(part_path(part_dir, bi))
+
+            _drain_pool_elastic(batches, _worker_rows_part, nworkers,
+                                (ctx, seed, (part_dir, is_gzip)), _on_part)
+            for bi in sorted(done_parts):
+                writer.append_part(part_path(part_dir, bi))
         finally:
             writer.close()
             shutil.rmtree(part_dir, ignore_errors=True)
@@ -844,39 +929,106 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
         # at that dtype (same rounding, no float64 gather)
         ctx_f16 = dc_replace(ctx,
                              opts=dc_replace(ctx.opts, rect_f16=True))
-        pool = ProcessPoolExecutor(max_workers=nworkers,
-                                   mp_context=mp.get_context("spawn"),
-                                   initializer=_init_worker,
-                                   initargs=(ctx_f16, None,
-                                             (part_dir, "npz_packed")))
-        try:
-            futs = {pool.submit(_worker_batch_save, b, bi): bi
-                    for bi, b in enumerate(batches)}
+        def _spawn_pool(workers: int):
+            return ProcessPoolExecutor(max_workers=workers,
+                                       mp_context=mp.get_context("spawn"),
+                                       initializer=_init_worker,
+                                       initargs=(ctx_f16, None,
+                                                 (part_dir, "npz_packed")))
 
+        # the pool is boxed so the finally below always shuts the CURRENT
+        # pool: if the engine loop dies mid-stream the abandoned generator
+        # never reaches its own cleanup, and part_dir must not be removed
+        # under still-running workers
+        pool_box = [_spawn_pool(nworkers)]
+        try:
             def wire_blocks():
-                # part 0 first (blocking): the engine derives its packed
-                # routing + static base-axis cap from the first block, so
-                # that block must not depend on completion order
+                # elastic drain (see _drain_pool_elastic; inlined here
+                # because blocks stream to the engine as they complete):
+                # respawn on worker death while rounds progress, isolate
+                # + quarantine when they don't
+                from concurrent.futures import CancelledError
+                from concurrent.futures.process import BrokenProcessPool
                 from itertools import chain
-                first = next((f for f, bi in futs.items() if bi == 0),
-                             None)
-                rest = (f for f in as_completed(futs) if f is not first)
-                for fut in chain([first] if first is not None else [],
-                                 rest):
-                    n, err = fut.result()
-                    err_box[0] += err
-                    path = os.path.join(part_dir, f"{futs[fut]:06d}.npz")
+
+                def _take(bi, n):
+                    path = os.path.join(part_dir, f"{bi:06d}.npz")
                     if n and os.path.exists(path):
                         blk = load_packed_npz(path)
                         os.remove(path)
-                        yield blk
+                        return blk
+                    return None
+
+                pending = dict(enumerate(batches))
+                first_round = True
+                while pending:
+                    before = len(pending)
+                    futs = {pool_box[0].submit(_worker_batch_save, b, bi):
+                            bi for bi, b in sorted(pending.items())}
+                    if first_round:
+                        # part 0 first (blocking): the engine derives its
+                        # packed routing + static base-axis cap from the
+                        # first block, so that block must not depend on
+                        # completion order
+                        f0 = next(f for f, bi in futs.items() if bi == 0)
+                        order = chain([f0], (f for f in as_completed(futs)
+                                             if f is not f0))
+                    else:
+                        order = as_completed(futs)
+                    broken = False
+                    for fut in order:
+                        try:
+                            n, err = fut.result()
+                        except (BrokenProcessPool, CancelledError):
+                            broken = True
+                            continue
+                        bi = futs[fut]
+                        del pending[bi]
+                        err_box[0] += err
+                        blk = _take(bi, n)
+                        if blk is not None:
+                            yield blk
+                    first_round = False
+                    if not broken:
+                        return
+                    pool_box[0].shutdown(wait=False, cancel_futures=True)
+                    if len(pending) < before:
+                        print(f"[fused extract] a worker process died; "
+                              f"respawning the pool for {len(pending)} "
+                              f"unfinished batches", flush=True)
+                        pool_box[0] = _spawn_pool(min(nworkers,
+                                                      len(pending)))
+                        continue
+                    print(f"[fused extract] worker pool died with no "
+                          f"progress; isolating {len(pending)} batches "
+                          f"serially", flush=True)
+                    for bi in sorted(pending):
+                        pool_box[0] = _spawn_pool(1)
+                        try:
+                            n, err = pool_box[0].submit(
+                                _worker_batch_save, pending[bi],
+                                bi).result()
+                            err_box[0] += err
+                            blk = _take(bi, n)
+                            if blk is not None:
+                                yield blk
+                        except (BrokenProcessPool, CancelledError):
+                            print(f"[fused extract] batch {bi} kills its "
+                                  f"worker — quarantined "
+                                  f"({len(pending[bi])} files counted as "
+                                  f"failed)", flush=True)
+                            err_box[0] += len(pending[bi])
+                        finally:
+                            pool_box[0].shutdown(wait=False,
+                                                 cancel_futures=True)
+                    return
 
             from ..io.batching import PrefetchIterator
             stats = engine._run_fast_packed(
                 PrefetchIterator(wire_blocks(), depth=4), result_file,
                 is_gzip, target)
         finally:
-            pool.shutdown(wait=True, cancel_futures=True)
+            pool_box[0].shutdown(wait=True, cancel_futures=True)
             shutil.rmtree(part_dir, ignore_errors=True)
         print("%d of %d fast5 files failed.." % (err_box[0], len(fast5s)))
         return stats
@@ -935,12 +1087,15 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
         _init_worker(ctx, None)
         _consume(map(_worker_batch, batches))
     else:
-        with ProcessPoolExecutor(max_workers=nworkers,
-                                 mp_context=mp.get_context("spawn"),
-                                 initializer=_init_worker,
-                                 initargs=(ctx, None)) as pool:
-            futs = [pool.submit(_worker_batch, b) for b in batches]
-            _consume(f.result() for f in as_completed(futs))
+        def _on_arr(bi, res):
+            nonlocal errors
+            if res is None:
+                errors += len(batches[bi])
+            else:
+                _consume([res])
+
+        _drain_pool_elastic(batches, _worker_batch, nworkers, (ctx, None),
+                            _on_arr, label="fused extract")
     _flush_pending(True)
     for entry in inflight:
         _drain(entry)

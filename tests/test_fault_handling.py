@@ -155,3 +155,150 @@ def test_mutated_fast5_never_aborts_reader(tmp_path, rng):
     # the exact split depends on where mutations land; what matters is
     # that every trial completed without killing the process
     assert sum(outcomes.values()) == 40
+
+
+def _crash_fixture(tmp_path, rng, n_reads=8):
+    """Synthetic fast5 dir where one file's NAME carries the crash
+    marker used by extract._test_crash_hook."""
+    from make_synthetic import write_fasta
+
+    genome = synth_genome(rng, {"chr1": 4000})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=n_reads, read_len=150)
+    victim = os.path.join(f5dir, "synthread_003.fast5")
+    crash = os.path.join(f5dir, "crashme_003.fast5")
+    os.rename(victim, crash)
+    ctx = ExtractContext.build(ExtractOptions(motifs="CG",
+                                              reference_path=fasta))
+    return f5dir, ctx
+
+
+def _read_names(path):
+    return {line.split("\t")[4] for line in open(path)}
+
+
+def test_worker_crash_retry_recovers(tmp_path, rng, monkeypatch):
+    """A worker killed mid-batch (SIGKILL — the BrokenProcessPool class
+    of failure: native segfault / OOM-kill) is retried on a respawned
+    pool; the run completes with ZERO loss when the crash is transient."""
+    f5dir, ctx = _crash_fixture(tmp_path, rng)
+
+    baseline = str(tmp_path / "base.tsv")
+    extract_features(f5dir, True, ctx, baseline, nproc=2, f5_batch_size=2)
+
+    monkeypatch.setenv("DSP_TEST_CRASH_MARKER", "crashme")
+    monkeypatch.setenv("DSP_TEST_CRASH_ONCE", str(tmp_path / "sentinel"))
+    out = str(tmp_path / "out.tsv")
+    total, errors = extract_features(f5dir, True, ctx, out, nproc=2,
+                                     f5_batch_size=2)
+    assert total == 8
+    assert errors == 0
+    assert sorted(open(out)) == sorted(open(baseline))
+
+
+def test_worker_crash_quarantine(tmp_path, rng, monkeypatch):
+    """A batch that kills its worker on EVERY attempt is quarantined:
+    its files count as failed, every other batch's output survives."""
+    from deepsignal_plant_tpu.utils.fileio import get_fast5s
+
+    f5dir, ctx = _crash_fixture(tmp_path, rng)
+    baseline = str(tmp_path / "base.tsv")
+    extract_features(f5dir, True, ctx, baseline, nproc=2, f5_batch_size=2)
+
+    fast5s = get_fast5s(f5dir, True)
+    batches = [fast5s[i:i + 2] for i in range(0, len(fast5s), 2)]
+    crash_batch = next(b for b in batches if any("crashme" in p for p in b))
+    # readname == filename stem, except the renamed crash file
+    lost = {os.path.basename(p)[:-len(".fast5")].replace("crashme",
+                                                         "synthread")
+            for p in crash_batch}
+
+    monkeypatch.setenv("DSP_TEST_CRASH_MARKER", "crashme")
+    monkeypatch.delenv("DSP_TEST_CRASH_ONCE", raising=False)
+    out = str(tmp_path / "out.tsv")
+    total, errors = extract_features(f5dir, True, ctx, out, nproc=2,
+                                     f5_batch_size=2)
+    assert total == 8
+    assert errors == len(crash_batch) == 2
+    assert _read_names(out) == _read_names(baseline) - lost
+
+
+def test_worker_crash_npz_and_packed_recover(tmp_path, rng, monkeypatch):
+    """Elastic recovery covers the binary output formats too."""
+    from deepsignal_plant_tpu.utils.formats import (load_feature_npz,
+                                                    load_packed_npz)
+
+    f5dir, ctx = _crash_fixture(tmp_path, rng)
+    monkeypatch.setenv("DSP_TEST_CRASH_MARKER", "crashme")
+    for fmt, load in (("npz", load_feature_npz),
+                      ("npz_packed", load_packed_npz)):
+        monkeypatch.setenv("DSP_TEST_CRASH_ONCE",
+                           str(tmp_path / f"sentinel_{fmt}"))
+        outdir = str(tmp_path / f"out_{fmt}")
+        total, errors = extract_features(f5dir, True, ctx, outdir, nproc=2,
+                                         f5_batch_size=2, out_format=fmt)
+        assert total == 8
+        assert errors == 0
+        n = sum(getattr(load(os.path.join(outdir, f)), "n", None) or
+                len(load(os.path.join(outdir, f)))
+                for f in os.listdir(outdir))
+        assert n > 0
+
+
+def test_worker_crash_fused_path_recovers(tmp_path, rng, monkeypatch):
+    """The fused fast5->call_mods path (pooled wire-parts streaming into
+    the engine) also survives worker death: crash-once retries to a
+    complete result, always-crash quarantines just the one batch."""
+    import jax
+
+    from deepsignal_plant_tpu.cli import main as cli_main
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from make_synthetic import write_fasta
+
+    genome = synth_genome(rng, {"chr1": 4000})
+    fasta = write_fasta(str(tmp_path / "ref.fa"), genome)
+    f5dir = str(tmp_path / "f5")
+    synth_fast5_dir(f5dir, genome, rng, n_reads=8, read_len=150)
+    os.rename(os.path.join(f5dir, "synthread_003.fast5"),
+              os.path.join(f5dir, "crashme_003.fast5"))
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    def fused(out):
+        cli_main(["call_mods", "-i", f5dir, "-m", ckpt, "-o", out,
+                  "--hid_rnn", "32", "--device_batch", "256",
+                  "--reference_path", fasta, "--motifs", "CG",
+                  "--nproc", "2", "--f5_batch_size", "2"])
+
+    base = str(tmp_path / "base.tsv")
+    fused(base)
+    base_rows = sorted(open(base))
+    assert base_rows
+
+    monkeypatch.setenv("DSP_TEST_CRASH_MARKER", "crashme")
+    monkeypatch.setenv("DSP_TEST_CRASH_ONCE", str(tmp_path / "sentinel"))
+    out1 = str(tmp_path / "retry.tsv")
+    fused(out1)
+    assert sorted(open(out1)) == base_rows
+
+    monkeypatch.delenv("DSP_TEST_CRASH_ONCE")
+    out2 = str(tmp_path / "quarantine.tsv")
+    fused(out2)
+    rows2 = sorted(open(out2))
+    assert 0 < len(rows2) < len(base_rows)
+    assert set(rows2) <= set(base_rows)
+    # exactly the crash batch's reads are lost, nothing else
+    from deepsignal_plant_tpu.utils.fileio import get_fast5s
+    fast5s = get_fast5s(f5dir, True)
+    batches = [fast5s[i:i + 2] for i in range(0, len(fast5s), 2)]
+    crash_batch = next(b for b in batches if any("crashme" in p for p in b))
+    lost = {os.path.basename(p)[:-len(".fast5")].replace("crashme",
+                                                         "synthread")
+            for p in crash_batch}
+    assert {r.split("\t")[4] for r in base_rows} - \
+        {r.split("\t")[4] for r in rows2} == \
+        lost & {r.split("\t")[4] for r in base_rows}

@@ -81,6 +81,73 @@ def test_estimate_rows_tsv_and_npz(tmp_path, rng):
     assert _estimate_rows(str(tmp_path / "missing.tsv")) is None
 
 
+def test_estimate_rows_adversarial(tmp_path, rng):
+    """Pathological inputs: the estimator must stay graceful (its only
+    consumer picks a CLAMPED power-of-two device_batch, so the worst
+    case is a suboptimal width, never a wrong answer)."""
+    import jax
+    from make_synthetic import synth_feature_rows
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import (CallModsEngine,
+                                                         _estimate_rows)
+
+    # gzip: not estimable -> None (caller falls back to the default)
+    gz = str(tmp_path / "f.tsv.gz")
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(synth_feature_rows(rng, 1, 8)) + "\n")
+    assert _estimate_rows(gz) is None
+
+    # empty file -> 0
+    empty = tmp_path / "empty.tsv"
+    empty.touch()
+    assert _estimate_rows(str(empty)) == 0
+
+    # one row longer than the 256 KB head sample (no newline in sample)
+    # -> degenerate but finite estimate
+    big = tmp_path / "bigrow.tsv"
+    big.write_text("x" * (1 << 19) + "\n")
+    assert _estimate_rows(str(big)) == 1
+
+    # npz dir whose first file is corrupt -> None, not a crash
+    d = tmp_path / "npz"
+    d.mkdir()
+    (d / "000.npz").write_bytes(b"not a zipfile")
+    assert _estimate_rows(str(d)) is None
+
+    # heterogeneous row lengths: short rows fill the head sample, rows
+    # with a 3000-char readname (a free-text column) dominate the tail
+    # -> the bytes/row estimate undershoots, but _resolve_target clamps
+    # and the engine still calls EVERY row correctly
+    short = synth_feature_rows(rng, 2, 16)
+
+    def _inflate(row, i):
+        f = row.split("\t")
+        f[4] = "r" * 3000 + str(i)
+        return "\t".join(f)
+
+    long_rows = [_inflate(r, i) for i, r in
+                 enumerate(synth_feature_rows(rng, 2, 16))]
+    het = str(tmp_path / "het.tsv")
+    with open(het, "w") as f:
+        f.write("\n".join(short) + "\n")
+        f.write("\n".join(long_rows) + "\n")
+    est = _estimate_rows(het)
+    assert est is not None and est >= 1
+
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(1), cfg), cfg)
+    eng = CallModsEngine(ckpt, cfg, CallConfig())   # auto sizing
+    target = eng._resolve_target(het)
+    assert eng.AUTO_MIN_BATCH <= target <= eng.AUTO_MAX_BATCH
+    out = str(tmp_path / "calls.tsv")
+    st = eng.run_features_file(het, out)
+    assert st.sites == 64
+    assert len(open(out).read().splitlines()) == 64
+
+
 def test_auto_device_batch_sizing(tmp_path, rng):
     """device_batch=None sizes the step to the input: tiny files get a
     small padded batch, not the 32768 maximum."""
