@@ -39,7 +39,7 @@ if _plat and "cpu" not in _plat:
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 REF_E2E_CACHE = os.path.join(REPO, ".bench_ref_e2e.json")
 N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
-DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "32768"))
+DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "4096"))
 
 
 def _fabricate_read(rng, ri: int, L: int = 3000, S: int = 16) -> dict:

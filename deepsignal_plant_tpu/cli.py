@@ -204,7 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "backends; float32 for exact-parity runs")
     p.add_argument("--parse_workers", type=int, default=None,
                    help="host parser threads (default: cores, max 4)")
-    p.add_argument("--dispatch_workers", type=int, default=4,
+    p.add_argument("--dispatch_workers", type=int, default=6,
                    help="concurrent device dispatches (overlaps per-call "
                         "transfer latency on remote-attached runtimes)")
     p.add_argument("--result_file", "-o", type=str, required=True)
@@ -247,7 +247,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_batch", type=int, default=None)
     p.add_argument("--transfer_dtype", type=str, default="auto",
                    choices=["auto", "float32", "float16", "int8", "int4"])
-    p.add_argument("--dispatch_workers", type=int, default=4)
+    p.add_argument("--dispatch_workers", type=int, default=6)
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4,
                    help="extraction workers for run-folder (fast5 dir) "

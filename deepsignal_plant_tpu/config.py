@@ -77,7 +77,7 @@ class CallConfig:
     device_batch: int | None = None
     f5_batch_size: int = 30
     num_parse_workers: int | None = None  # None = auto (cores, <=4)
-    dispatch_workers: int = 4     # concurrent jit dispatches (overlaps
+    dispatch_workers: int = 6     # concurrent jit dispatches (overlaps
                                   # per-call transfer latency; interleaved
                                   # sweep on the remote-attached v5e:
                                   # 2->4 workers +45% end-to-end, 8 adds

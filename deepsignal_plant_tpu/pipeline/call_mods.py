@@ -210,10 +210,15 @@ class CallModsEngine:
     """Loads a checkpoint once and serves jitted batch inference."""
 
     #: auto device_batch search space: powers of two keep the jit shape
-    #: cache small across runs; 32768 is the measured dispatch-latency
-    #: sweet spot on remote-attached TPUs, 2048 bounds padding waste on
-    #: tiny inputs
-    AUTO_MAX_BATCH = 32768
+    #: cache small across runs; 2048 bounds padding waste on tiny inputs.
+    #: 4096 is the measured sweet spot on the remote-attached rig —
+    #: MORE in-flight dispatch units hide the per-unit round-trip
+    #: latency better than larger units amortize it: interleaved
+    #: same-session sweep (131k rows) measured medians 215k sites/s at
+    #: 32768x4workers, 249k at 16384, 275k at 8192, 318k at 4096x6
+    #: (2048 regressed to ~240k — per-unit fixed costs win again);
+    #: docs/BENCH.md "device_batch sweep, round 3"
+    AUTO_MAX_BATCH = 4096
     AUTO_MIN_BATCH = 2048
 
     def __init__(self, model_path: str, model_cfg: ModelConfig,
