@@ -907,7 +907,7 @@ def call_mods(args) -> CallStats:
                           num_parse_workers=getattr(args, "parse_workers",
                                                     None),
                           dispatch_workers=getattr(args, "dispatch_workers",
-                                                   2))
+                                                   CallConfig.dispatch_workers))
 
     input_path = os.path.abspath(args.input_path)
     if not os.path.exists(input_path):

@@ -902,7 +902,15 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
 
     target = engine.device_batch
     from ..utils.fastparse import native_available
-    nworkers = max(1, min(args.nproc, len(batches)))
+    # cap at the host's core count: extraction workers are CPU-bound, so
+    # over-subscription only thrashes — measured on a 4-core host
+    # (benchmarks/fused_ab.py, same fixture, interleaved with the TSV
+    # plane): nproc=4 runs at 0.925x the features-TSV plane, nproc=6 at
+    # ~0.71x. The reference's suggested --nproc 30 would be pathological
+    # here; explicit small values still win when the user wants to leave
+    # cores free.
+    ncores = os.cpu_count() or 4
+    nworkers = max(1, min(args.nproc, len(batches), ncores))
     is_gzip = getattr(args, "gzip", False)
 
     if nworkers > 1 and native_available():
