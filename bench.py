@@ -293,10 +293,15 @@ def measure_extract_rows_s(passes: int = 2) -> list:
 
 
 def measure_train_samples_s(features_path: str, passes: int = 2) -> list:
-    """Device-resident training throughput (samples/s/chip): one epoch of
-    train_loop per pass on a slice of the bench fixture (compile warmed
-    by a first run; jit cache is per-process so timed passes are
-    steady-state)."""
+    """Device-resident training throughput (samples/s/chip): the
+    MARGINAL-epoch rate of train_loop on a slice of the bench fixture —
+    time a 1-epoch and a 4-epoch run and rate the 3 extra epochs. A
+    single-epoch rate would be dominated by train_loop's fixed costs
+    (dataset HBM upload ~2x20 MB through the link + final eval), which
+    measured ~2.9 s against a ~0.6 s marginal epoch; the difference
+    protocol isolates the steady-state plane the way a real multi-epoch
+    train does. Compile is warmed by a first run (jit cache is
+    per-process)."""
     from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
     from deepsignal_plant_tpu.io.dataset import FeatureDataset
     from deepsignal_plant_tpu.pipeline.train import train_loop
@@ -314,16 +319,25 @@ def measure_train_samples_s(features_path: str, passes: int = 2) -> list:
         vds = FeatureDataset.from_file(sub)  # tiny eval at epoch end only
         mcfg = ModelConfig(dropout_rate=0.5,
                            compute_dtype=resolve_compute_dtype("auto"))
-        kw = dict(batch_size=512, max_epoch_num=1, min_epoch_num=1,
-                  step_interval=10 ** 9)  # no mid-epoch eval sweeps
-        train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
-                   verbose=False)                                 # warm
-        rates = []
-        for _ in range(passes):
+
+        def run(epochs: int) -> float:
+            kw = dict(batch_size=512, max_epoch_num=epochs,
+                      min_epoch_num=epochs,
+                      step_interval=10 ** 9)  # no mid-epoch eval sweeps
             t0 = time.time()
             train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
                        verbose=False)
-            rates.append(len(ds) / (time.time() - t0))
+            return time.time() - t0
+
+        run(1)                                                    # warm
+        rates = []
+        for _ in range(passes):
+            t1 = run(1)
+            t4 = run(4)
+            # a tunnel-outage pass can make t4 <= t1; record 0 (visibly
+            # poisoned) rather than an absurd rate the headline max()
+            # would pick up
+            rates.append(3 * len(ds) / (t4 - t1) if t4 > t1 else 0.0)
     return rates
 
 
