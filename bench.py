@@ -205,10 +205,20 @@ def measure_reference_e2e(features_path: str) -> float:
     -> writer proc, call_modifications.py:584-636) run as a subprocess on
     host CPU. This is the apples-to-apples denominator for ``vs_ref_e2e``
     (the forward-only ``vs_baseline`` is conservative the other way).
-    Measured once and cached."""
+    Measured once and cached — keyed on (fixture rows, host, cores):
+    a stale cache from a different fixture size or machine would make
+    vs_ref_e2e a silently-wrong ratio, so any key mismatch re-measures."""
+    import platform
+    key = {"bench_rows": N_ROWS, "host": platform.node(),
+           "cpus": os.cpu_count()}
     if os.path.exists(REF_E2E_CACHE):
         with open(REF_E2E_CACHE) as fh:
-            return json.load(fh)["ref_e2e_sites_per_s"]
+            cached = json.load(fh)
+        if all(cached.get(k) == v for k, v in key.items()):
+            return cached["ref_e2e_sites_per_s"]
+        print(f"# ref-e2e cache key mismatch "
+              f"(cached {dict((k, cached.get(k)) for k in key)} vs "
+              f"{key}); re-measuring", file=sys.stderr)
     import subprocess
     import torch
     sys.path.insert(0, "/root/reference")
@@ -253,7 +263,7 @@ def measure_reference_e2e(features_path: str) -> float:
     rate = n / dt
     with open(REF_E2E_CACHE, "w") as fh:
         json.dump({"ref_e2e_sites_per_s": rate, "rows": n,
-                   "seconds": round(dt, 2), "nproc": int(nproc),
+                   "seconds": round(dt, 2), "nproc": int(nproc), **key,
                    "note": "reference call_mods (features-TSV branch, "
                            "full mp pipeline, host CPU) on the bench "
                            "fixture; call_modifications.py:584-636"},

@@ -202,13 +202,22 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Params:
 
     Mirrors the reference's CPU map_location load
     (call_modifications.py:219-224). Requires torch (CPU) at call time only.
-    Prefers ``weights_only=True`` (no pickle code execution) and falls back
-    to a full load for old-format checkpoints that need it.
+    Prefers ``weights_only=True`` (no pickle code execution). Legacy
+    checkpoints that genuinely need the full unpickler are re-loaded with
+    ``weights_only=False`` — but ONLY after a loud warning, because that
+    path executes pickle code from the file: a blanket silent fallback
+    would negate the hardening exactly when it matters (a malicious file
+    is precisely one that fails the safe load).
     """
     import torch
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as exc:
+        print("[warn] safe (weights_only) torch load of {} failed "
+              "({}: {}); retrying with the full unpickler — this "
+              "EXECUTES code embedded in the checkpoint file, only "
+              "proceed with checkpoints you trust".format(
+                  path, type(exc).__name__, exc))
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(sd, dict):
         sd = sd.state_dict()

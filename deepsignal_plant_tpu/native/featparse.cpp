@@ -1037,7 +1037,11 @@ int32_t dsp_read_norm_stats(const double* signal, int64_t ns,
         stds16[i] = _Float16(round6d(sd));
         lens16[i] = _Float16(double(len));
     }
-    dsp_build_rect_f16(norm_out, starts, lengths, nb, S, rect16);
+    // S == 0: caller doesn't want the f16 rect (e.g. the TSV path
+    // rebuilds it in float64 for 6-dp text emission) — skip the nb*S
+    // gather entirely instead of computing values that get discarded
+    if (S > 0)
+        dsp_build_rect_f16(norm_out, starts, lengths, nb, S, rect16);
     return 0;
 }
 

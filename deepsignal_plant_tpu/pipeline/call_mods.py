@@ -140,12 +140,18 @@ def resolve_transfer_dtype(requested: str, mesh) -> str:
     from ..utils.fastparse import native_available
     if not native_available():
         return "float16"
+    return "int8" if mesh_is_remote(mesh) else "float16"
+
+
+def mesh_is_remote(mesh) -> bool:
+    """True when the mesh's devices sit behind a remote-attached link
+    (the axon tunnel, detected via the backend's platform_version) —
+    i.e. host->device bytes ride a network hop instead of PCIe/ICI."""
     dev = mesh.devices.flat[0]
     try:
-        remote = "axon" in getattr(dev.client, "platform_version", "")
+        return "axon" in getattr(dev.client, "platform_version", "")
     except Exception:
-        remote = False
-    return "int8" if remote else "float16"
+        return False
 
 
 def _start_fetch(arr):
@@ -244,6 +250,7 @@ class CallModsEngine:
 
         import threading
         self._fallback_lock = threading.Lock()
+        self._fell_back = False
         self._quant = self.call_cfg.transfer_dtype == "int8"
         self._quant4 = self.call_cfg.transfer_dtype == "int4"
         if self._quant4:
@@ -405,16 +412,23 @@ class CallModsEngine:
         try:
             return run()
         except Exception as exc:
-            if self.model_cfg.recurrence != "pallas":
-                raise
             # concurrent dispatch threads may fail together: the first one
-            # rebuilds under the lock, the rest just retry the new step
+            # rebuilds under the lock, the rest just retry the new step.
+            # The pre-lock check must consider _fell_back, not only the
+            # current recurrence: a thread whose pallas dispatch fails
+            # AFTER another thread already flipped the config to scan
+            # would otherwise observe recurrence=="scan" and re-raise
+            # instead of retrying (TOCTOU).
+            if self.model_cfg.recurrence != "pallas" and \
+                    not self._fell_back:
+                raise
             with self._fallback_lock:
                 if self.model_cfg.recurrence == "pallas":
                     print("[warn] pallas recurrence failed ({}: {}); "
                           "falling back to scan".format(
                               type(exc).__name__, exc))
                     self.model_cfg = self.model_cfg.with_(recurrence="scan")
+                    self._fell_back = True
                     self._rebuild_steps()
             return run()
 
@@ -428,14 +442,21 @@ class CallModsEngine:
             qs, ss = _quantize_field(stds)
             if self._quant4:
                 qr, sr = _quantize_field_int4(rect)
-                step = self._step_packed_q4
             else:
                 qr, sr = _quantize_field(rect)
-                step = self._step_packed_q
             scales = np.array([sm, ss, sr], np.float32)
-            return self._run_with_fallback(
-                lambda: step(self.params, codes, qm, qs, lens, qr,
-                             centers, scales))
+
+            def _run():
+                # resolve the step attribute INSIDE the retry: the
+                # pallas->scan fallback swaps these via _rebuild_steps,
+                # and an early-bound local would retry the stale
+                # pallas-compiled step (and fail again)
+                step = (self._step_packed_q4 if self._quant4
+                        else self._step_packed_q)
+                return step(self.params, codes, qm, qs, lens, qr,
+                            centers, scales)
+
+            return self._run_with_fallback(_run)
         return self._run_with_fallback(
             lambda: self._step_packed(self.params, codes, means, stds,
                                       lens, rect, centers))
@@ -602,15 +623,20 @@ class CallModsEngine:
         full base axis, _build_packed_step), so packed ships
         density*n base-rows per site vs the per-site plane's seq_len:
         byte parity at density = seq_len/n. A user staging npz_packed
-        for an 8-chip host would otherwise silently ship ~8x bases —
-        the engine converts packed->per-site on host instead
-        (to_raw_block), which also keeps transfer_dtype semantics."""
+        for an 8-chip host behind a REMOTE-ATTACHED link would otherwise
+        silently ship ~8x bases — the engine converts packed->per-site
+        on host instead (to_raw_block), which also keeps transfer_dtype
+        semantics. On DIRECT-attached multi-device hosts the tightening
+        does not apply: PCIe/ICI makes wire bytes ~free there, and the
+        packed step's real win on those rigs is skipping the host-side
+        13x window materialization (_build_packed_step's comment) — the
+        resource that actually binds."""
         if self.call_cfg.packed_wire == "force":
             return float("inf")
         if self.call_cfg.packed_wire == "off":
             return 0.0
         n = self.mesh.devices.size
-        if n == 1:
+        if n == 1 or not mesh_is_remote(self.mesh):
             return self.PACKED_MAX_BASES_PER_SITE
         return min(self.PACKED_MAX_BASES_PER_SITE,
                    self.model_cfg.seq_len / n)

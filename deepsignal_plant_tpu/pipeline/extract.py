@@ -14,6 +14,7 @@ reference-compatible random mode ("compat", extract_features.py:248).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import random
 import shutil
@@ -234,8 +235,12 @@ def extract_read_features(read: TomboRead, ctx: ExtractContext,
     nres = None
     if opts.normalize_method == "mad" and opts.downsample == "even":
         from ..utils.fastparse import extract_norm_stats
+        # rect only when the f16 wire wants it: TSV/f64 consumers
+        # rebuild the rect in float64 below, so computing the f16 one
+        # too would be pure waste (it was a measured slice of the kernel)
         nres = extract_norm_stats(read.raw_signal, read.event_starts,
-                                  read.event_lengths, opts.signal_len)
+                                  read.event_lengths, opts.signal_len,
+                                  want_rect=opts.rect_f16)
     if nres is not None:
         norm, means, stds = nres["norm"], nres["means"], nres["stds"]
         if opts.rect_f16:
@@ -631,17 +636,30 @@ def _worker_batch_save(paths: list[str], batch_idx: int = 0
                                  save_wire_npz)
     write_dir, out_format = _G_SINK
     path = os.path.join(write_dir, f"{batch_idx:06d}.npz")
+    # atomic: a worker SIGKILLed mid-save must not leave a truncated
+    # .npz behind — the run would report success (batch retried or
+    # quarantined with errors counted) while a later consumer crashes on
+    # the corrupt zip. The dot-temp doesn't end in ".npz" so directory
+    # loaders (feature_npz_paths) never pick it up; np.savez appends no
+    # extension to an open file object.
+    tmp = os.path.join(write_dir, f".{batch_idx:06d}.npz.tmp")
+
+    def _atomic_save(save_fn, payload) -> None:
+        with open(tmp, "wb") as fh:
+            save_fn(fh, payload)
+        os.replace(tmp, path)
+
     if out_format == "npz_packed":
         pb, errors = _worker_packed(paths, batch_idx)
         if pb is None or pb.n == 0:
             return 0, errors
-        save_packed_npz(path, pb)
+        _atomic_save(save_packed_npz, pb)
         return pb.n, errors
     fb, errors = _worker_batch(paths, batch_idx)
     if fb is None or not len(fb):
         return 0, errors
     save_fn = save_wire_npz if out_format == "npz_wire" else save_feature_npz
-    save_fn(path, fb)
+    _atomic_save(save_fn, fb)
     return len(fb), errors
 
 
@@ -832,6 +850,12 @@ def extract_features(fast5_dir: str, is_recursive: bool,
 
         _drain_pool_elastic(batches, _worker_batch_save, nworkers,
                             (ctx, seed, (write_path, out_format)), _on_npz)
+        # sweep dot-temps a SIGKILLed save attempt may have left (the
+        # final .npz names are always complete — writes are atomic)
+        for f in os.listdir(write_path):
+            if f.startswith(".") and f.endswith(".npz.tmp"):
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(write_path, f))
     else:
         import tempfile
         writer = _PartConcatWriter(write_path, w_is_dir, w_batch_num,
@@ -967,17 +991,42 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                         return blk
                     return None
 
+                # the engine derives its packed routing + static
+                # base-axis cap from the FIRST block, so batch 0 must be
+                # the first block yielded regardless of completion order
+                # — including across pool respawns after a worker death
+                # (a broken round can complete other batches before
+                # batch 0; yielding them would make routing and jit
+                # geometry depend on crash timing). Completed parts sit
+                # on disk, so holding them back costs nothing.
                 pending = dict(enumerate(batches))
-                first_round = True
+                first_pending = True   # batch 0 not yet yielded/failed
+                held: list = []        # [(bi, n)] awaiting batch 0
+
+                def _emit(bi, n):
+                    nonlocal first_pending
+                    out = []
+                    if first_pending and bi != 0:
+                        held.append((bi, n))
+                        return out
+                    blk = _take(bi, n)
+                    if blk is not None:
+                        out.append(blk)
+                    if bi == 0 or not pending:
+                        first_pending = False
+                        for hbi, hn in sorted(held):
+                            hblk = _take(hbi, hn)
+                            if hblk is not None:
+                                out.append(hblk)
+                        held.clear()
+                    return out
+
                 while pending:
                     before = len(pending)
                     futs = {pool_box[0].submit(_worker_batch_save, b, bi):
                             bi for bi, b in sorted(pending.items())}
-                    if first_round:
-                        # part 0 first (blocking): the engine derives its
-                        # packed routing + static base-axis cap from the
-                        # first block, so that block must not depend on
-                        # completion order
+                    if first_pending and 0 in pending:
+                        # block on part 0 first so holding is brief
                         f0 = next(f for f, bi in futs.items() if bi == 0)
                         order = chain([f0], (f for f in as_completed(futs)
                                              if f is not f0))
@@ -993,11 +1042,13 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                         bi = futs[fut]
                         del pending[bi]
                         err_box[0] += err
-                        blk = _take(bi, n)
-                        if blk is not None:
-                            yield blk
-                    first_round = False
+                        yield from _emit(bi, n)
                     if not broken:
+                        for hbi, hn in sorted(held):   # all settled
+                            hblk = _take(hbi, hn)
+                            if hblk is not None:
+                                yield hblk
+                        held.clear()
                         return
                     pool_box[0].shutdown(wait=False, cancel_futures=True)
                     if len(pending) < before:
@@ -1010,22 +1061,28 @@ def extract_to_call_mods(engine, fast5_dir: str, args,
                     print(f"[fused extract] worker pool died with no "
                           f"progress; isolating {len(pending)} batches "
                           f"serially", flush=True)
-                    for bi in sorted(pending):
+                    for bi in sorted(list(pending)):
+                        batch_files = pending[bi]
                         pool_box[0] = _spawn_pool(1)
                         try:
                             n, err = pool_box[0].submit(
-                                _worker_batch_save, pending[bi],
+                                _worker_batch_save, batch_files,
                                 bi).result()
                             err_box[0] += err
-                            blk = _take(bi, n)
-                            if blk is not None:
-                                yield blk
+                            del pending[bi]
+                            yield from _emit(bi, n)
                         except (BrokenProcessPool, CancelledError):
                             print(f"[fused extract] batch {bi} kills its "
                                   f"worker — quarantined "
-                                  f"({len(pending[bi])} files counted as "
+                                  f"({len(batch_files)} files counted as "
                                   f"failed)", flush=True)
-                            err_box[0] += len(pending[bi])
+                            err_box[0] += len(batch_files)
+                            del pending[bi]
+                            if bi == 0:
+                                # batch 0 is permanently gone: release
+                                # the held blocks (lowest index first —
+                                # deterministic for a given failure)
+                                yield from _emit(bi, 0)
                         finally:
                             pool_box[0].shutdown(wait=False,
                                                  cancel_futures=True)

@@ -157,8 +157,8 @@ def build_rect_f16(norm: np.ndarray, starts: np.ndarray,
 
 
 def extract_norm_stats(signal: np.ndarray, starts: np.ndarray,
-                       lengths: np.ndarray, signal_len: int
-                       ) -> dict | None:
+                       lengths: np.ndarray, signal_len: int,
+                       want_rect: bool = True) -> dict | None:
     """Fused native per-read extraction kernel (dsp_read_norm_stats):
     MAD normalize + 6-dp round + per-event mean/std (cumsum semantics)
     + f16 signal rect + the packed wire's rounded-f16 means/stds/lens,
@@ -186,15 +186,21 @@ def extract_norm_stats(signal: np.ndarray, starts: np.ndarray,
     means16 = np.empty(nb, np.float16)
     stds16 = np.empty(nb, np.float16)
     lens16 = np.empty(nb, np.float16)
-    rect16 = np.empty((nb, signal_len), np.float16)
+    # want_rect=False (TSV/f64 consumers rebuild the rect in float64):
+    # S=0 skips the nb*S gather in the kernel; the dummy buffer is
+    # never touched
+    S = signal_len if want_rect else 0
+    rect16 = np.empty((nb, S), np.float16)
     rc = lib.dsp_read_norm_stats(signal, ns, starts, lengths, nb,
-                                 signal_len, norm, means64, stds64,
+                                 S, norm, means64, stds64,
                                  means16, stds16, lens16, rect16)
     if rc != 0:
         return None
-    return {"norm": norm, "means": means64, "stds": stds64,
-            "means16": means16, "stds16": stds16, "lens16": lens16,
-            "rect16": rect16}
+    out = {"norm": norm, "means": means64, "stds": stds64,
+           "means16": means16, "stds16": stds16, "lens16": lens16}
+    if want_rect:
+        out["rect16"] = rect16
+    return out
 
 
 def format_info_rows(chrom: str, strand: str, readname: str,
