@@ -207,6 +207,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dispatch_workers", type=int, default=6,
                    help="concurrent device dispatches (overlaps per-call "
                         "transfer latency on remote-attached runtimes)")
+    p.add_argument("--packed_wire", type=str, default="auto",
+                   choices=["auto", "force", "off"],
+                   help="read-packed wire plane: auto keeps the on-device "
+                        "window gather only where it saves wire bytes for "
+                        "the mesh (converts to per-site windows on host "
+                        "otherwise); force always gathers on device; off "
+                        "always converts")
     p.add_argument("--result_file", "-o", type=str, required=True)
     p.add_argument("--gzip", action="store_true", default=False)
     _add_f5_args(p)
@@ -248,6 +255,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transfer_dtype", type=str, default="auto",
                    choices=["auto", "float32", "float16", "int8", "int4"])
     p.add_argument("--dispatch_workers", type=int, default=6)
+    p.add_argument("--packed_wire", type=str, default="auto",
+                   choices=["auto", "force", "off"],
+                   help="read-packed wire plane: auto keeps the on-device "
+                        "window gather only where it saves wire bytes for "
+                        "the mesh (converts to per-site windows on host "
+                        "otherwise); force always gathers on device; off "
+                        "always converts")
     p.add_argument("--gzip", action="store_true", default=False)
     p.add_argument("--nproc", "-p", type=int, default=4,
                    help="extraction workers for run-folder (fast5 dir) "
@@ -341,6 +355,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_cf", type=float, default=0.5)
     p.add_argument("--kept_ratio", type=float, default=0.99)
     p.add_argument("--fst_iter_prob", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=None,
+                   help="seed every random choice of the loop (half "
+                        "splits, mini-training init, shuffles, k-mer-"
+                        "balanced negative reselection) for a "
+                        "reproducible denoise")
     p.add_argument("--device_resident", type=str, default="auto",
                    choices=["auto", "never"],
                    help="auto: mini-trainings run on the device-resident "

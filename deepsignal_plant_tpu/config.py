@@ -131,3 +131,41 @@ class TrainConfig:
     #: and `step_interval` steps run per dispatch in one jitted scan
     #: (no per-step host->device input traffic); "never" disables
     device_resident: str = "auto"
+
+
+def model_config_from_args(args, *, dropout_rate: float,
+                           allow_multi_device: bool = False,
+                           ) -> ModelConfig:
+    """One ModelConfig construction for all four CLI entry points
+    (call_mods, serve, train, denoise) — per-site duplication had
+    already drifted once (serve's stale dispatch_workers fallback)."""
+    from .utils.bases import str2bool
+    from .utils.jaxinit import resolve_compute_dtype, resolve_recurrence
+    return ModelConfig(
+        seq_len=args.seq_len, signal_len=args.signal_len,
+        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
+        num_classes=args.class_num, dropout_rate=dropout_rate,
+        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
+        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
+        is_signallen=str2bool(args.is_signallen), module=args.model_type,
+        compute_dtype=resolve_compute_dtype(
+            getattr(args, "compute_dtype", "auto")),
+        recurrence=resolve_recurrence(
+            getattr(args, "recurrence", "auto"),
+            allow_multi_device=allow_multi_device))
+
+
+def call_config_from_args(args) -> CallConfig:
+    """One CallConfig construction for call_mods and serve. Field
+    fallbacks are the dataclass defaults, so a retuned default can never
+    silently diverge between entry points again."""
+    return CallConfig(
+        batch_size=args.batch_size,
+        device_batch=getattr(args, "device_batch", None),
+        f5_batch_size=getattr(args, "f5_batch_size",
+                              CallConfig.f5_batch_size),
+        num_parse_workers=getattr(args, "parse_workers", None),
+        dispatch_workers=getattr(args, "dispatch_workers",
+                                 CallConfig.dispatch_workers),
+        transfer_dtype=getattr(args, "transfer_dtype", "auto"),
+        packed_wire=getattr(args, "packed_wire", "auto"))

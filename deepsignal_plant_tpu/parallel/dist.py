@@ -39,6 +39,17 @@ def init_distributed(coordinator_address: str | None = None,
                                    num_processes=nproc, process_id=pid)
 
 
+def pod_configured() -> bool:
+    """True when the multi-process env (the one init_distributed reads)
+    is configured — WITHOUT initializing the jax backend. Host-only
+    tools (call_freq without --device_agg) use this to decide pod mode:
+    calling jax.process_count() would force a backend init (a
+    multi-second TPU client grab on remote-attached rigs) in a tool
+    that otherwise never touches the device."""
+    return bool(os.environ.get("JAX_COORDINATOR_ADDRESS")) and \
+        int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0) > 1
+
+
 def process_info() -> tuple[int, int]:
     """(process_index, process_count) of this host."""
     import jax

@@ -428,14 +428,28 @@ def call_mods_frequency_to_file(args) -> None:
     contigs = resolve_contigs(args.contigs)
     device_agg = getattr(args, "device_agg", False)
 
+    # pod detection via the env init_distributed reads — NOT
+    # jax.process_count(), which would initialize the backend (a
+    # multi-second TPU client grab) in an otherwise host-only tool
+    from ..parallel.dist import pod_configured
+    pod = pod_configured()
+
     if contigs is None:
+        if pod:
+            # each host must aggregate its OWN shard of the input files:
+            # on a shared filesystem every host sees every file, and
+            # aggregating them all before merge_across_hosts would
+            # multiply every count by process_count
+            from ..parallel.dist import shard_for_host
+            mods_files = shard_for_host(mods_files)
+            print("pod mode: this host aggregates {} file(s)".format(
+                len(mods_files)))
         acc = FreqAccumulator(prob_cf=args.prob_cf, device_agg=device_agg)
         for f in mods_files:
             acc.add_file(f)
-        import jax
-        if jax.process_count() > 1:
-            # pod mode: each host aggregated its own input shard; reduce
-            # over collectives and let process 0 write the single output
+        if pod:
+            # reduce over collectives; process 0 writes the single output
+            import jax
             acc = merge_across_hosts(acc)
             print(acc.report())
             if jax.process_index() == 0:
@@ -446,9 +460,8 @@ def call_mods_frequency_to_file(args) -> None:
             write_freq(acc, args.result_file, args.sort, args.bed,
                        args.gzip)
     else:
-        import jax
         result_file = args.result_file
-        if jax.process_count() > 1:
+        if pod:
             # pod mode: shard the contig list across hosts; each host
             # writes its own suffixed output (the reference's multi-node
             # story — merge downstream with `tools combine_freq_files`)

@@ -909,31 +909,13 @@ def call_mods(args) -> CallStats:
     (call_modifications.py:532)."""
     import os
 
-    from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
+    from ..config import call_config_from_args, model_config_from_args
 
-    model_cfg = ModelConfig(
-        seq_len=args.seq_len, signal_len=args.signal_len,
-        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
-        num_classes=args.class_num, dropout_rate=0.0,
-        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
-        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
-        is_signallen=str2bool(args.is_signallen), module=args.model_type,
-        compute_dtype=resolve_compute_dtype(
-            getattr(args, "compute_dtype", "auto")),
-        # the engine has a runtime scan fallback, so auto may pick pallas
-        # even on multi-device meshes
-        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),
-                                      allow_multi_device=True))
-    call_cfg = CallConfig(batch_size=args.batch_size,
-                          device_batch=getattr(args, "device_batch", None),
-                          f5_batch_size=args.f5_batch_size,
-                          transfer_dtype=getattr(args, "transfer_dtype",
-                                                 "auto"),
-                          num_parse_workers=getattr(args, "parse_workers",
-                                                    None),
-                          dispatch_workers=getattr(args, "dispatch_workers",
-                                                   CallConfig.dispatch_workers))
+    # the engine has a runtime scan fallback, so auto may pick pallas
+    # even on multi-device meshes (allow_multi_device)
+    model_cfg = model_config_from_args(args, dropout_rate=0.0,
+                                       allow_multi_device=True)
+    call_cfg = call_config_from_args(args)
 
     input_path = os.path.abspath(args.input_path)
     if not os.path.exists(input_path):

@@ -301,20 +301,12 @@ class CrossRankTrainer:
 def denoise(args) -> str:
     """CLI entry mirroring reference denoise(args) (denoise.py:318).
     Returns the path of the final denoised training file."""
+    from ..config import model_config_from_args
     from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
 
     total_start = time.time()
-    model_cfg = ModelConfig(
-        seq_len=args.seq_len, signal_len=args.signal_len,
-        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
-        num_classes=args.class_num, dropout_rate=args.dropout_rate,
-        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
-        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
-        is_signallen=str2bool(args.is_signallen), module=args.model_type,
-        compute_dtype=resolve_compute_dtype(
-            getattr(args, "compute_dtype", "float32")),
-        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto")))
+    model_cfg = model_config_from_args(args,
+                                       dropout_rate=args.dropout_rate)
     train_cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                             pos_weight=args.pos_weight,
                             step_interval=args.step_interval,
@@ -326,6 +318,12 @@ def denoise(args) -> str:
                                        str2bool(args.is_signallen))
     is_filter_fn = str2bool(args.is_filter_fn)
     rng = np.random.default_rng(getattr(args, "seed", None))
+    # the k-mer-balanced negative reselection uses the stdlib rng
+    # API (rng.sample); derive it from the same seed stream so a
+    # seeded denoise is reproducible end to end instead of falling
+    # back to the unseeded global random module
+    import random as _random
+    py_rng = _random.Random(int(rng.integers(1 << 62)))
 
     train_file = args.train_file
     # all-negative pool for k-mer-balanced reselection (denoise.py:296)
@@ -400,10 +398,12 @@ def denoise(args) -> str:
         if is_filter_fn:
             left_ratio = (left_ratio + left_ratio2) / 2
 
-        if train_file != args.train_file:
-            os.remove(train_file)
-
         # ---- rebuild train file (denoise.py:347-375) ----
+        # NOTE: the previous iteration's working file is removed only
+        # AFTER a replacement exists — when this iteration filters out
+        # every positive, that file IS the returned final_file, and
+        # deleting it first would return a path that no longer exists
+        prev_file = train_file
         print("\n#####concat denoised file#####")
         pos_num = int(keep_pos.sum())
         if pos_num > 0:
@@ -411,12 +411,13 @@ def denoise(args) -> str:
             seled_neg = nfname + ".r" + str(pos_num) + nfext
             if neg_file is None:
                 select_neg_rows_as_pos_kmer_dist(pos_file, train_neg_file,
-                                                 seled_neg)
+                                                 seled_neg, rng=py_rng)
             else:
                 neg_num = count_lines(neg_file)
                 if pos_num <= neg_num:
                     select_neg_rows_as_pos_kmer_dist(pos_file, neg_file,
-                                                     seled_neg)
+                                                     seled_neg,
+                                                     rng=py_rng)
                     os.remove(neg_file)
                 else:
                     seled_neg = neg_file
@@ -426,6 +427,8 @@ def denoise(args) -> str:
             shuffle_concat(pos_file, seled_neg, train_file, rng=rng)
             os.remove(seled_neg)
             final_file = train_file
+            if prev_file != args.train_file:
+                os.remove(prev_file)
         else:
             if neg_file is not None:
                 os.remove(neg_file)

@@ -44,20 +44,6 @@ def _holds_fast5s(path: str) -> bool:
     return False
 
 
-def _candidates(watch_dir: str, include_dirs: bool) -> list[str]:
-    """Feature files, plus run-folders (subdirectories holding fast5s —
-    what a sequencer deposits) which go through the fused
-    fast5->call_mods path."""
-    out = []
-    for name in sorted(os.listdir(watch_dir)):
-        if name.startswith("."):
-            continue
-        path = os.path.join(watch_dir, name)
-        if any(name.endswith(e) for e in _EXTS):
-            out.append(path)
-        elif include_dirs and os.path.isdir(path) and _holds_fast5s(path):
-            out.append(path)
-    return out
 
 
 def _stat_sig(path: str) -> tuple | None:
@@ -130,7 +116,12 @@ class WatchServer:
         name = os.path.basename(path)
         out_name = name + ".call_mods.tsv" + (".gz" if self.is_gzip else "")
         final = os.path.join(self.result_dir, out_name)
-        tmp = os.path.join(self.result_dir, "." + out_name + ".tmp")
+        # the temp must END in .gz in gzip mode: the engine's AsyncWriter
+        # forces the suffix (gzip_path), so any other temp name means the
+        # writer writes <tmp>.gz and the rename below finds nothing —
+        # every gzip input would be marked failed
+        tmp = os.path.join(self.result_dir, "." + name + ".tmp.call_mods.tsv"
+                           + (".gz" if self.is_gzip else ""))
         t0 = time.time()
         try:
             if os.path.isdir(path):
@@ -158,16 +149,46 @@ class WatchServer:
             print(f"[serve] {name}: FAILED ({exc})", flush=True)
             return False
 
+    def _pending(self) -> list[str]:
+        """Unprocessed candidates. The done-marker check runs BEFORE the
+        run-folder fast5 probe: a backlog of thousands of already-served
+        run-folders must cost two result-dir stats each per poll, not a
+        full os.walk each."""
+        include_dirs = self.extract_args is not None
+        out = []
+        for name in sorted(os.listdir(self.watch_dir)):
+            if name.startswith("."):
+                continue
+            # never re-ingest our own products: with result_dir ==
+            # watch_dir (nothing forbids it) the output X.call_mods.tsv
+            # matches _EXTS and would be re-called forever
+            if ".call_mods.tsv" in name or \
+                    name.endswith((".done", ".failed", ".complete")):
+                continue
+            if self._is_done(name):
+                continue
+            path = os.path.join(self.watch_dir, name)
+            if any(name.endswith(e) for e in _EXTS):
+                out.append(path)
+            elif include_dirs and os.path.isdir(path) \
+                    and _holds_fast5s(path):
+                out.append(path)
+        return out
+
     def sweep(self) -> int:
         """One poll: process every stable, unprocessed input. Returns the
         number of files processed."""
         n = 0
-        for path in _candidates(self.watch_dir,
-                                include_dirs=self.extract_args is not None):
+        pending = self._pending()
+        # prune stability signatures of paths no longer pending (served,
+        # failed, or deleted) — a months-long server would otherwise keep
+        # one dict entry per file ever observed
+        live = set(pending)
+        for stale in [p for p in self._last_sig if p not in live]:
+            del self._last_sig[stale]
+        for path in pending:
             if self._stop:
                 break
-            if self._is_done(os.path.basename(path)):
-                continue
             if not self._ready(path):
                 continue
             self.process_one(path)
@@ -177,8 +198,12 @@ class WatchServer:
     def run(self, once: bool = False) -> None:
         if once:
             # process the current backlog: first poll records signatures,
-            # second confirms stability
+            # second confirms stability. The polls must be poll_s apart —
+            # back-to-back sweeps would compare signatures microseconds
+            # apart and deem a mid-upload file "stable" (truncated calls
+            # marked .done, never retried)
             self.sweep()
+            time.sleep(self.poll_s)
             self.sweep()
             return
         while not self._stop:
@@ -192,30 +217,14 @@ class WatchServer:
 
 def serve(args) -> None:
     """CLI entry: build one warm engine and watch a directory."""
-    from ..config import CallConfig, ModelConfig
-    from ..utils.bases import str2bool
-    from ..utils.jaxinit import (resolve_compute_dtype, resolve_recurrence,
-                                 setup_jax)
+    from ..config import call_config_from_args, model_config_from_args
+    from ..utils.jaxinit import setup_jax
     from .call_mods import CallModsEngine
 
     setup_jax()
-    model_cfg = ModelConfig(
-        seq_len=args.seq_len, signal_len=args.signal_len,
-        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
-        num_classes=args.class_num, dropout_rate=0.0,
-        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
-        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
-        is_signallen=str2bool(args.is_signallen), module=args.model_type,
-        compute_dtype=resolve_compute_dtype(
-            getattr(args, "compute_dtype", "auto")),
-        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto"),
-                                      allow_multi_device=True))
-    call_cfg = CallConfig(batch_size=args.batch_size,
-                          device_batch=getattr(args, "device_batch", None),
-                          transfer_dtype=getattr(args, "transfer_dtype",
-                                                 "auto"),
-                          dispatch_workers=getattr(args, "dispatch_workers",
-                                                   4))
+    model_cfg = model_config_from_args(args, dropout_rate=0.0,
+                                       allow_multi_device=True)
+    call_cfg = call_config_from_args(args)
     engine = CallModsEngine(os.path.abspath(args.model_path), model_cfg,
                             call_cfg)
     # run-folder (fast5 dir) inputs take the fused path with these

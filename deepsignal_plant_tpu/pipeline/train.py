@@ -686,21 +686,12 @@ def clean_old_ckpts(model_dir: str, module: str) -> None:
 def train(args) -> dict:
     """CLI entry mirroring reference train(args) (train.py:22). Returns a
     summary dict {best_accuracy, best_ckpt, epochs_run}."""
-    from ..utils.bases import str2bool
-    from ..utils.jaxinit import resolve_compute_dtype, resolve_recurrence
+    from ..config import model_config_from_args
 
     t_start = time.time()
     print("[main] train starts..")
-    model_cfg = ModelConfig(
-        seq_len=args.seq_len, signal_len=args.signal_len,
-        num_layers_comb=args.layernum1, num_layers_branch=args.layernum2,
-        num_classes=args.class_num, dropout_rate=args.dropout_rate,
-        hidden_size=args.hid_rnn, vocab_size=args.n_vocab,
-        embedding_size=args.n_embed, is_base=str2bool(args.is_base),
-        is_signallen=str2bool(args.is_signallen), module=args.model_type,
-        compute_dtype=resolve_compute_dtype(
-            getattr(args, "compute_dtype", "float32")),
-        recurrence=resolve_recurrence(getattr(args, "recurrence", "auto")))
+    model_cfg = model_config_from_args(args,
+                                       dropout_rate=args.dropout_rate)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, lr=args.lr, lr_decay=args.lr_decay,
         lr_decay_step=args.lr_decay_step, max_epoch_num=args.max_epoch_num,

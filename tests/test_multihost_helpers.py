@@ -163,6 +163,11 @@ def test_call_freq_pod_mode_contig_sharding(tmp_path, monkeypatch):
     call_mods_frequency_to_file(args_for(single))
 
     pod = str(tmp_path / "freq_pod.tsv")
+    # pod mode is detected from the multi-process ENV (pod_configured),
+    # not jax.process_count() — a host-only call_freq must not
+    # initialize the jax backend just to ask
+    from deepsignal_plant_tpu.parallel import dist as dist_mod
+    monkeypatch.setattr(dist_mod, "pod_configured", lambda: True)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     for pid in range(2):
         monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
@@ -175,3 +180,51 @@ def test_call_freq_pod_mode_contig_sharding(tmp_path, monkeypatch):
         {"chr10", "scaffold_9"}
     assert sorted((h0 + h1).splitlines()) == \
         sorted(open(single).read().splitlines())
+
+
+def test_call_freq_pod_mode_whole_genome_shards_files(tmp_path,
+                                                      monkeypatch):
+    """Whole-genome pod mode (no --contigs) must shard the INPUT FILES
+    across hosts: on a shared filesystem every host sees every file, and
+    aggregating them all before the cross-host merge would multiply
+    every count by process_count (regression for the r3 review)."""
+    import argparse
+    import os
+
+    from deepsignal_plant_tpu.pipeline import call_freq as cf
+    from deepsignal_plant_tpu.parallel import dist as dist_mod
+
+    rng = np.random.default_rng(29)
+    files = []
+    for k in range(2):
+        p = str(tmp_path / f"calls.host{k}.tsv")
+        with open(p, "w") as f:
+            for i in range(50):
+                pos = int(rng.integers(0, 40))
+                p1 = round(float(rng.random()), 6)
+                f.write(f"chr1\t{pos}\t+\t{pos}\tr{k}_{i}\tt\t"
+                        f"{round(1 - p1, 6)}\t{p1}\t{int(p1 > 0.5)}\t"
+                        f"ACGTACCGTACGT\n")
+        files.append(p)
+
+    monkeypatch.setattr(dist_mod, "pod_configured", lambda: True)
+    monkeypatch.setattr(dist_mod, "process_info", lambda: (0, 2))
+    seen = []
+    orig_add = cf.FreqAccumulator.add_file
+
+    def spy_add(self, path):
+        seen.append(os.path.basename(path))
+        return orig_add(self, path)
+
+    monkeypatch.setattr(cf.FreqAccumulator, "add_file", spy_add)
+    # merge is a collective; stub it to identity for the single process
+    monkeypatch.setattr(cf, "merge_across_hosts", lambda acc: acc)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+
+    out = str(tmp_path / "freq.tsv")
+    cf.call_mods_frequency_to_file(argparse.Namespace(
+        input_path=[str(tmp_path)], file_uid="calls", contigs=None,
+        prob_cf=0.0, result_file=out, sort=True, bed=False, gzip=False,
+        nproc=1, device_agg=False))
+    # host 0 of 2 must aggregate only ITS shard, not both files
+    assert seen == ["calls.host0.tsv"]

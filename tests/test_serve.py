@@ -247,3 +247,53 @@ def test_watch_server_gz_and_npz_inputs(tmp_path, rng, ckpt):
     assert (out / "b.tsv.gz.call_mods.tsv").read_bytes() == ref
     assert (out / "c.npz.done").exists()
     assert (out / "c.npz.call_mods.tsv").read_bytes() == ref
+
+
+def test_watch_server_gzip_mode(tmp_path, rng, ckpt):
+    """Regression: in gzip mode the engine's AsyncWriter forces a .gz
+    suffix on its output path; a temp name without it meant the rename
+    found nothing and EVERY gzip input was marked failed."""
+    import gzip
+
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    write_feature_file(str(watch / "a.tsv"),
+                       synth_feature_rows(rng, 2, 8))
+
+    server = WatchServer(_make_engine(ckpt), str(watch), str(out),
+                         poll_s=0.01, is_gzip=True)
+    server.run(once=True)
+
+    assert (out / "a.tsv.done").exists(), \
+        (out / "a.tsv.failed").read_text() \
+        if (out / "a.tsv.failed").exists() else "no marker at all"
+    res = out / "a.tsv.call_mods.tsv.gz"
+    assert res.exists()
+    with gzip.open(res, "rt") as fh:
+        assert sum(1 for _ in fh) == 16
+    # no stray temp artifacts
+    assert not [p for p in out.iterdir() if p.name.startswith(".")]
+
+
+def test_watch_server_same_dir_no_self_ingestion(tmp_path, rng, ckpt):
+    """result_dir == watch_dir must not re-call our own outputs
+    (X.call_mods.tsv matches the input extensions)."""
+    from deepsignal_plant_tpu.pipeline.serve import WatchServer
+
+    d = tmp_path / "both"
+    d.mkdir()
+    write_feature_file(str(d / "a.tsv"), synth_feature_rows(rng, 2, 8))
+
+    server = WatchServer(_make_engine(ckpt), str(d), str(d), poll_s=0.01)
+    server.run(once=True)
+    assert (d / "a.tsv.done").exists()
+    # further sweeps must not pick up a.tsv.call_mods.tsv (or markers)
+    for _ in range(3):
+        assert server.sweep() == 0
+    names = sorted(p.name for p in d.iterdir())
+    assert "a.tsv.call_mods.tsv.call_mods.tsv" not in names
+    assert not any(".done.call_mods" in n or ".failed.call_mods" in n
+                   for n in names)
