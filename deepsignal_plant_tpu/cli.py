@@ -290,6 +290,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "segment sums to the accelerator (for "
                         "direct-attached chips on genome-scale runs); "
                         "output is byte-identical to the host path")
+    p.add_argument("--pod_shard_inputs", type=str, default="auto",
+                   choices=["auto", "always", "never"],
+                   help="pod mode only: how to partition the input files "
+                        "across hosts. auto (default) cross-checks the "
+                        "per-host file lists over the collective and "
+                        "shards only a shared list; always asserts a "
+                        "shared filesystem; never asserts disjoint "
+                        "per-host inputs")
     p.set_defaults(func=main_call_freq)
 
     # ---- train ----

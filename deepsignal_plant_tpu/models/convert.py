@@ -14,6 +14,7 @@ Our layouts right-multiply (x @ W), direction-stacked:
 from __future__ import annotations
 
 import io
+import os
 from typing import Any
 
 import numpy as np
@@ -202,23 +203,36 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Params:
 
     Mirrors the reference's CPU map_location load
     (call_modifications.py:219-224). Requires torch (CPU) at call time only.
-    Prefers ``weights_only=True`` (no pickle code execution). Legacy
+    Loads with ``weights_only=True`` (no pickle code execution). Legacy
     checkpoints that genuinely need the full unpickler are re-loaded with
-    ``weights_only=False`` — but ONLY after a loud warning, because that
-    path executes pickle code from the file: a blanket silent fallback
-    would negate the hardening exactly when it matters (a malicious file
-    is precisely one that fails the safe load).
+    ``weights_only=False`` ONLY under explicit opt-in
+    (``DSP_ALLOW_UNSAFE_CKPT=1``): the unsafe path executes pickle code
+    from the file, and a malicious checkpoint is exactly one that fails
+    the safe load — an automatic fallback (even with a printed warning)
+    would negate the hardening precisely when it matters, especially for
+    non-interactive runs (serve, cron, pipelines) where nobody reads the
+    warning before the payload runs.
     """
     import torch
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
     except Exception as exc:
-        print("[warn] safe (weights_only) torch load of {} failed "
-              "({}: {}); retrying with the full unpickler — this "
-              "EXECUTES code embedded in the checkpoint file, only "
-              "proceed with checkpoints you trust".format(
-                  path, type(exc).__name__, exc))
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if os.environ.get("DSP_ALLOW_UNSAFE_CKPT", "") == "1":
+            print("[warn] safe (weights_only) torch load of {} failed "
+                  "({}: {}); DSP_ALLOW_UNSAFE_CKPT=1 set — retrying with "
+                  "the full unpickler, which EXECUTES code embedded in "
+                  "the checkpoint file".format(
+                      path, type(exc).__name__, exc))
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+        else:
+            raise RuntimeError(
+                "safe (weights_only) torch load of {} failed ({}: {}). "
+                "Legacy checkpoints serialized with old torch may need "
+                "the full unpickler, which executes code embedded in the "
+                "file. If you trust this checkpoint, set "
+                "DSP_ALLOW_UNSAFE_CKPT=1 to allow the unsafe load (or "
+                "re-save it with tools/ckpt unzip on a trusted host)."
+                .format(path, type(exc).__name__, exc)) from exc
     if not isinstance(sd, dict):
         sd = sd.state_dict()
     return convert_torch_state_dict(sd, cfg)

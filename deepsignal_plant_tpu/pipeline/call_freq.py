@@ -419,6 +419,51 @@ def collect_mods_files(input_paths: list[str],
     return mods_files
 
 
+def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
+        list[str], bool]:
+    """Resolve the per-host input list in pod mode -> (files, shared_fs).
+
+    On a shared filesystem every host sees every file, so the list must be
+    sharded or every count is multiplied by process_count. On the
+    disjoint-per-host layout (parallel/dist.py data plane: each host
+    ingests its own shard, host-suffixed outputs on local disk), sharding
+    each host's local list silently DROPS files. ``mode``:
+
+    - ``always``: shard unconditionally (caller asserts shared FS);
+    - ``never``: keep this host's list (caller asserts disjoint layout);
+    - ``auto``: cross-check over the merge collective — all-gather each
+      host's (abspath, size) list; shard only when every host sees the
+      identical list, keep local lists when they are pairwise disjoint,
+      and error loudly on partial overlap instead of guessing.
+    """
+    from ..parallel.dist import shard_for_host
+    if mode == "always":
+        return shard_for_host(mods_files), True
+    if mode == "never":
+        return list(mods_files), False
+    from ..parallel.multihost import allgather_bytes
+    ident = "\n".join("{}\t{}".format(os.path.abspath(f),
+                                      os.path.getsize(f))
+                      for f in sorted(mods_files))
+    payloads = allgather_bytes(ident.encode())
+    sets = [set(p.decode().splitlines()) if p else set() for p in payloads]
+    if all(s == sets[0] for s in sets):
+        out = shard_for_host(mods_files)
+        print("pod mode: shared input list; this host aggregates {} of {} "
+              "file(s)".format(len(out), len(mods_files)))
+        return out, True
+    if sum(len(s) for s in sets) == len(set().union(*sets)):
+        print("pod mode: disjoint per-host inputs; this host aggregates "
+              "all {} local file(s)".format(len(mods_files)))
+        return list(mods_files), False
+    raise ValueError(
+        "pod call_freq: input file lists partially overlap across hosts — "
+        "neither one shared list nor disjoint per-host lists. Refusing to "
+        "guess the partition (counts would be dropped or double-counted). "
+        "Pass --pod_shard_inputs always (shared filesystem) or never "
+        "(disjoint per-host inputs) to assert the layout.")
+
+
 def call_mods_frequency_to_file(args) -> None:
     """CLI entry, mirroring call_mods_freq.py:218."""
     print("[main]call_freq starts..")
@@ -434,16 +479,16 @@ def call_mods_frequency_to_file(args) -> None:
     from ..parallel.dist import pod_configured
     pod = pod_configured()
 
+    pod_shard_inputs = getattr(args, "pod_shard_inputs", "auto")
+
     if contigs is None:
         if pod:
-            # each host must aggregate its OWN shard of the input files:
-            # on a shared filesystem every host sees every file, and
-            # aggregating them all before merge_across_hosts would
-            # multiply every count by process_count
-            from ..parallel.dist import shard_for_host
-            mods_files = shard_for_host(mods_files)
-            print("pod mode: this host aggregates {} file(s)".format(
-                len(mods_files)))
+            # each host must aggregate its OWN shard of the input files —
+            # but only when the filesystem is shared (see
+            # _pod_resolve_inputs; on the disjoint-per-host layout,
+            # sharding local lists would drop files)
+            mods_files, _ = _pod_resolve_inputs(mods_files,
+                                                pod_shard_inputs)
         acc = FreqAccumulator(prob_cf=args.prob_cf, device_agg=device_agg)
         for f in mods_files:
             acc.add_file(f)
@@ -462,14 +507,24 @@ def call_mods_frequency_to_file(args) -> None:
     else:
         result_file = args.result_file
         if pod:
-            # pod mode: shard the contig list across hosts; each host
-            # writes its own suffixed output (the reference's multi-node
-            # story — merge downstream with `tools combine_freq_files`)
+            # pod mode: with a SHARED input list, shard the contig list
+            # across hosts; with disjoint per-host inputs every host must
+            # keep ALL contigs over its own files (a contig's rows can
+            # live in any host's shard). Either way each host writes its
+            # own suffixed output (the reference's multi-node story —
+            # merge downstream with `tools combine_freq_files`).
             from ..parallel.dist import host_output_path, shard_for_host
-            contigs = shard_for_host(contigs)
+            mods_files, shared_fs = _pod_resolve_inputs(mods_files,
+                                                        pod_shard_inputs)
+            if shared_fs:
+                # undo the file split (contig split is the partition here)
+                mods_files = collect_mods_files(args.input_path,
+                                                args.file_uid)
+                contigs = shard_for_host(contigs)
             result_file = host_output_path(result_file)
-            print("pod mode: this host takes {} contig(s) -> {}".format(
-                len(contigs), result_file))
+            print("pod mode: this host takes {} contig(s) over {} "
+                  "file(s) -> {}".format(len(contigs), len(mods_files),
+                                         result_file))
         print("start processing {} contigs..".format(len(contigs)))
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor

@@ -217,14 +217,18 @@ class CallModsEngine:
 
     #: auto device_batch search space: powers of two keep the jit shape
     #: cache small across runs; 2048 bounds padding waste on tiny inputs.
-    #: 4096 is the measured sweet spot on the remote-attached rig —
+    #: 4096 is the measured sweet spot on the REMOTE-attached rig —
     #: MORE in-flight dispatch units hide the per-unit round-trip
     #: latency better than larger units amortize it: interleaved
     #: same-session sweep (131k rows) measured medians 215k sites/s at
     #: 32768x4workers, 249k at 16384, 275k at 8192, 318k at 4096x6
     #: (2048 regressed to ~240k — per-unit fixed costs win again);
-    #: docs/BENCH.md "device_batch sweep, round 3"
-    AUTO_MAX_BATCH = 4096
+    #: docs/BENCH.md "device_batch sweep, round 3". Direct-attached
+    #: chips have no round-trip to hide, so the auto cap stays at the
+    #: large-batch 32768 there (mirroring resolve_transfer_dtype's
+    #: attachment branch; ADVICE r3).
+    AUTO_MAX_BATCH_REMOTE = 4096
+    AUTO_MAX_BATCH_DIRECT = 32768
     AUTO_MIN_BATCH = 2048
 
     def __init__(self, model_path: str, model_cfg: ModelConfig,
@@ -238,7 +242,10 @@ class CallModsEngine:
                 self.call_cfg,
                 transfer_dtype=resolve_transfer_dtype("auto", self.mesh))
         # device_batch None/0 = auto: sized per input in run_features_file
-        requested = self.call_cfg.device_batch or self.AUTO_MAX_BATCH
+        self._auto_max_batch = (self.AUTO_MAX_BATCH_REMOTE
+                                if mesh_is_remote(self.mesh)
+                                else self.AUTO_MAX_BATCH_DIRECT)
+        requested = self.call_cfg.device_batch or self._auto_max_batch
         self.device_batch = local_batch_target(requested, self.mesh)
         self._auto_batch = not self.call_cfg.device_batch
         self.params = jax.device_put(
@@ -253,6 +260,17 @@ class CallModsEngine:
         self._fell_back = False
         self._quant = self.call_cfg.transfer_dtype == "int8"
         self._quant4 = self.call_cfg.transfer_dtype == "int4"
+        if self._quant4 and self.model_cfg.signal_len % 2:
+            # fail at configuration time, not mid-run: the int4 wire packs
+            # two signal values per byte along the last axis, so an odd
+            # --signal_len has no packing (native quantize_int4 returns
+            # None and the numpy fallback raises a cryptic broadcast
+            # error per batch; ADVICE r3)
+            raise ValueError(
+                "--transfer_dtype int4 requires an even --signal_len "
+                "(got {}): the int4 wire packs two signal values per "
+                "byte. Use --transfer_dtype int8 or an even signal_len."
+                .format(self.model_cfg.signal_len))
         if self._quant4:
             print("[warn] EXPERIMENTAL --transfer_dtype int4: the signal "
                   "matrix is quantized to 4 bits on the wire (means/stds "
@@ -472,7 +490,7 @@ class CallModsEngine:
         if est is None:
             return self.device_batch
         t = self.AUTO_MIN_BATCH
-        while t < est and t < self.AUTO_MAX_BATCH:
+        while t < est and t < self._auto_max_batch:
             t *= 2
         return local_batch_target(t, self.mesh)
 

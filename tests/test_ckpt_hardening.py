@@ -80,6 +80,43 @@ def test_wrong_module_config_reports_mismatch():
     assert "lstm_signal" in str(ei.value)
 
 
+class _LegacyWrapper:
+    """Stand-in for a legacy ckpt object that needs the full unpickler."""
+
+    def __init__(self, sd=None):
+        self.sd = sd
+
+    def state_dict(self):
+        return self.sd
+
+
+def test_unsafe_ckpt_load_requires_opt_in(tmp_path, monkeypatch):
+    """A ckpt that fails the safe (weights_only) load is a hard error by
+    default — the automatic fallback would execute pickle payloads in
+    non-interactive runs (ADVICE r3, convert.py)."""
+    cfg = ModelConfig(dropout_rate=0.0)
+    _, sd = _torch_sd(cfg)
+    path = str(tmp_path / "legacy.ckpt")
+    torch.save(_LegacyWrapper(sd), path)
+    monkeypatch.delenv("DSP_ALLOW_UNSAFE_CKPT", raising=False)
+    with pytest.raises(RuntimeError) as ei:
+        load_torch_checkpoint(path, cfg)
+    assert "DSP_ALLOW_UNSAFE_CKPT" in str(ei.value)
+
+
+def test_unsafe_ckpt_load_with_opt_in(tmp_path, rng, monkeypatch):
+    cfg = ModelConfig(dropout_rate=0.0)
+    params, sd = _torch_sd(cfg)
+    path = str(tmp_path / "legacy.ckpt")
+    torch.save(_LegacyWrapper(sd), path)
+    monkeypatch.setenv("DSP_ALLOW_UNSAFE_CKPT", "1")
+    params2 = load_torch_checkpoint(path, cfg)
+    b = _batch(rng)
+    l1, _ = forward(params, b, cfg)
+    l2, _ = forward(params2, b, cfg)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
 def test_load_torch_checkpoint_weights_only(tmp_path, rng):
     """A plain tensor-dict ckpt loads via the weights_only=True path."""
     cfg = ModelConfig(dropout_rate=0.0)

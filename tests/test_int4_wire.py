@@ -98,6 +98,25 @@ def test_engine_int4_wire_agreement(tmp_path):
     assert agree / len(outs["float16"]) >= 0.99
 
 
+def test_int4_rejects_odd_signal_len(tmp_path):
+    """int4 + odd signal_len must fail at engine construction with a
+    clear message, not mid-run with a numpy broadcast error (ADVICE r3)."""
+    import jax
+    import pytest
+
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0, signal_len=15)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(5), cfg), cfg)
+    with pytest.raises(ValueError, match="even --signal_len"):
+        CallModsEngine(ckpt, cfg, CallConfig(device_batch=64,
+                                             transfer_dtype="int4"))
+
+
 def test_int4_halves_signal_bytes():
     rng = np.random.default_rng(4)
     a = rng.normal(size=(512, 13, 16)).astype(np.float16)

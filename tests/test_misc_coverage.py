@@ -141,7 +141,7 @@ def test_estimate_rows_adversarial(tmp_path, rng):
     save_checkpoint(ckpt, init_params(jax.random.PRNGKey(1), cfg), cfg)
     eng = CallModsEngine(ckpt, cfg, CallConfig())   # auto sizing
     target = eng._resolve_target(het)
-    assert eng.AUTO_MIN_BATCH <= target <= eng.AUTO_MAX_BATCH
+    assert eng.AUTO_MIN_BATCH <= target <= eng._auto_max_batch
     out = str(tmp_path / "calls.tsv")
     st = eng.run_features_file(het, out)
     assert st.sites == 64
