@@ -167,8 +167,14 @@ def test_call_freq_pod_mode_contig_sharding(tmp_path, monkeypatch):
     # not jax.process_count() — a host-only call_freq must not
     # initialize the jax backend just to ask
     from deepsignal_plant_tpu.parallel import dist as dist_mod
+    from deepsignal_plant_tpu.parallel import multihost as mh
     monkeypatch.setattr(dist_mod, "pod_configured", lambda: True)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # both simulated hosts read the same calls file (shared filesystem);
+    # the pod input cross-check is a collective — stub it to report the
+    # identical list from both hosts so auto mode shards the contigs
+    monkeypatch.setattr(mh, "allgather_bytes",
+                        lambda payload, keep=True: [payload, payload])
     for pid in range(2):
         monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
         call_mods_frequency_to_file(args_for(pod))
