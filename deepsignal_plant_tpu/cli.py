@@ -214,6 +214,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the mesh (converts to per-site windows on host "
                         "otherwise); force always gathers on device; off "
                         "always converts")
+    p.add_argument("--device_resident", type=str, default="never",
+                   choices=["never", "always"],
+                   help="always = upload each K*device_batch-row segment "
+                        "to HBM once and run it in one compiled dispatch "
+                        "(a lax.scan over the forwards) — no per-batch "
+                        "wire; byte-identical outputs; serves features "
+                        "TSV and wire-format .npz inputs")
     p.add_argument("--result_file", "-o", type=str, required=True)
     p.add_argument("--gzip", action="store_true", default=False)
     _add_f5_args(p)

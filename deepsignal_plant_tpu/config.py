@@ -99,6 +99,12 @@ class CallConfig:
     # converts packed inputs to per-site windows on host otherwise;
     # "force" always gathers on device; "off" always converts.
     packed_wire: str = "auto"
+    # device-resident inference plane: "always" uploads each
+    # K*device_batch-row segment to HBM once and runs it in one compiled
+    # lax.scan dispatch (no per-batch wire; measures the chip-bound
+    # ceiling). "never" (default) keeps the streaming engine. Outputs are
+    # byte-identical either way.
+    device_resident: str = "never"
 
     def __post_init__(self):
         if self.transfer_dtype not in ("auto", "float32", "float16",
@@ -107,6 +113,8 @@ class CallConfig:
                 "transfer_dtype must be auto|float32|float16|int8|int4")
         if self.packed_wire not in ("auto", "force", "off"):
             raise ValueError("packed_wire must be auto|force|off")
+        if self.device_resident not in ("never", "always"):
+            raise ValueError("device_resident must be never|always")
         if self.dispatch_workers < 1:
             raise ValueError("dispatch_workers must be >= 1")
         if self.device_batch is not None and self.device_batch < 1:
@@ -168,4 +176,5 @@ def call_config_from_args(args) -> CallConfig:
         dispatch_workers=getattr(args, "dispatch_workers",
                                  CallConfig.dispatch_workers),
         transfer_dtype=getattr(args, "transfer_dtype", "auto"),
-        packed_wire=getattr(args, "packed_wire", "auto"))
+        packed_wire=getattr(args, "packed_wire", "auto"),
+        device_resident=getattr(args, "device_resident", "never"))

@@ -289,6 +289,7 @@ class CallModsEngine:
         self._step_packed_q = self._build_packed_step(quantized=True)
         self._step_packed_q4 = self._build_packed_step(quantized=True,
                                                        int4=True)
+        self._step_resident = self._build_resident_step()
 
     def _build_step(self, quantized: bool = False, int4: bool = False):
         cfg = self.model_cfg
@@ -823,6 +824,234 @@ class CallModsEngine:
         stats.seconds = time.time() - t0
         return stats
 
+    #: resident-plane scan length cap: one dispatch covers up to
+    #: RESIDENT_MAX_CHUNKS * device_batch rows (the jit cache holds one
+    #: executable per distinct K; powers of two bound the variants)
+    RESIDENT_MAX_CHUNKS = 32
+
+    def _build_resident_step(self):
+        """One dispatch over a whole resident segment: (K, B, ...) arrays
+        already in HBM, a lax.scan runs the forward K times -> (K, B, 2)
+        probs. No host->device traffic inside the timed window — this is
+        the plane that measures the CHIP-bound inference ceiling (the
+        streaming planes pay a per-dispatch wire that the remote tunnel
+        distorts; docs/BENCH.md 'resident inference')."""
+        cfg = self.model_cfg
+
+        def _run(params, kmer, means, stds, lens, signals):
+            def body(carry, xs):
+                b = Batch(*xs)
+                return carry, forward(params, b, cfg, train=False)[1]
+            _, probs = jax.lax.scan(
+                body, None, (kmer, means, stds, lens, signals))
+            return probs
+
+        if self._single:
+            return jax.jit(_run)
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        in_specs = (P(),) + (P(None, axis),) * 5
+        return jax.jit(jax.shard_map(
+            _run, mesh=self.mesh, in_specs=in_specs,
+            out_specs=P(None, axis), check_vma=False))
+
+    def _resident_k_chunks(self, est_rows: int | None, target: int) -> int:
+        k = 1
+        est = est_rows or target
+        while k * target < est and k < self.RESIDENT_MAX_CHUNKS:
+            k *= 2
+        return k
+
+    def _run_resident(self, raw_blocks, result_path: str, is_gzip: bool,
+                      target: int, est_rows: int | None = None
+                      ) -> CallStats:
+        """Device-resident inference: upload each K*device_batch-row
+        segment to HBM once (f16 wire; the upload is paid once per row,
+        so the int8 wire's byte saving buys nothing here), run the whole
+        segment in ONE compiled dispatch (scan over K forwards), fetch
+        probs once, emit. Outputs are byte-identical to the streaming
+        planes at the same device_batch (same per-forward batch shape ->
+        same XLA tiling; tests/test_resident_call.py).
+
+        Uploads of segment s+1 ride a prefetch thread while segment s
+        computes; the compute window (dispatch -> block_until_ready) is
+        timed separately into ``last_resident_profile`` — that number is
+        the measured sites/s/chip ceiling the round-3 docs only
+        extrapolated."""
+        from collections import deque
+
+        from ..io.batching import bounded_thread_map
+        from ..utils.fastparse import emit_call_rows
+        from ..utils.prof import PROFILER
+
+        k_chunks = self._resident_k_chunks(est_rows, target)
+        seg_rows = k_chunks * target
+        wire = (np.float32 if self.call_cfg.transfer_dtype == "float32"
+                else np.float16)
+        if self._sharding is None:
+            to_dev = jax.jit(lambda v: v)
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            to_dev = jax.jit(
+                lambda v: v,
+                out_shardings=NamedSharding(self.mesh, P(None, axis)))
+
+        stats = CallStats()
+        profile = {"upload_s": 0.0, "compute_s": 0.0, "fetch_s": 0.0,
+                   "rows": 0, "k_chunks": k_chunks, "device_batch": target,
+                   "segments": 0}
+        t0 = time.time()
+        writer = AsyncWriter(result_path, is_gzip)
+
+        def gen_segments():
+            fifo: deque = deque()
+            pending = 0
+
+            def take(nrows: int):
+                segs = []
+                need = nrows
+                while need:
+                    ent = fifo[0]
+                    rb, lo = ent
+                    kk = min(need, rb.n - lo)
+                    segs.append((rb, lo, lo + kk))
+                    ent[1] += kk
+                    if ent[1] == rb.n:
+                        fifo.popleft()
+                    need -= kk
+                parts = lambda name: [getattr(rb, name)[a:b]  # noqa: E731
+                                      for rb, a, b in segs]
+                cat = (lambda name: parts(name)[0]            # noqa: E731
+                       if len(segs) == 1 else
+                       np.concatenate(parts(name)))
+                arrays = tuple(cat(n) for n in
+                               ("kmer", "means", "stds", "slens",
+                                "signals"))
+                labels = cat("labels")
+                return arrays, segs, labels, nrows
+
+            for rb in raw_blocks:
+                if rb is None or rb.n == 0:
+                    continue
+                fifo.append([rb, 0])
+                pending += rb.n
+                while pending >= seg_rows:
+                    pending -= seg_rows
+                    yield take(seg_rows)
+            if pending:
+                yield take(pending)
+
+        def _upload(item):
+            arrays, segs, labels, nv = item
+            kmer, means, stds, lens, signals = arrays
+            pad = seg_rows - nv
+            if pad:
+                def _pad(a):
+                    w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                    return np.pad(a, w)
+                kmer, means, stds, lens, signals = map(
+                    _pad, (kmer, means, stds, lens, signals))
+
+            def shape(a):
+                return a.reshape((k_chunks, target) + a.shape[1:])
+            host = (shape(np.asarray(kmer, np.int8)),
+                    shape(np.asarray(means, wire)),
+                    shape(np.asarray(stds, wire)),
+                    shape(np.asarray(lens, wire)),
+                    shape(np.asarray(signals, wire)))
+            tu = time.time()
+            dev = to_dev(host)
+            jax.block_until_ready(dev)
+            profile["upload_s"] += time.time() - tu
+            return dev, segs, labels, nv
+
+        for dev, segs, labels, nv in bounded_thread_map(
+                _upload, gen_segments(), workers=2, depth=2):
+            tc = time.time()
+            with PROFILER.stage("dispatch", nv):
+                # resolve the step attribute inside the retry closure:
+                # the pallas->scan fallback swaps it via _rebuild_steps
+                probs = self._run_with_fallback(
+                    lambda d=dev: self._step_resident(self.params, *d))
+                jax.block_until_ready(probs)
+            profile["compute_s"] += time.time() - tc
+            tf = time.time()
+            with PROFILER.stage("fetch", nv):
+                probs = np.asarray(probs).reshape(-1, 2)[:nv]
+            profile["fetch_s"] += time.time() - tf
+            profile["rows"] += nv
+            profile["segments"] += 1
+            with PROFILER.stage("format", nv):
+                off = 0
+                out = []
+                for rb, lo, hi in segs:
+                    out.append(emit_call_rows(rb, lo, hi,
+                                              probs[off:off + hi - lo]))
+                    off += hi - lo
+                writer.write_bytes(b"".join(out))
+            stats.sites += nv
+            stats.batches += 1
+            called = probs[:, 1] > probs[:, 0]
+            stats.label_correct += int((called == (labels == 1)).sum())
+        writer.close()
+        stats.seconds = time.time() - t0
+        profile["wall_s"] = stats.seconds
+        self.last_resident_profile = profile
+        return stats
+
+    def _run_features_file_resident(self, input_path: str,
+                                    result_path: str, is_gzip: bool,
+                                    target: int) -> CallStats:
+        """Route any input plane into the resident engine as a raw-block
+        stream (TSV via the native parser; wire v2 directly; packed v3
+        via host window materialization)."""
+        import os
+
+        from ..io.batching import (bounded_thread_map,
+                                   default_parse_workers, iter_byte_blocks)
+        from ..utils.fastparse import native_available, \
+            parse_raw_feature_block
+        from ..utils.formats import (feature_npz_paths, load_packed_npz,
+                                     load_wire_npz, wire_npz_version)
+        if not native_available():
+            raise ValueError(
+                "--device_resident needs the native featparse library "
+                "(not built on this host): the resident plane parses and "
+                "emits through it. Rebuild with a C++ toolchain or use "
+                "the default streaming engine.")
+        cfg = self.model_cfg
+        est = _estimate_rows(input_path)
+        pw = self.call_cfg.num_parse_workers or default_parse_workers()
+        npz_files = feature_npz_paths(input_path)
+        wire_ver = (wire_npz_version(npz_files[0])
+                    if npz_files is not None else 0)
+        if npz_files is not None and wire_ver == 0:
+            raise ValueError(
+                "--device_resident does not serve v1 .npz features; "
+                "regenerate with extract --w_format npz_wire/npz_packed "
+                "or TSV.")
+        if wire_ver >= 3:
+            blocks = bounded_thread_map(
+                lambda p: load_packed_npz(p).to_raw_block(), npz_files,
+                workers=pw, depth=2 * pw)
+        elif wire_ver == 2:
+            blocks = bounded_thread_map(load_wire_npz, npz_files,
+                                        workers=pw, depth=2 * pw)
+        elif os.path.isfile(input_path) and not input_path.endswith(".gz"):
+            blocks = bounded_thread_map(
+                lambda raw: parse_raw_feature_block(raw, cfg.seq_len,
+                                                    cfg.signal_len),
+                iter_byte_blocks(input_path, 8 << 20),
+                workers=pw, depth=2 * pw)
+        else:
+            raise ValueError(
+                "--device_resident serves plain features TSV or wire-"
+                "format .npz inputs (got {})".format(input_path))
+        return self._run_resident(blocks, result_path, is_gzip, target,
+                                  est_rows=est)
+
     def run_features_file(self, input_path: str, result_path: str,
                           is_gzip: bool = False,
                           use_fast_path: bool = True) -> CallStats:
@@ -838,6 +1067,10 @@ class CallModsEngine:
         stats = CallStats()
         t0 = time.time()
         target = self._resolve_target(input_path)
+        if self.call_cfg.device_resident == "always":
+            return self._run_features_file_resident(input_path,
+                                                    result_path, is_gzip,
+                                                    target)
         from ..utils.formats import wire_npz_version
         npz_files = feature_npz_paths(input_path)
         wire_ver = (wire_npz_version(npz_files[0])
