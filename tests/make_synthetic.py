@@ -73,13 +73,35 @@ def write_fasta(path: str, genome: dict[str, str]) -> str:
 
 def synth_fast5_dir(dirpath: str, genome: dict[str, str],
                     rng: np.random.Generator, n_reads: int = 6,
-                    read_len: int = 200, max_event_len: int = 12) -> int:
+                    read_len: int = 200, max_event_len: int = 12,
+                    meth_mode: str = "none", motifs: str = "CG",
+                    mod_loc: int = 0, shift_dac: int = 150,
+                    shift_halfwidth: int = 1,
+                    name_prefix: str = "synthread") -> int:
     """Write n_reads synthetic tombo fast5s aligned to ``genome``.
 
     Event lengths stay <= max_event_len (< signal_len 16) so extraction is
     fully deterministic (no downsampling) — good for golden comparisons.
+
+    ``meth_mode`` injects a learnable methylation signature: for
+    "methylated" reads, the raw DAC of the events at every ``motifs`` site
+    (mod base ± ``shift_halfwidth`` bases) is shifted by ``shift_dac``
+    (~+1 sigma after MAD normalization for the 300-700 DAC background).
+    Modes: "none" (default, byte-identical to the historical fixture),
+    "all" (every read methylated), "mixed" (reads r with r % 4 >= 2 —
+    decorrelated from the r % 2 strand alternation). This mirrors how real
+    5mC shifts nanopore current at modified sites, and makes a checkpoint
+    trained on extracted features produce large-margin calls — the
+    trained-ckpt agreement gates need exactly that (VERDICT r3 item 1).
     """
     from deepsignal_plant_tpu.io.fast5 import write_tombo_fast5
+
+    if meth_mode not in ("none", "all", "mixed"):
+        raise ValueError("meth_mode must be none|all|mixed")
+    motif_seqs: list[str] = []
+    if meth_mode != "none":
+        from deepsignal_plant_tpu.utils.motifs import expand_motifs
+        motif_seqs = expand_motifs(motifs)
 
     os.makedirs(dirpath, exist_ok=True)
     contig_names = list(genome.keys())
@@ -93,9 +115,17 @@ def synth_fast5_dir(dirpath: str, genome: dict[str, str],
         total = int(ev_lens.sum())
         # DAC integers; scaling recovers pA-ish floats
         raw = rng.integers(300, 700, size=total).astype(np.int16)
+        meth = meth_mode == "all" or (meth_mode == "mixed" and r % 4 >= 2)
+        if meth and motif_seqs:
+            from deepsignal_plant_tpu.utils.motifs import motif_locs_in_seq
+            for loc in motif_locs_in_seq(bases, motif_seqs, mod_loc):
+                lo = max(0, loc - shift_halfwidth)
+                hi = min(len(bases), loc + shift_halfwidth + 1)
+                raw[ev_starts[lo]:ev_starts[hi - 1] + ev_lens[hi - 1]] += \
+                    shift_dac
         write_tombo_fast5(
-            os.path.join(dirpath, f"synthread_{r:03d}.fast5"),
-            readname=f"synthread_{r:03d}", raw_signal=raw, bases=bases,
+            os.path.join(dirpath, f"{name_prefix}_{r:03d}.fast5"),
+            readname=f"{name_prefix}_{r:03d}", raw_signal=raw, bases=bases,
             event_starts=ev_starts, event_lengths=ev_lens, chrom=chrom,
             chrom_start=start, alignstrand="+" if r % 2 == 0 else "-")
     return n_reads
