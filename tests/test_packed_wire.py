@@ -234,15 +234,16 @@ def test_engine_packed_sparse_fallback(tmp_path, feats_fixture):
 
 def test_packed_auto_selection_multi_device(tmp_path, feats_fixture,
                                             monkeypatch):
-    """VERDICT r2 #4 (+ the r3 review refinement): on a multi-device
-    mesh behind a REMOTE-attached link, "auto" must NOT trust the staged
-    packed format — the packed step replicates base arrays per device,
-    so at this fixture's density (> seq_len/8) the engine converts
-    packed->per-site on host. On a DIRECT-attached multi-device mesh
-    (this 8-device CPU mesh) the wire is ~free and the packed plane is
-    KEPT: its win there is skipping the host-side 13x window
-    materialization. Assert both plane choices and output identity with
-    the forced device-gather plane."""
+    """VERDICT r2 #4 (+ r3 refinement, + r4 per-block routing): on a
+    multi-device mesh behind a REMOTE-attached link, "auto" must NOT
+    trust the staged packed format — the packed step replicates base
+    arrays per device, so at this fixture's density (> seq_len/8) each
+    block's windows are materialized on host (per-site wire bytes) while
+    still flowing through the same packed device step. On a
+    DIRECT-attached multi-device mesh (this 8-device CPU mesh) the wire
+    is ~free and the deduplicated base axis is KEPT: its win there is
+    skipping the host-side 13x window materialization. Assert both
+    routings and output identity with the forced device-gather plane."""
     import jax
 
     from deepsignal_plant_tpu.pipeline import call_mods as cm
@@ -277,21 +278,30 @@ def test_packed_auto_selection_multi_device(tmp_path, feats_fixture,
     assert calls["packed"] > 0     # packed plane kept on direct attach
 
     # remote-attached: the threshold tightens to seq_len/n, which this
-    # fixture's density exceeds — auto converts packed->per-site on host
+    # fixture's density exceeds — per-BLOCK routing materializes each
+    # block's windows on host (shipping per-site bytes, no dedup
+    # replication) but still flows through the packed device step
+    import deepsignal_plant_tpu.utils.fastparse as fp
     monkeypatch.setattr(cm, "mesh_is_remote", lambda mesh: True)
     remote = _make_engine(tmp_path, name="c.npz", packed_wire="auto")
     thresh = remote.packed_density_threshold()
     assert thresh == pytest.approx(13 / 8)
     assert density > thresh
-    rcalls = {"packed": 0}
+    rcalls = {"packed": 0, "mat": 0}
     orig_r = remote._predict_packed
     remote._predict_packed = lambda *a, **k: (
         rcalls.__setitem__("packed", rcalls["packed"] + 1)
         or orig_r(*a, **k))
+    orig_mat = fp.PackedFeatureBlock.materialize
+    monkeypatch.setattr(
+        fp.PackedFeatureBlock, "materialize",
+        lambda self: (rcalls.__setitem__("mat", rcalls["mat"] + 1)
+                      or orig_mat(self)))
     out_remote = str(tmp_path / "remote.tsv")
     st = remote.run_features_file(str(pdir), out_remote)
     assert st.sites == len(rows)
-    assert rcalls["packed"] == 0   # converted to per-site on host
+    assert rcalls["mat"] > 0       # sparse-for-this-mesh: materialized
+    assert rcalls["packed"] > 0    # ...but same packed device step
     monkeypatch.undo()
 
     out_forced = str(tmp_path / "forced.tsv")
@@ -490,3 +500,62 @@ def test_extract_packed_cli_to_call_mods(tmp_path):
               "--hid_rnn", "32", "--device_batch", "32"])
     lines = open(out).read().splitlines()
     assert lines and all(len(l.split("\t")) == 10 for l in lines)
+
+
+def test_sparse_first_block_does_not_flip_run(tmp_path, feats_fixture,
+                                              monkeypatch):
+    """VERDICT r3 item 7: routing is per BLOCK, not per run. A sparse
+    first block (density > threshold) used to flip the ENTIRE run to the
+    host-window plane and size the static base cap from block 0; now it
+    alone materializes its windows while the dense rest of the stream
+    keeps the deduplicated base axis — and the output is byte-identical
+    to the all-dedup (force) and per-site (off) planes either way."""
+    import deepsignal_plant_tpu.utils.fastparse as fp
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pb = features_to_packed(feats_list)
+    dense_density = pb.n_bases / pb.n
+    # sparse block: every 15th site of the same extraction — all base
+    # arrays ride along, so density jumps ~15x past the threshold (12)
+    idx = np.arange(0, pb.n, 15)
+    sparse = fp.PackedFeatureBlock(
+        pb.raw, pb.row_starts[idx], pb.info_ends[idx], pb.centers[idx],
+        pb.codes, pb.means, pb.stds, pb.lens, pb.rect, pb.labels[idx],
+        pb.kmer_len)
+    assert sparse.n_bases / sparse.n > 12.0 > dense_density
+
+    pdir = tmp_path / "mixed"
+    pdir.mkdir()
+    save_packed_npz(str(pdir / "000.npz"), sparse)   # sparse is FIRST
+    save_packed_npz(str(pdir / "001.npz"), pb)
+    save_packed_npz(str(pdir / "002.npz"), pb)
+
+    auto = _make_engine(tmp_path, name="a.npz", packed_wire="auto")
+    assert auto.packed_density_threshold() == pytest.approx(12.0)
+    counts = {"mat": 0, "packed": 0}
+    orig_mat = fp.PackedFeatureBlock.materialize
+    monkeypatch.setattr(
+        fp.PackedFeatureBlock, "materialize",
+        lambda self: (counts.__setitem__("mat", counts["mat"] + 1)
+                      or orig_mat(self)))
+    orig_p = auto._predict_packed
+    auto._predict_packed = lambda *a, **k: (
+        counts.__setitem__("packed", counts["packed"] + 1)
+        or orig_p(*a, **k))
+    out_auto = str(tmp_path / "mixed_auto.tsv")
+    st = auto.run_features_file(str(pdir), out_auto)
+    assert st.sites == len(idx) + 2 * len(rows)
+    assert counts["mat"] == 1      # ONLY the sparse block materialized
+    assert counts["packed"] > 0    # dense stream stayed on-device gather
+    monkeypatch.undo()
+
+    forced = _make_engine(tmp_path, name="b.npz", packed_wire="force")
+    out_forced = str(tmp_path / "mixed_forced.tsv")
+    forced.run_features_file(str(pdir), out_forced)
+    off = _make_engine(tmp_path, name="c.npz", packed_wire="off")
+    out_off = str(tmp_path / "mixed_off.tsv")
+    off.run_features_file(str(pdir), out_off)
+    assert open(out_auto).read() == open(out_forced).read()
+    assert open(out_auto).read() == open(out_off).read()
