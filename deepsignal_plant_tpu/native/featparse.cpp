@@ -694,48 +694,6 @@ float dsp_quantize_i8_f32(const float* in, int64_t n, int8_t* out) {
 
 }  // extern "C"
 
-namespace {
-
-// Symmetric int4 quantization of the SIGNAL field (--transfer_dtype
-// int4): q = clip(round_even(x / (amax/7)), -7, 7), two values packed
-// per byte (value 2k -> low nibble, 2k+1 -> high). Same numerics
-// contract as quantize_impl (f32 division, round-half-even, NaN -> 0);
-// n must be even (the signal rect's last axis is signal_len=16).
-// Returns the dequant scale.
-template <typename T>
-float quantize_i4_impl(const T* in, int64_t n, uint8_t* out) {
-    float amax = 0.0f;
-    for (int64_t i = 0; i < n; ++i) {
-        float v = fabsf(float(in[i]));
-        if (v > amax || v != v) amax = v;
-    }
-    double sd = double(amax) / 7.0;
-    float s = (sd == 0.0) ? 1.0f : float(sd);
-    for (int64_t i = 0; i + 1 < n; i += 2) {
-        float r0 = round_even_f32(float(in[i]) / s);
-        float r1 = round_even_f32(float(in[i + 1]) / s);
-        if (r0 > 7.0f) r0 = 7.0f; else if (r0 < -7.0f) r0 = -7.0f;
-        if (r1 > 7.0f) r1 = 7.0f; else if (r1 < -7.0f) r1 = -7.0f;
-        int q0 = (r0 != r0) ? 0 : int(r0);
-        int q1 = (r1 != r1) ? 0 : int(r1);
-        out[i / 2] = uint8_t((q0 & 0xF) | ((q1 & 0xF) << 4));
-    }
-    return s;
-}
-
-}  // namespace
-
-extern "C" {
-
-float dsp_quantize_i4_f16(const _Float16* in, int64_t n, uint8_t* out) {
-    return quantize_i4_impl(in, n, out);
-}
-
-float dsp_quantize_i4_f32(const float* in, int64_t n, uint8_t* out) {
-    return quantize_i4_impl(in, n, out);
-}
-
-}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // read-packed repacking of parsed per-site rows (the TSV -> packed-wire
@@ -1081,6 +1039,232 @@ int64_t dsp_format_info_rows(const char* chrom, int64_t chrom_len,
         row_lens[i] = p - row;
     }
     return p - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Compat-mode extraction kernels (VERDICT r4 item 6). The reference's
+// numerics — per-event np.mean/np.std (PAIRWISE summation, not the
+// cumsum of the fast path) and random.sample sorted signal downsampling
+// (reference extract_features.py:248,364-365) — used to run as per-event
+// Python in pipeline/extract.py (segment_stats_exact,
+// build_signal_rect("compat")), making byte-parity validation on real
+// reads an order of magnitude slower than fast mode. These replicate
+// both BIT-EXACTLY:
+//   - pairwise_sum follows numpy's umath pairwise summation order
+//     (8-wide unrolled blocks of <=128, halving recursion rounded to a
+//     multiple of 8) — fuzz-verified equal to np.add.reduce on this
+//     build for every length 1..3000 (tests/test_native_compat.py);
+//   - the MT19937 + sample() pair replicates CPython's random.Random
+//     (_randommodule.c init_by_array seeding, getrandbits-based
+//     _randbelow rejection, random.py sample()'s pool-swap /
+//     rejection-set split at setsize) so a native-sampled run is
+//     byte-identical to the pure-Python chain under the same seed.
+
+namespace {
+
+double pairwise_sum(const double* a, int64_t n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (int64_t i = 0; i < n; ++i) res += a[i];
+        return res;
+    }
+    if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; ++j) r[j] = a[j];
+        int64_t i = 8;
+        for (; i + 8 <= n; i += 8)
+            for (int j = 0; j < 8; ++j) r[j] += a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; ++i) res += a[i];
+        return res;
+    }
+    int64_t n2 = n / 2;
+    n2 -= n2 % 8;
+    return pairwise_sum(a, n2) + pairwise_sum(a + n2, n - n2);
+}
+
+// --- CPython-compatible MT19937 (state: 624 words + index) ---
+
+const int MT_N = 624;
+
+void mt_init_genrand(uint32_t* mt, uint32_t s) {
+    mt[0] = s;
+    for (int i = 1; i < MT_N; ++i)
+        mt[i] = 1812433253u * (mt[i - 1] ^ (mt[i - 1] >> 30)) + uint32_t(i);
+}
+
+uint32_t mt_next(uint32_t* mt, uint32_t* idx) {
+    const uint32_t UPPER = 0x80000000u, LOWER = 0x7fffffffu;
+    if (*idx >= uint32_t(MT_N)) {
+        for (int i = 0; i < MT_N; ++i) {
+            const uint32_t y = (mt[i] & UPPER) | (mt[(i + 1) % MT_N] & LOWER);
+            uint32_t v = mt[(i + 397) % MT_N] ^ (y >> 1);
+            if (y & 1u) v ^= 0x9908b0dfu;
+            mt[i] = v;
+        }
+        *idx = 0;
+    }
+    uint32_t y = mt[(*idx)++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 0x9d2c5680u;
+    y ^= (y << 15) & 0xefc60000u;
+    y ^= y >> 18;
+    return y;
+}
+
+// _randbelow_with_getrandbits: k = n.bit_length() rejection sampling,
+// getrandbits(k<=32) = genrand_uint32() >> (32-k)
+int64_t mt_randbelow(uint32_t* mt, uint32_t* idx, int64_t n) {
+    int k = 0;
+    for (int64_t v = n; v; v >>= 1) ++k;
+    for (;;) {
+        const int64_t r = int64_t(mt_next(mt, idx) >> (32 - k));
+        if (r < n) return r;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Seed the 625-word state (624 MT words + current index) exactly like
+// random.Random(int): init_by_array over the little-endian 32-bit words
+// of abs(seed) (the Python wrapper splits the int).
+void dsp_mt_seed(uint32_t* state, const uint32_t* key, int64_t klen) {
+    uint32_t* mt = state;
+    mt_init_genrand(mt, 19650218u);
+    int64_t i = 1, j = 0;
+    int64_t k = MT_N > klen ? MT_N : klen;
+    for (; k; --k) {
+        mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1664525u)) +
+                key[j] + uint32_t(j);
+        ++i; ++j;
+        if (i >= MT_N) { mt[0] = mt[MT_N - 1]; i = 1; }
+        if (j >= klen) j = 0;
+    }
+    for (k = MT_N - 1; k; --k) {
+        mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1566083941u)) -
+                uint32_t(i);
+        ++i;
+        if (i >= MT_N) { mt[0] = mt[MT_N - 1]; i = 1; }
+    }
+    mt[0] = 0x80000000u;
+    state[MT_N] = MT_N;   // index: force initial twist, like CPython
+}
+
+// random.sample(range(n), k) consuming the stream exactly like
+// random.py (pool-swap for n <= setsize, rejection set otherwise),
+// then sorted ascending. Returns 0, or -1 on invalid k/n.
+int32_t dsp_mt_sample_sorted(uint32_t* state, int64_t n, int64_t k,
+                             int64_t* out) {
+    if (k < 0 || n < 0 || k > n) return -1;
+    uint32_t* mt = state;
+    uint32_t* idx = state + MT_N;
+    int64_t setsize = 21;
+    if (k > 5)
+        setsize += int64_t(std::pow(4.0, std::ceil(
+            std::log(double(k) * 3.0) / std::log(4.0))));
+    if (n <= setsize) {
+        thread_local std::vector<int64_t> pool;
+        try { pool.resize(size_t(n)); } catch (...) { return -1; }
+        for (int64_t t = 0; t < n; ++t) pool[size_t(t)] = t;
+        for (int64_t t = 0; t < k; ++t) {
+            const int64_t j = mt_randbelow(mt, idx, n - t);
+            out[t] = pool[size_t(j)];
+            pool[size_t(j)] = pool[size_t(n - t - 1)];
+        }
+    } else {
+        thread_local std::vector<int64_t> sel;
+        sel.clear();
+        for (int64_t t = 0; t < k; ++t) {
+            int64_t j = mt_randbelow(mt, idx, n);
+            while (std::find(sel.begin(), sel.end(), j) != sel.end())
+                j = mt_randbelow(mt, idx, n);
+            sel.push_back(j);
+            out[t] = j;
+        }
+    }
+    std::sort(out, out + k);
+    return 0;
+}
+
+// MAD normalization + 6-dp rounding only (compat mode pairs it with the
+// exact pairwise stats below instead of the fast path's cumsum stats).
+int32_t dsp_normalize_mad(const double* signal, int64_t ns,
+                          double* norm_out) {
+    if (ns <= 0) return -1;
+    thread_local std::vector<double> scratch;
+    try { scratch.assign(signal, signal + ns); } catch (...) { return -1; }
+    const double med = median_inplace(scratch.data(), ns);
+    for (int64_t i = 0; i < ns; ++i)
+        scratch[size_t(i)] = std::fabs(signal[i] - med);
+    const double scale = median_inplace(scratch.data(), ns) / MAD_C;
+    if (scale == 0.0) {
+        for (int64_t i = 0; i < ns; ++i) norm_out[i] = round6d(signal[i]);
+    } else {
+        for (int64_t i = 0; i < ns; ++i)
+            norm_out[i] = round6d((signal[i] - med) / scale);
+    }
+    return 0;
+}
+
+// Bit-exact np.mean / np.std per event segment (pairwise summation; the
+// mean-subtracted squares are materialized then pairwise-summed, the
+// exact op sequence of numpy's _var). n == 0 segments yield nan like
+// np.mean(empty) (0.0/0.0).
+int32_t dsp_segment_stats_exact(const double* norm, const int64_t* starts,
+                                const int64_t* lengths, int64_t nb,
+                                double* means, double* stds) {
+    thread_local std::vector<double> sq;
+    for (int64_t i = 0; i < nb; ++i) {
+        const int64_t len = lengths[i];
+        const double* seg = norm + starts[i];
+        const double n = double(len);
+        const double mean = pairwise_sum(seg, len) / n;
+        try { sq.resize(size_t(len > 0 ? len : 0)); } catch (...) {
+            return -1;
+        }
+        for (int64_t j = 0; j < len; ++j) {
+            const double d = seg[j] - mean;
+            sq[size_t(j)] = d * d;
+        }
+        means[i] = mean;
+        stds[i] = std::sqrt(pairwise_sum(sq.data(), len) / n);
+    }
+    return 0;
+}
+
+// build_signal_rect("compat") in one pass: short events center-
+// zero-padded (identical to the "even" path's short branch), long
+// events downsampled by a sorted random.sample drawn from ``state`` in
+// ascending row order — the exact stream order of the Python loop over
+// long_rows (pipeline/extract.py build_signal_rect).
+int32_t dsp_rect_compat(const double* norm, const int64_t* starts,
+                        const int64_t* lengths, int64_t nb, int32_t S,
+                        uint32_t* state, double* rect) {
+    thread_local std::vector<int64_t> picks;
+    try { picks.resize(size_t(S)); } catch (...) { return -1; }
+    for (int64_t i = 0; i < nb; ++i) {
+        const int64_t len = lengths[i];
+        const int64_t st = starts[i];
+        double* row = rect + i * S;
+        if (len > S) {
+            if (dsp_mt_sample_sorted(state, len, S, picks.data()) != 0)
+                return -1;
+            for (int32_t r = 0; r < S; ++r)
+                row[r] = norm[st + picks[size_t(r)]];
+        } else {
+            const int64_t pad_left = (int64_t(S) - len) / 2;
+            for (int32_t r = 0; r < S; ++r) {
+                const int64_t k = int64_t(r) - pad_left;
+                row[r] = (k >= 0 && k < len) ? norm[st + k] : 0.0;
+            }
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

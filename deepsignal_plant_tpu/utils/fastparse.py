@@ -72,10 +72,19 @@ def _configure(lib) -> None:
                                         f64p, f64p, f64p, f16p, f16p,
                                         f16p, f16p]
     lib.dsp_read_norm_stats.restype = i32
-    lib.dsp_quantize_i4_f16.argtypes = [f16p, i64, u8p]
-    lib.dsp_quantize_i4_f16.restype = ctypes.c_float
-    lib.dsp_quantize_i4_f32.argtypes = [f32p, i64, u8p]
-    lib.dsp_quantize_i4_f32.restype = ctypes.c_float
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.dsp_mt_seed.argtypes = [u32p, u32p, i64]
+    lib.dsp_mt_seed.restype = None
+    lib.dsp_mt_sample_sorted.argtypes = [u32p, i64, i64, i64p]
+    lib.dsp_mt_sample_sorted.restype = i32
+    lib.dsp_normalize_mad.argtypes = [f64p, i64, f64p]
+    lib.dsp_normalize_mad.restype = i32
+    lib.dsp_segment_stats_exact.argtypes = [f64p, i64p, i64p, i64, f64p,
+                                            f64p]
+    lib.dsp_segment_stats_exact.restype = i32
+    lib.dsp_rect_compat.argtypes = [f64p, i64p, i64p, i64, i32, u32p,
+                                    f64p]
+    lib.dsp_rect_compat.restype = i32
     _configured = True
 
 
@@ -102,30 +111,119 @@ def quantize_int8(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
     return out, float(s)
 
 
-def quantize_int4(arr: np.ndarray) -> tuple[np.ndarray, float] | None:
-    """Native symmetric int4 quantization of the signal field
-    (--transfer_dtype int4): q = clip(round_even(x/(amax/7)), -7, 7),
-    two values per byte (flat value 2k -> low nibble). Requires an even
-    last axis (signal_len is 16). Returns (uint8 packed array with last
-    axis halved, dequant scale), or None when unavailable (callers fall
-    back to the numpy path in pipeline.call_mods)."""
-    lib = get_native_lib()
-    if lib is None or arr.dtype not in (np.float16, np.float32):
-        return None
-    if arr.ndim == 0 or arr.shape[-1] % 2 or arr.size == 0:
-        return None
-    _configure(lib)
-    a = np.ascontiguousarray(arr)
-    out = np.empty(a.shape[:-1] + (a.shape[-1] // 2,), np.uint8)
-    if a.dtype == np.float16:
-        s = lib.dsp_quantize_i4_f16(a.reshape(-1), a.size, out.reshape(-1))
-    else:
-        s = lib.dsp_quantize_i4_f32(a.reshape(-1), a.size, out.reshape(-1))
-    return out, float(s)
-
-
 def native_available() -> bool:
     return get_native_lib() is not None
+
+
+class CompatSampler:
+    """CPython-``random.Random``-compatible MT19937 sampler backed by the
+    native lib (dsp_mt_seed / dsp_mt_sample_sorted). Given the same int
+    seed it consumes the SAME stream as ``random.Random`` and its
+    ``sample()`` returns the same picks (sorted), so compat-mode
+    extraction is byte-identical whichever side draws — the native
+    whole-read rect kernel (dsp_rect_compat) and the Python
+    build_signal_rect loop can even interleave on one stream. Construct
+    via :func:`compat_sampler` (returns None without the native lib)."""
+
+    __slots__ = ("_lib", "state")
+
+    def __init__(self, lib, seed: int):
+        _configure(lib)
+        self._lib = lib
+        self.state = np.zeros(625, np.uint32)
+        n = abs(int(seed))
+        words = []
+        while n:
+            words.append(n & 0xFFFFFFFF)
+            n >>= 32
+        key = np.array(words or [0], np.uint32)
+        lib.dsp_mt_seed(self.state, key, len(key))
+
+    def sample(self, population, k: int) -> list:
+        """random.sample(range(n), k), sorted. ``population`` must be a
+        range starting at 0 (all compat-mode call sites pass
+        ``range(event_length)``)."""
+        n = len(population)
+        out = np.empty(k, np.int64)
+        if self._lib.dsp_mt_sample_sorted(self.state, n, k, out) != 0:
+            raise ValueError(f"sample({n}, {k}) invalid")
+        return out.tolist()
+
+
+def compat_sampler(seed: int) -> CompatSampler | None:
+    lib = get_native_lib()
+    return CompatSampler(lib, seed) if lib is not None else None
+
+
+def normalize_mad_native(signal: np.ndarray) -> np.ndarray | None:
+    """Native MAD normalize + 6-dp round (bit-exact with
+    pipeline.extract.normalize_signals(method="mad")), or None without
+    the native lib."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    signal = np.ascontiguousarray(signal, np.float64)
+    if len(signal) == 0:
+        return None
+    norm = np.empty(len(signal), np.float64)
+    if lib.dsp_normalize_mad(signal, len(signal), norm) != 0:
+        return None
+    return norm
+
+
+def segment_stats_exact_native(norm: np.ndarray, starts: np.ndarray,
+                               lengths: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Bit-exact np.mean/np.std per event via numpy's pairwise-summation
+    order in C (compat mode's stats; reference extract_features.py:
+    364-365), or None when the native lib is missing or the event table
+    is corrupt (callers fall back to the per-event numpy loop)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    norm = np.ascontiguousarray(norm, np.float64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    nb = len(starts)
+    if nb == 0:
+        return None
+    if int(lengths.min()) < 0 or int(starts.min()) < 0 or \
+            int((starts + lengths).max()) > len(norm):
+        return None
+    means = np.empty(nb, np.float64)
+    stds = np.empty(nb, np.float64)
+    if lib.dsp_segment_stats_exact(norm, starts, lengths, nb, means,
+                                   stds) != 0:
+        return None
+    return means, stds
+
+
+def build_rect_compat(norm: np.ndarray, starts: np.ndarray,
+                      lengths: np.ndarray, signal_len: int,
+                      sampler: CompatSampler) -> np.ndarray | None:
+    """Native build_signal_rect("compat"): center-zero-pad short events,
+    sorted random.sample picks for long ones, drawn from ``sampler``'s
+    MT stream in ascending row order (the Python loop's order). Returns
+    the (n, signal_len) float64 rect, or None when unavailable/corrupt
+    (callers fall back to the Python loop on the SAME stream)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    _configure(lib)
+    norm = np.ascontiguousarray(norm, np.float64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    nb = len(starts)
+    if nb and (int(lengths.min()) < 0 or int(starts.min()) < 0
+               or int((starts + lengths).max()) > len(norm)):
+        return None
+    rect = np.empty((nb, signal_len), np.float64)
+    if lib.dsp_rect_compat(norm, starts, lengths, nb, signal_len,
+                           sampler.state, rect) != 0:
+        return None
+    return rect
 
 
 def build_rect_f16(norm: np.ndarray, starts: np.ndarray,
