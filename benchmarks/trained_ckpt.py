@@ -18,7 +18,7 @@ signal. This module builds the missing evidence base offline:
 
 The resulting checkpoint separates classes with large margins on features
 extracted from held-out fixture reads, so call agreement between planes
-(f32/bf16, f32/f16/int8/int4 wires, ours-vs-reference) finally measures
+(f32/bf16, f32/f16/int8 wires, ours-vs-reference) finally measures
 numerics, not coin flips. Consumers: benchmarks/trained_gates.py,
 benchmarks/parity_run.py --trained.
 

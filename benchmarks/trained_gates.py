@@ -1,6 +1,6 @@
 """Agreement gates on a TRAINED checkpoint (VERDICT r3 item 1).
 
-Round 3's wire/compute gates (f16, int8 "100.000% agreement", int4, the
+Round 3's wire/compute gates (f16, int8 "100.000% agreement", the
 engine-plane byte comparisons) were exercised on random-init weights,
 where every prob sits near 0.5 and agreement is weak evidence. This
 harness re-runs every gate with the converged flagship checkpoint from
@@ -10,10 +10,13 @@ fixture; probs hug 0/1), on held-out mixed reads:
   base      transfer float32, compute float32, scan   (exact numerics)
   f16       transfer float16 vs base
   int8      transfer int8    vs base  (the remote-attach auto wire)
-  int4      transfer int4    vs base  (EXPERIMENTAL; decides its fate)
   bf16      compute bfloat16 (f16 wire) vs base
   prod      the full auto production config (int8 + bf16 + pallas on
             remote TPU) vs base — what a CLI user actually gets
+
+(The round-3 experimental int4 wire was gated here once — 99.93%, 3
+flips, max |dP1| 0.984 — and retired on that evidence plus its measured
+~25% slowdown; docs/BENCH.md "int4 signal wire: RETIRED".)
 
 Each variant reports call agreement, prob deltas, and the margin
 distribution (fraction of |p1-0.5| > 0.4/0.1 on the base run proves the
@@ -105,8 +108,6 @@ def main() -> None:
         "f16": (cfg0, CallConfig(transfer_dtype="float16",
                                  device_batch=args.device_batch)),
         "int8": (cfg0, CallConfig(transfer_dtype="int8",
-                                  device_batch=args.device_batch)),
-        "int4": (cfg0, CallConfig(transfer_dtype="int4",
                                   device_batch=args.device_batch)),
         "bf16": (cfg0.with_(compute_dtype=resolve_compute_dtype(
                      "bfloat16")),

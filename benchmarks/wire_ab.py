@@ -2,7 +2,7 @@
 
 The round-2/3 transport model (docs/BENCH.md) says host->device wire
 bytes bind on remote-attached (axon) rigs: per-site payload is ~466 B
-(f16), ~273 B (int8), ~169 B (int4 signals + int8 means/stds). This
+(f16), ~273 B (int8). This
 harness measures the arms interleaved (tunnel weather hits all equally,
 order reversed on odd rounds per ADVICE r2) and cross-checks that every
 arm's OUTPUT calls are recorded for agreement analysis — quantized wire
@@ -21,7 +21,7 @@ import time
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
 ARMS = (sys.argv[2].split(",") if len(sys.argv) > 2
-        else ["float16", "int8", "int4"])
+        else ["float16", "int8"])
 ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 import bench  # noqa: E402

@@ -197,7 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_batch", type=int, default=None,
                    help="padded per-step TPU batch (rows)")
     p.add_argument("--transfer_dtype", type=str, default="auto",
-                   choices=["auto", "float32", "float16", "int8", "int4"],
+                   choices=["auto", "float32", "float16", "int8"],
                    help="host->device wire format; auto = int8 (quantized, "
                         "dequant on device) on remote-attached links where "
                         "wire MB/s binds, float16 on directly-attached "
@@ -260,7 +260,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", "-b", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=None)
     p.add_argument("--transfer_dtype", type=str, default="auto",
-                   choices=["auto", "float32", "float16", "int8", "int4"])
+                   choices=["auto", "float32", "float16", "int8"])
     p.add_argument("--dispatch_workers", type=int, default=6)
     p.add_argument("--packed_wire", type=str, default="auto",
                    choices=["auto", "force", "off"],

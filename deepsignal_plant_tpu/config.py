@@ -108,9 +108,9 @@ class CallConfig:
 
     def __post_init__(self):
         if self.transfer_dtype not in ("auto", "float32", "float16",
-                                       "int8", "int4"):
+                                       "int8"):
             raise ValueError(
-                "transfer_dtype must be auto|float32|float16|int8|int4")
+                "transfer_dtype must be auto|float32|float16|int8")
         if self.packed_wire not in ("auto", "force", "off"):
             raise ValueError("packed_wire must be auto|force|off")
         if self.device_resident not in ("never", "always"):

@@ -48,59 +48,6 @@ def _quantize_field(a: np.ndarray) -> tuple[np.ndarray, float]:
     return np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8), scale
 
 
-def _quantize_field_int4(a: np.ndarray) -> tuple[np.ndarray, float]:
-    """Symmetric int4 quantization, two values per byte (native when
-    available; numpy fallback with identical numerics — amax/7 scale in
-    f64 then f32, f32 division, round-half-even, clip to [-7, 7],
-    NaN -> 0)."""
-    from ..utils.fastparse import quantize_int4
-    native = quantize_int4(np.asarray(a))
-    if native is not None:
-        return native
-    a32 = np.asarray(a, np.float32)
-    amax = float(np.max(np.abs(a32))) if a32.size else 0.0
-    sd = amax / 7.0
-    scale = float(np.float32(sd)) if sd != 0.0 else 1.0
-    with np.errstate(invalid="ignore"):
-        q = np.clip(np.rint(a32 / np.float32(scale)), -7, 7)
-    q = np.nan_to_num(q, nan=0.0).astype(np.int8).reshape(-1)
-    packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
-    return packed.reshape(a32.shape[:-1] + (a32.shape[-1] // 2,)), scale
-
-
-def unpack_int4_jnp(packed):
-    """Device-side int4 unpack: uint8 (..., M) -> int32 (..., 2M) in
-    [-7, 7] (sign-extended nibbles; low nibble = earlier value)."""
-    import jax.numpy as jnp
-    b = packed.astype(jnp.int32)
-    lo = b & 15
-    hi = (b >> 4) & 15
-    lo = jnp.where(lo > 7, lo - 16, lo)
-    hi = jnp.where(hi > 7, hi - 16, hi)
-    v = jnp.stack([lo, hi], axis=-1)
-    return v.reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
-
-
-def quantize_for_wire_int4(batch: Batch):
-    """int4 wire (EXPERIMENTAL, --transfer_dtype int4): the signal matrix
-    — 74%% of the packed payload — packs two 4-bit values per byte;
-    means/stds stay int8 (they are 2%% of the bytes and 4 bits would be
-    genuinely lossy on the decision-relevant mean shifts). ~1.9x fewer
-    signal bytes than int8. Added input noise is amax/14 per signal
-    value; gate before relying on calls: docs/BENCH.md "int4 signal
-    wire" documents the required >=99.99%% call-agreement check on a
-    trained checkpoint."""
-    qm, sm = _quantize_field(batch.base_means)
-    qs, ss = _quantize_field(batch.base_stds)
-    qg, sg = _quantize_field_int4(batch.signals)
-    lens = batch.base_signal_lens
-    if lens.dtype != np.float16:
-        lens = lens.astype(np.float16)
-    return (Batch(kmer=np.asarray(batch.kmer, np.int8), base_means=qm,
-                  base_stds=qs, base_signal_lens=lens, signals=qg),
-            np.array([sm, ss, sg], np.float32))
-
-
 def quantize_for_wire(batch: Batch):
     """int8 wire: symmetric per-batch-per-field quantization of the float
     features (means, stds, signals); signal_lens stay f16 (integer-valued,
@@ -259,48 +206,24 @@ class CallModsEngine:
         self._fallback_lock = threading.Lock()
         self._fell_back = False
         self._quant = self.call_cfg.transfer_dtype == "int8"
-        self._quant4 = self.call_cfg.transfer_dtype == "int4"
-        if self._quant4 and self.model_cfg.signal_len % 2:
-            # fail at configuration time, not mid-run: the int4 wire packs
-            # two signal values per byte along the last axis, so an odd
-            # --signal_len has no packing (native quantize_int4 returns
-            # None and the numpy fallback raises a cryptic broadcast
-            # error per batch; ADVICE r3)
-            raise ValueError(
-                "--transfer_dtype int4 requires an even --signal_len "
-                "(got {}): the int4 wire packs two signal values per "
-                "byte. Use --transfer_dtype int8 or an even signal_len."
-                .format(self.model_cfg.signal_len))
-        if self._quant4:
-            print("[warn] EXPERIMENTAL --transfer_dtype int4: the signal "
-                  "matrix is quantized to 4 bits on the wire (means/stds "
-                  "int8). Validate >=99.99% call agreement vs "
-                  "--transfer_dtype float16 on YOUR checkpoint before "
-                  "trusting calls (see docs/BENCH.md, 'int4 signal "
-                  "wire').")
         self._rebuild_steps()
 
     def _rebuild_steps(self):
         # jit wrappers are lazy — only the variant actually called compiles
         self._step = self._build_step()
         self._step_q = self._build_step(quantized=True)
-        self._step_q4 = self._build_step(quantized=True, int4=True)
         self._step_packed = self._build_packed_step()
         self._step_packed_q = self._build_packed_step(quantized=True)
-        self._step_packed_q4 = self._build_packed_step(quantized=True,
-                                                       int4=True)
         self._step_resident = self._build_resident_step()
 
-    def _build_step(self, quantized: bool = False, int4: bool = False):
+    def _build_step(self, quantized: bool = False):
         cfg = self.model_cfg
 
         if quantized:
             import jax.numpy as jnp
 
             def _step(params, batch: Batch, scales):
-                sig = batch.signals
-                sig = (unpack_int4_jnp(sig) if int4 else sig).astype(
-                    jnp.float32) * scales[2]
+                sig = batch.signals.astype(jnp.float32) * scales[2]
                 b = Batch(
                     kmer=batch.kmer,
                     base_means=batch.base_means.astype(jnp.float32)
@@ -328,8 +251,7 @@ class CallModsEngine:
             _step, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(axis), check_vma=False))
 
-    def _build_packed_step(self, quantized: bool = False,
-                           int4: bool = False):
+    def _build_packed_step(self, quantized: bool = False):
         """Step over the read-packed wire: gather each site's kmer window
         from the deduplicated per-base arrays ON DEVICE, then run the
         normal forward — the wire carries each base once instead of up to
@@ -354,8 +276,7 @@ class CallModsEngine:
                       scales):
                 # dequantize on the deduplicated base axis — cheaper than
                 # after the window gather
-                r = (unpack_int4_jnp(rect) if int4 else rect).astype(
-                    jnp.float32) * scales[2]
+                r = rect.astype(jnp.float32) * scales[2]
                 return _gather_forward(
                     params, codes, means.astype(jnp.float32) * scales[0],
                     stds.astype(jnp.float32) * scales[1], lens, r,
@@ -381,7 +302,7 @@ class CallModsEngine:
 
     def predict_probs(self, fb) -> np.ndarray:
         """Run one (already padded) FeatureBatch -> (N, 2) float32 probs."""
-        if self.call_cfg.transfer_dtype in ("float16", "int8", "int4"):
+        if self.call_cfg.transfer_dtype in ("float16", "int8"):
             # shrink the host->device wire format: int8 base codes + f16
             # floats (values are 6-decimal-rounded, |x| < ~1e3; f16 rel
             # error ~5e-4 is far below call-decision scale). The native
@@ -413,15 +334,12 @@ class CallModsEngine:
         scales = None
         if self._quant:
             batch, scales = quantize_for_wire(batch)
-        elif self._quant4:
-            batch, scales = quantize_for_wire_int4(batch)
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
 
         def _run():
             if scales is not None:
-                step = self._step_q4 if self._quant4 else self._step_q
-                return step(self.params, batch, scales)
+                return self._step_q(self.params, batch, scales)
             return self._step(self.params, batch)
 
         return self._run_with_fallback(_run)
@@ -456,13 +374,10 @@ class CallModsEngine:
         centers); int8 mode quantizes the deduplicated base arrays here in
         the calling dispatch thread."""
         codes, means, stds, lens, rect, centers = arrays
-        if self._quant or self._quant4:
+        if self._quant:
             qm, sm = _quantize_field(means)
             qs, ss = _quantize_field(stds)
-            if self._quant4:
-                qr, sr = _quantize_field_int4(rect)
-            else:
-                qr, sr = _quantize_field(rect)
+            qr, sr = _quantize_field(rect)
             scales = np.array([sm, ss, sr], np.float32)
 
             def _run():
@@ -470,10 +385,8 @@ class CallModsEngine:
                 # pallas->scan fallback swaps these via _rebuild_steps,
                 # and an early-bound local would retry the stale
                 # pallas-compiled step (and fail again)
-                step = (self._step_packed_q4 if self._quant4
-                        else self._step_packed_q)
-                return step(self.params, codes, qm, qs, lens, qr,
-                            centers, scales)
+                return self._step_packed_q(self.params, codes, qm, qs,
+                                           lens, qr, centers, scales)
 
             return self._run_with_fallback(_run)
         return self._run_with_fallback(
