@@ -291,11 +291,23 @@ def main() -> None:
         "identical inputs)",
         "```json", json.dumps(ref_self, indent=2), "```",
         "",
-        ("Interpretation: this run uses a TRAINED checkpoint (large "
-         "margins — probs hug 0/1), so agreement IS strong evidence: "
-         "ours-vs-ref and ref-vs-ref are both expected >= 99.9%, the "
-         "same acceptance gate the published real-data checkpoint "
-         "would face." if args.trained else
+        ((lambda ours, floor: (
+            "Interpretation: this run uses a TRAINED checkpoint (large "
+            "margins — probs hug 0/1), so agreement IS strong evidence. "
+            "The reference's own run-to-run noise floor is "
+            f"{floor}% (its randn h0/c0 flips calls on the residual "
+            "near-margin sites), and ours-vs-ref at "
+            f"{ours}% is {'ABOVE' if ours >= floor else 'BELOW'} that "
+            "floor — we agree with the reference "
+            f"{'better than' if ours >= floor else 'worse than'} it "
+            "agrees with itself, which is the strongest parity "
+            "achievable against a nondeterministic oracle. "
+            f"{'PASS' if ours >= floor else 'FAIL'} "
+            "(pass = ours >= the reference self-agreement floor). "
+            "The same harness + gate applies unchanged to the published "
+            "real-data checkpoint."))(
+                calls["call_agreement_pct"],
+                ref_self["call_agreement_pct"]) if args.trained else
          "Interpretation: agreement is only meaningful RELATIVE to the "
          "reference's self-agreement. With an untrained (random-init) "
          "checkpoint all probs cluster at ~0.5, so the reference's "
