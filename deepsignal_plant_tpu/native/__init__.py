@@ -47,13 +47,26 @@ def build_native(force: bool = False) -> bool:
 
 
 def get_native_lib():
-    """ctypes handle to the native library, building on first use; None if
-    unavailable (callers fall back to numpy paths)."""
+    """ctypes handle to the native library; None if unavailable (callers
+    fall back to numpy paths). Installed builds ship the .so compiled at
+    pip-install time (setup.py); the runtime g++ build here is the
+    refresh/fallback path (source newer than the .so, working from a git
+    checkout). A failed REBUILD on a host without a toolchain must not
+    drop a .so that exists — the stale-but-working library is loaded
+    with a warning rather than silently losing every native fast path."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if build_native():
+    built = build_native()
+    if not built and os.path.exists(_SO_PATH):
+        import sys
+        sys.stderr.write(
+            "[warn] native library rebuild failed (no C++ toolchain?) "
+            "but an existing libdsp_native.so predates featparse.cpp — "
+            "loading the stale build; rebuild with g++ to pick up "
+            "source changes\n")
+    if built or os.path.exists(_SO_PATH):
         try:
             _lib = ctypes.CDLL(_SO_PATH)
         except OSError:

@@ -1009,11 +1009,12 @@ class CallModsEngine:
             if not native_available():
                 raise ValueError(
                     "{} holds wire-format (v{}) .npz batches, which need "
-                    "the native featparse library (not built on this "
-                    "host). Reinstall with a working C++ toolchain, or "
-                    "regenerate features as TSV or v1 .npz "
-                    "(extract --w_format npz).".format(input_path,
-                                                       wire_ver))
+                    "the native featparse library. `pip install .` builds "
+                    "it at install time (this install was likely forced "
+                    "past that with DSP_NATIVE_OPTIONAL=1); install a C++ "
+                    "toolchain and reinstall, or regenerate features as "
+                    "TSV or v1 .npz (extract --w_format npz).".format(
+                        input_path, wire_ver))
             if wire_ver >= 3:
                 from ..io.batching import (bounded_thread_map,
                                            default_parse_workers)
