@@ -443,9 +443,13 @@ class CallModsEngine:
         container already holds the f16 transfer layout + info blob)."""
         from ..io.batching import bounded_thread_map, default_parse_workers
         from ..utils.formats import load_wire_npz
-        pw = self.call_cfg.num_parse_workers or default_parse_workers()
-        blocks = bounded_thread_map(load_wire_npz, npz_files, workers=pw,
-                                    depth=2 * pw)
+        # ONE loader worker, depth-4 prefetch: npz loading is raw zip
+        # reads + frombuffer (single-threaded 1.4-4M rows/s, far above
+        # the device rate) and COLLAPSES ~4x under a thread pool (GIL
+        # thrash, measured in benchmarks/loader_ab.py) — pooling the
+        # loader was why the binary planes trailed TSV in rounds 2-3
+        blocks = bounded_thread_map(load_wire_npz, npz_files, workers=1,
+                                    depth=4)
         return self._run_fast(blocks, result_path, is_gzip, target)
 
     def _run_fast(self, raw_blocks, result_path: str, is_gzip: bool,
@@ -958,12 +962,15 @@ class CallModsEngine:
                 "regenerate with extract --w_format npz_wire/npz_packed "
                 "or TSV.")
         if wire_ver >= 3:
+            # 1 loader worker + prefetch (see _run_fast_wire_npz): the
+            # raw-zip loader feeds millions of rows/s single-threaded;
+            # pooling it thrashes the GIL
             blocks = bounded_thread_map(
                 lambda p: load_packed_npz(p).to_raw_block(), npz_files,
-                workers=pw, depth=2 * pw)
+                workers=1, depth=4)
         elif wire_ver == 2:
             blocks = bounded_thread_map(load_wire_npz, npz_files,
-                                        workers=pw, depth=2 * pw)
+                                        workers=1, depth=4)
         elif os.path.isfile(input_path) and not input_path.endswith(".gz"):
             blocks = bounded_thread_map(
                 lambda raw: parse_raw_feature_block(raw, cfg.seq_len,
@@ -1016,13 +1023,13 @@ class CallModsEngine:
                     "TSV or v1 .npz (extract --w_format npz).".format(
                         input_path, wire_ver))
             if wire_ver >= 3:
-                from ..io.batching import (bounded_thread_map,
-                                           default_parse_workers)
+                from ..io.batching import bounded_thread_map
                 from ..utils.formats import load_packed_npz
-                pw = (self.call_cfg.num_parse_workers
-                      or default_parse_workers())
+                # 1 loader worker + prefetch, NOT the parse pool — see
+                # _run_fast_wire_npz (np.load-era pooling measured 4x
+                # slower than single-threaded loading)
                 blocks = bounded_thread_map(load_packed_npz, npz_files,
-                                            workers=pw, depth=2 * pw)
+                                            workers=1, depth=4)
                 return self._run_fast_packed(blocks, result_path, is_gzip,
                                              target)
             return self._run_fast_wire_npz(npz_files, result_path,
@@ -1032,6 +1039,16 @@ class CallModsEngine:
                 and npz_files is None and os.path.isfile(input_path)):
             return self._run_fast_tsv(input_path, result_path, is_gzip,
                                       target)
+        if npz_files is not None:
+            # v1 (wire_ver 0) reaches here: DEPRECATED for inference.
+            # Its per-row sampleinfo Python strings cap the plane ~30%
+            # below TSV/packed (BENCH r2-r4); it stays the training/
+            # tools container only.
+            print("[warn] v1 .npz feature batches are DEPRECATED as a "
+                  "call_mods input (slow per-row string decode): "
+                  "regenerate with extract --w_format npz_packed (or "
+                  "serve the TSV directly). v1 remains the training/"
+                  "tools container.")
         batches = PrefetchIterator(
             batches_from_features_file(
                 input_path, target, cfg.seq_len, cfg.signal_len,

@@ -191,21 +191,63 @@ def save_wire_npz(path: str, fb: FeatureBatch) -> None:
              labels=fb.labels.astype(np.int32))
 
 
+def _read_npz_arrays(path: str) -> dict[str, np.ndarray]:
+    """Every member of an .npz as an array, via raw zip member reads +
+    np.frombuffer instead of np.load's ZipExtFile chunked-copy path.
+    Measured (benchmarks/loader_ab.py): 2.2x faster single-threaded, and
+    — the actual bug it fixes — np.load collapses ~4x under the engine's
+    thread pool (GIL thrash: 1.9M rows/s at 1 thread -> 480k at 4),
+    which made the staged binary planes LOSE to the TSV plane in rounds
+    2-3. zipfile's read() handles compressed members transparently.
+    Returned arrays are read-only views over the member bytes (every
+    consumer only reads/gathers). Falls back to np.load per file on any
+    structural surprise."""
+    import zipfile
+    from io import BytesIO
+    out: dict[str, np.ndarray] = {}
+    try:
+        with zipfile.ZipFile(path) as z:
+            for name in z.namelist():
+                if not name.endswith(".npy"):
+                    continue
+                raw = z.read(name)
+                bio = BytesIO(raw)
+                version = np.lib.format.read_magic(bio)
+                shape, fortran, dtype = np.lib.format._read_array_header(
+                    bio, version)
+                if dtype.hasobject:
+                    raise ValueError("object array member " + name)
+                n = 1
+                for s in shape:
+                    n *= int(s)
+                arr = np.frombuffer(raw, dtype=dtype, count=n,
+                                    offset=bio.tell())
+                out[name[:-4]] = arr.reshape(
+                    shape, order="F" if fortran else "C")
+        return out
+    except (zipfile.BadZipFile, ValueError, KeyError, OSError):
+        raise
+    except Exception:
+        # private-API drift (np.lib.format internals): correctness first
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+
 def load_wire_npz(path: str):
     """Load a wire-format .npz batch as a fastparse.RawFeatureBlock."""
     from .fastparse import RawFeatureBlock
-    with np.load(path) as z:
-        ver = int(z["wire_version"])
-        if ver != 2:
-            raise ValueError(
-                f"{path} is wire-format v{ver}, not v2 — a directory must "
-                "not mix wire versions (regenerate with one extract "
-                "--w_format)")
-        return RawFeatureBlock(
-            z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
-            z["kmer"], z["base_means"], z["base_stds"],
-            z["base_signal_lens"], z["signals"],
-            z["labels"].astype(np.int32))
+    z = _read_npz_arrays(path)
+    ver = int(z["wire_version"])
+    if ver != 2:
+        raise ValueError(
+            f"{path} is wire-format v{ver}, not v2 — a directory must "
+            "not mix wire versions (regenerate with one extract "
+            "--w_format)")
+    return RawFeatureBlock(
+        z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
+        z["kmer"], z["base_means"], z["base_stds"],
+        z["base_signal_lens"], z["signals"],
+        z["labels"].astype(np.int32))
 
 
 def is_wire_npz(path: str) -> bool:
@@ -221,10 +263,16 @@ def is_wire_npz(path: str) -> bool:
 def wire_npz_version(path: str) -> int:
     """0 = v1 (plain feature arrays), 2 = per-site wire, 3 = read-packed
     wire. Reads only the tiny version member."""
-    if not is_wire_npz(path):
+    import zipfile
+    from io import BytesIO
+    try:
+        with zipfile.ZipFile(path) as zf:
+            if "wire_version.npy" not in zf.namelist():
+                return 0
+            bio = BytesIO(zf.read("wire_version.npy"))
+            return int(np.lib.format.read_array(bio))
+    except zipfile.BadZipFile:
         return 0
-    with np.load(path) as z:
-        return int(z["wire_version"])
 
 
 def save_packed_npz(path: str, pb) -> None:
@@ -250,29 +298,29 @@ def save_packed_npz(path: str, pb) -> None:
 def load_packed_npz(path: str):
     """Load a read-packed wire .npz as a fastparse.PackedFeatureBlock."""
     from .fastparse import PackedFeatureBlock
-    with np.load(path) as z:
-        ver = int(z["wire_version"])
-        if ver != 3:
-            raise ValueError(
-                f"{path} is wire-format v{ver}, not v3 — a directory must "
-                "not mix wire versions (regenerate with one extract "
-                "--w_format)")
-        centers = z["centers"]
-        kmer_len = int(z["kmer_len"])
-        nb = (kmer_len - 1) // 2
-        if len(centers) > 1 and np.any(np.diff(centers) < 0):
-            raise ValueError(
-                f"{path}: packed-wire centers are not non-decreasing")
-        if len(centers) and (int(centers[0]) < nb or
-                             int(centers[-1]) + nb >= len(z["codes"])):
-            raise ValueError(
-                f"{path}: packed-wire centers out of bounds for the base "
-                "axis (corrupt or truncated container)")
-        return PackedFeatureBlock(
-            z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
-            centers, z["codes"], z["base_means"], z["base_stds"],
-            z["base_signal_lens"], z["signals"],
-            z["labels"].astype(np.int32), int(z["kmer_len"]))
+    z = _read_npz_arrays(path)
+    ver = int(z["wire_version"])
+    if ver != 3:
+        raise ValueError(
+            f"{path} is wire-format v{ver}, not v3 — a directory must "
+            "not mix wire versions (regenerate with one extract "
+            "--w_format)")
+    centers = z["centers"]
+    kmer_len = int(z["kmer_len"])
+    nb = (kmer_len - 1) // 2
+    if len(centers) > 1 and np.any(np.diff(centers) < 0):
+        raise ValueError(
+            f"{path}: packed-wire centers are not non-decreasing")
+    if len(centers) and (int(centers[0]) < nb or
+                         int(centers[-1]) + nb >= len(z["codes"])):
+        raise ValueError(
+            f"{path}: packed-wire centers out of bounds for the base "
+            "axis (corrupt or truncated container)")
+    return PackedFeatureBlock(
+        z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
+        centers, z["codes"], z["base_means"], z["base_stds"],
+        z["base_signal_lens"], z["signals"],
+        z["labels"].astype(np.int32), kmer_len)
 
 
 def feature_npz_paths(path: str) -> list[str] | None:
