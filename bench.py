@@ -381,6 +381,11 @@ def measure_extract_rows_s(passes: int = 5) -> list:
         ms.synth_fast5_dir(f5dir, genome, rng, n_reads=64, read_len=8000,
                            max_event_len=25)
         ctx = ExtractContext.build(ExtractOptions(motifs="C"))
+        # throwaway pass: file-cache + native-lib warm (the cold first
+        # pass ran ~35% low and alone dominated the reported spread)
+        extract_features(f5dir, True, ctx, os.path.join(td, "warm"),
+                         nproc=4, f5_batch_size=16,
+                         out_format="npz_packed")
         for i in range(passes):
             outdir = os.path.join(td, f"out{i}")
             t0 = time.time()

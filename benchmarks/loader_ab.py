@@ -86,42 +86,20 @@ def feed_npz(dirpath: str, loader, workers: int) -> float:
 
 
 def load_packed_raw(path: str):
-    """load_packed_npz semantics via raw zip member reads +
-    np.frombuffer — skips np.load's ZipExtFile chunked-copy path."""
-    import zipfile
-
+    """load_packed_npz semantics via the PRODUCTION raw-zip reader
+    (formats._read_npz_arrays) — the A/B arm measures the exact code the
+    engine runs, minus load_packed_npz's validation passes."""
     import numpy as np
 
     from deepsignal_plant_tpu.utils.fastparse import PackedFeatureBlock
-    metas = {}
-    arrays = {}
-    with zipfile.ZipFile(path) as z:
-        for name in z.namelist():
-            key = name[:-4]
-            raw = z.read(name)
-            # .npy header: magic(6)+ver(2)+hlen(2 or 4)+header
-            assert raw[:6] == b"\x93NUMPY"
-            major = raw[6]
-            if major == 1:
-                hlen = int.from_bytes(raw[8:10], "little")
-                off = 10 + hlen
-            else:
-                hlen = int.from_bytes(raw[8:12], "little")
-                off = 12 + hlen
-            header = eval(raw[(10 if major == 1 else 12):off]
-                          .decode("latin1"))
-            arr = np.frombuffer(raw, dtype=np.dtype(header["descr"]),
-                                offset=off)
-            arrays[key] = arr.reshape(header["shape"])
-            metas[key] = header
-    kmer_len = int(np.asarray(arrays["kmer_len"]).reshape(-1)[0]) \
-        if "kmer_len" in arrays else 13
+    from deepsignal_plant_tpu.utils.formats import _read_npz_arrays
+    z = _read_npz_arrays(path)
     return PackedFeatureBlock(
-        arrays["info_blob"].tobytes(), arrays["row_starts"],
-        arrays["info_ends"], arrays["centers"], arrays["codes"],
-        arrays["base_means"], arrays["base_stds"],
-        arrays["base_signal_lens"], arrays["signals"], arrays["labels"],
-        kmer_len)
+        z["info_blob"].tobytes(), z["row_starts"], z["info_ends"],
+        z["centers"], z["codes"], z["base_means"], z["base_stds"],
+        z["base_signal_lens"], z["signals"],
+        z["labels"].astype(np.int32),
+        int(np.asarray(z["kmer_len"]).reshape(-1)[0]))
 
 
 def run_engine(engine, path: str, out: str) -> float:

@@ -218,7 +218,12 @@ def ensure_fixture(out_dir: str = DEFAULT_OUT, cpu: bool = True) -> dict:
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("version") == FIXTURE_VERSION:
+        # same artifact-existence check as build_fixture: a partially
+        # deleted fixture dir must trigger a rebuild, not dangling paths
+        if meta.get("version") == FIXTURE_VERSION and all(
+                os.path.exists(meta[k]) for k in
+                ("fasta", "eval_fast5_dir", "eval_features", "torch_ckpt",
+                 "npz_ckpt", "train_tsv", "valid_tsv")):
             return meta
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
         [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))

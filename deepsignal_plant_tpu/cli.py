@@ -219,8 +219,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="always = upload each K*device_batch-row segment "
                         "to HBM once and run it in one compiled dispatch "
                         "(a lax.scan over the forwards) — no per-batch "
-                        "wire; byte-identical outputs; serves features "
-                        "TSV and wire-format .npz inputs")
+                        "wire. Outputs byte-identical to streaming runs "
+                        "at float16/float32 transfer; int8 (the remote "
+                        "auto wire) resolves to f16 on this plane, so "
+                        "probs differ from an int8 streaming run in the "
+                        "6th decimal. Serves features TSV and "
+                        "wire-format .npz inputs")
     p.add_argument("--result_file", "-o", type=str, required=True)
     p.add_argument("--gzip", action="store_true", default=False)
     _add_f5_args(p)

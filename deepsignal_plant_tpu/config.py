@@ -102,8 +102,10 @@ class CallConfig:
     # device-resident inference plane: "always" uploads each
     # K*device_batch-row segment to HBM once and runs it in one compiled
     # lax.scan dispatch (no per-batch wire; measures the chip-bound
-    # ceiling). "never" (default) keeps the streaming engine. Outputs are
-    # byte-identical either way.
+    # ceiling). "never" (default) keeps the streaming engine. Outputs
+    # are byte-identical to streaming at float16/float32 transfer; the
+    # resident plane resolves int8 (remote auto) to f16, so probs vs an
+    # int8 streaming run differ in the 6th decimal.
     device_resident: str = "never"
 
     def __post_init__(self):

@@ -71,6 +71,19 @@ def get_native_lib():
             _lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             _lib = None
+    if _lib is not None and not built:
+        # a stale .so may predate the current ABI: fastparse._configure
+        # sets argtypes for EVERY exported symbol unconditionally, so a
+        # library missing any of them would crash the first native call
+        # with AttributeError instead of falling back to numpy. Probe the
+        # newest symbol; on a miss, disable the native path entirely.
+        if not hasattr(_lib, "dsp_rect_compat"):
+            import sys
+            sys.stderr.write(
+                "[warn] existing libdsp_native.so is too old for this "
+                "version (missing symbols) and no toolchain can rebuild "
+                "it — native fast paths disabled (numpy fallbacks)\n")
+            _lib = None
     if _lib is not None:
         # the native parse path allocates large per-block numpy buffers;
         # heap reuse is what lets parser threads scale (see jaxinit)

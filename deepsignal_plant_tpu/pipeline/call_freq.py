@@ -452,16 +452,26 @@ def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
         print("pod mode: shared input list; this host aggregates {} of {} "
               "file(s)".format(len(out), len(mods_files)))
         return out, True
-    if sum(len(s) for s in sets) == len(set().union(*sets)):
+    # Disjointness is judged on PATHS alone: the (path, size) pairs above
+    # must match exactly for the shared-shard route, but the same path
+    # observed with two different sizes (stale NFS attribute cache, a
+    # file still flushing) is NOT two disjoint files — treating it as
+    # such would hand the full list to every host and silently multiply
+    # that file's counts by process_count.
+    path_sets = [set(line.split("\t", 1)[0] for line in s) for s in sets]
+    if sum(len(s) for s in path_sets) == len(set().union(*path_sets)):
         print("pod mode: disjoint per-host inputs; this host aggregates "
               "all {} local file(s)".format(len(mods_files)))
         return list(mods_files), False
     raise ValueError(
-        "pod call_freq: input file lists partially overlap across hosts — "
-        "neither one shared list nor disjoint per-host lists. Refusing to "
-        "guess the partition (counts would be dropped or double-counted). "
-        "Pass --pod_shard_inputs always (shared filesystem) or never "
-        "(disjoint per-host inputs) to assert the layout.")
+        "pod call_freq: input file lists neither match exactly across "
+        "hosts (same paths AND sizes) nor are pairwise disjoint — e.g. a "
+        "partially overlapping partition, or one shared file observed "
+        "with different sizes on two hosts (stale NFS cache / still "
+        "being written). Refusing to guess the partition (counts would "
+        "be dropped or double-counted). Pass --pod_shard_inputs always "
+        "(shared filesystem) or never (disjoint per-host inputs) to "
+        "assert the layout.")
 
 
 def call_mods_frequency_to_file(args) -> None:

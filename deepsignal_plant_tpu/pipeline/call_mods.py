@@ -395,7 +395,7 @@ class CallModsEngine:
 
     def _resolve_target(self, input_path: str) -> int:
         """Auto device_batch: next power of two covering the estimated row
-        count, clamped to [AUTO_MIN_BATCH, AUTO_MAX_BATCH] — tiny inputs
+        count, clamped to [AUTO_MIN_BATCH, the attachment-aware max (AUTO_MAX_BATCH_REMOTE 4096 / _DIRECT 32768)] — tiny inputs
         skip full-width padding, big inputs get the latency-amortizing
         width. Explicit --device_batch always wins."""
         if not self._auto_batch:
@@ -609,19 +609,27 @@ class CallModsEngine:
             AsyncWriter(result_path, is_gzip).close()
             return CallStats()
         thr = self.packed_density_threshold()
-        if thr == 0.0:
-            # packed wire disabled (--packed_wire off): per-site plane
+        if thr < self.PACKED_MAX_BASES_PER_SITE:
+            # packed wire disabled (--packed_wire off, thr 0), or a
+            # REMOTE multi-device mesh (thr tightened to seq_len/n): the
+            # packed step replicates its base arrays per device, so even
+            # a MATERIALIZED block would ship n*seq_len base-rows per
+            # site there — strictly worse than the per-site step, whose
+            # batch shards P(axis) and ships seq_len rows per site total.
+            # The whole stream takes the per-site plane; the route
+            # depends only on the mesh (never on block-0 data, the
+            # round-3 flaw). Practically no plant motif is dense enough
+            # (density < seq_len/n) for packed to win on such meshes.
             return self._run_fast(
                 (pb.to_raw_block() for pb in chain([first], it)),
                 result_path, is_gzip, target)
         # per-BLOCK density routing (round-3 verdict: block 0 used to
         # decide the plane for the whole run): dense blocks keep the
-        # deduplicated base axis; sparse blocks (dedup loses on the wire,
-        # or a remote multi-device mesh where the packed step's base-array
-        # replication inflates bytes) materialize their windows but flow
-        # through the SAME packed device step, so a mixed or
-        # unrepresentative stream never flips the run and output bytes are
-        # independent of the per-block choice.
+        # deduplicated base axis; sparse blocks (the dedup loses on the
+        # wire past ~seq_len bases/site) materialize their windows but
+        # flow through the SAME packed device step, so a mixed or
+        # unrepresentative stream never flips the run and output bytes
+        # are independent of the per-block choice.
         stream = (pb if pb.n_bases <= thr * pb.n else pb.materialize()
                   for pb in chain([first], it))
 

@@ -110,8 +110,22 @@ try:
     _pod_resolve_inputs(overlap, "auto")
     print("OVERLAP pid=%%d NOT-RAISED" %% pid, flush=True)
 except ValueError as e:
-    assert "partially overlap" in str(e)
+    assert "disjoint" in str(e)
     print("OVERLAP pid=%%d refused" %% pid, flush=True)
+
+# same shared file observed with DIFFERENT sizes per host (stale NFS
+# attribute cache / still flushing): must be refused, never classified
+# as disjoint (that would double-count it process_count times)
+import deepsignal_plant_tpu.pipeline.call_freq as cfq
+real_getsize = cfq.os.path.getsize
+cfq.os.path.getsize = lambda p: real_getsize(p) + pid
+try:
+    _pod_resolve_inputs([all_calls[0]], "auto")
+    print("SIZESKEW pid=%%d NOT-RAISED" %% pid, flush=True)
+except ValueError:
+    print("SIZESKEW pid=%%d refused" %% pid, flush=True)
+finally:
+    cfq.os.path.getsize = real_getsize
 
 # ---- (c) multi-host inference file-sharding ----
 from deepsignal_plant_tpu.config import CallConfig
@@ -229,6 +243,7 @@ def test_four_process_pod(tmp_path):
         assert (out / merged).read_text() == ref_out.read_text(), merged
     for i, o in enumerate(outs):
         assert f"OVERLAP pid={i} refused" in o, o[-1500:]
+        assert f"SIZESKEW pid={i} refused" in o, o[-1500:]
         assert f"FREQSHARED pid={i} " in o
         assert (f"count={ref_acc.count} used={ref_acc.used}"
                 in [ln for ln in o.splitlines()

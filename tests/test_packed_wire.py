@@ -234,16 +234,16 @@ def test_engine_packed_sparse_fallback(tmp_path, feats_fixture):
 
 def test_packed_auto_selection_multi_device(tmp_path, feats_fixture,
                                             monkeypatch):
-    """VERDICT r2 #4 (+ r3 refinement, + r4 per-block routing): on a
+    """VERDICT r2 #4 (+ r3 refinement, + r4 review fix): on a
     multi-device mesh behind a REMOTE-attached link, "auto" must NOT
     trust the staged packed format — the packed step replicates base
-    arrays per device, so at this fixture's density (> seq_len/8) each
-    block's windows are materialized on host (per-site wire bytes) while
-    still flowing through the same packed device step. On a
-    DIRECT-attached multi-device mesh (this 8-device CPU mesh) the wire
-    is ~free and the deduplicated base axis is KEPT: its win there is
-    skipping the host-side 13x window materialization. Assert both
-    routings and output identity with the forced device-gather plane."""
+    arrays per device (n*seq_len rows/site even if windows were
+    materialized), so the whole stream routes to the per-site plane
+    (P(axis)-sharded). On a DIRECT-attached multi-device mesh (this
+    8-device CPU mesh) the wire is ~free and the deduplicated base axis
+    is KEPT: its win there is skipping the host-side 13x window
+    materialization. Assert both routings and output identity with the
+    forced device-gather plane."""
     import jax
 
     from deepsignal_plant_tpu.pipeline import call_mods as cm
@@ -277,31 +277,25 @@ def test_packed_auto_selection_multi_device(tmp_path, feats_fixture,
     assert st.sites == len(rows)
     assert calls["packed"] > 0     # packed plane kept on direct attach
 
-    # remote-attached: the threshold tightens to seq_len/n, which this
-    # fixture's density exceeds — per-BLOCK routing materializes each
-    # block's windows on host (shipping per-site bytes, no dedup
-    # replication) but still flows through the packed device step
-    import deepsignal_plant_tpu.utils.fastparse as fp
+    # remote-attached multi-device: the threshold tightens below the
+    # single-device bound — the packed step would replicate base arrays
+    # per device (n*seq_len rows/site even materialized), so the WHOLE
+    # stream takes the per-site plane (P(axis)-sharded, seq_len
+    # rows/site). Mesh-determined, never data-determined.
     monkeypatch.setattr(cm, "mesh_is_remote", lambda mesh: True)
     remote = _make_engine(tmp_path, name="c.npz", packed_wire="auto")
     thresh = remote.packed_density_threshold()
     assert thresh == pytest.approx(13 / 8)
     assert density > thresh
-    rcalls = {"packed": 0, "mat": 0}
+    rcalls = {"packed": 0}
     orig_r = remote._predict_packed
     remote._predict_packed = lambda *a, **k: (
         rcalls.__setitem__("packed", rcalls["packed"] + 1)
         or orig_r(*a, **k))
-    orig_mat = fp.PackedFeatureBlock.materialize
-    monkeypatch.setattr(
-        fp.PackedFeatureBlock, "materialize",
-        lambda self: (rcalls.__setitem__("mat", rcalls["mat"] + 1)
-                      or orig_mat(self)))
     out_remote = str(tmp_path / "remote.tsv")
     st = remote.run_features_file(str(pdir), out_remote)
     assert st.sites == len(rows)
-    assert rcalls["mat"] > 0       # sparse-for-this-mesh: materialized
-    assert rcalls["packed"] > 0    # ...but same packed device step
+    assert rcalls["packed"] == 0   # whole stream on the per-site plane
     monkeypatch.undo()
 
     out_forced = str(tmp_path / "forced.tsv")
