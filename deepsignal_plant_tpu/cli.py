@@ -204,7 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "backends; float32 for exact-parity runs")
     p.add_argument("--parse_workers", type=int, default=None,
                    help="host parser threads (default: cores, max 4)")
-    p.add_argument("--dispatch_workers", type=int, default=6,
+    p.add_argument("--dispatch_workers", type=int, default=8,
                    help="concurrent device dispatches (overlaps per-call "
                         "transfer latency on remote-attached runtimes)")
     p.add_argument("--packed_wire", type=str, default="auto",
@@ -265,7 +265,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_batch", type=int, default=None)
     p.add_argument("--transfer_dtype", type=str, default="auto",
                    choices=["auto", "float32", "float16", "int8"])
-    p.add_argument("--dispatch_workers", type=int, default=6)
+    p.add_argument("--dispatch_workers", type=int, default=8)
     p.add_argument("--packed_wire", type=str, default="auto",
                    choices=["auto", "force", "off"],
                    help="read-packed wire plane: auto keeps the on-device "

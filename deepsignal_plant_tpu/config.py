@@ -77,11 +77,15 @@ class CallConfig:
     device_batch: int | None = None
     f5_batch_size: int = 30
     num_parse_workers: int | None = None  # None = auto (cores, <=4)
-    dispatch_workers: int = 6     # concurrent jit dispatches (overlaps
-                                  # per-call transfer latency; interleaved
-                                  # sweep on the remote-attached v5e:
-                                  # 2->4 workers +45% end-to-end, 8 adds
-                                  # nothing on a 4-core host)
+    dispatch_workers: int = 8     # concurrent jit dispatches (overlaps
+                                  # per-call transfer latency). Interleaved
+                                  # sweeps on the remote-attached v5e:
+                                  # 2->4 +45% (r2), 4->6 +38% with the
+                                  # 4096 auto batch (r3); after the r4
+                                  # loader/routing changes 6->8 measured
+                                  # +6% (medians 311k/330k/333k at
+                                  # 6/8/10, benchmarks/workers_ab.py) —
+                                  # 10 adds nothing on a 4-core host.
     # wire format host->device: "float16" halves transfer bytes (the model
     # computes in compute_dtype regardless); "float32" for exact parity;
     # "int8" quantizes means/stds/signals with per-batch scales dequantized
