@@ -440,11 +440,15 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
         rates = []
         for _ in range(passes):
             t1 = run(1)
-            t4 = run(4)
-            # a tunnel-outage pass can make t4 <= t1; record 0 (visibly
+            t7 = run(7)
+            # 6 marginal epochs (was 3): the difference of two
+            # tunnel-weathered wall-clocks has variance ~independent of
+            # the window, so a wider window halves the rate spread
+            # (round-4 artifacts showed 33-50% at 3 epochs)
+            # a tunnel-outage pass can make t7 <= t1; record 0 (visibly
             # poisoned) rather than an absurd rate the headline max()
             # would pick up
-            rates.append(3 * len(ds) / (t4 - t1) if t4 > t1 else 0.0)
+            rates.append(6 * len(ds) / (t7 - t1) if t7 > t1 else 0.0)
     return rates
 
 
