@@ -400,15 +400,14 @@ def measure_extract_rows_s(passes: int = 5) -> list:
 
 
 def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
-    """Device-resident training throughput (samples/s/chip): the
-    MARGINAL-epoch rate of train_loop on a slice of the bench fixture —
-    time a 1-epoch and a 4-epoch run and rate the 3 extra epochs. A
-    single-epoch rate would be dominated by train_loop's fixed costs
-    (dataset HBM upload ~2x20 MB through the link + final eval), which
-    measured ~2.9 s against a ~0.6 s marginal epoch; the difference
-    protocol isolates the steady-state plane the way a real multi-epoch
-    train does. Compile is warmed by a first run (jit cache is
-    per-process)."""
+    """Device-resident training throughput (samples/s/chip): per-EPOCH
+    rates from train_loop's own internal epoch timings (epoch_seconds),
+    skipping epoch 1 (compiles + first uploads). The round-3/4 protocol
+    differenced the wall-clocks of a 1-epoch and a 4-epoch RUN, but
+    run-level fixed costs grew to ~26 s under tunnel weather while 3
+    marginal epochs cost ~1.4 s — the difference drowned in run-to-run
+    noise (rates spread 33-50%, occasionally <= 0). Internal timings
+    see only the training dispatches + eval boundaries."""
     from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
     from deepsignal_plant_tpu.io.dataset import FeatureDataset
     from deepsignal_plant_tpu.pipeline.train import train_loop
@@ -427,28 +426,12 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
         mcfg = ModelConfig(dropout_rate=0.5,
                            compute_dtype=resolve_compute_dtype("auto"))
 
-        def run(epochs: int) -> float:
-            kw = dict(batch_size=512, max_epoch_num=epochs,
-                      min_epoch_num=epochs,
-                      step_interval=10 ** 9)  # no mid-epoch eval sweeps
-            t0 = time.time()
-            train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
-                       verbose=False)
-            return time.time() - t0
-
-        run(1)                                                    # warm
-        rates = []
-        for _ in range(passes):
-            t1 = run(1)
-            t7 = run(7)
-            # 6 marginal epochs (was 3): the difference of two
-            # tunnel-weathered wall-clocks has variance ~independent of
-            # the window, so a wider window halves the rate spread
-            # (round-4 artifacts showed 33-50% at 3 epochs)
-            # a tunnel-outage pass can make t7 <= t1; record 0 (visibly
-            # poisoned) rather than an absurd rate the headline max()
-            # would pick up
-            rates.append(6 * len(ds) / (t7 - t1) if t7 > t1 else 0.0)
+        kw = dict(batch_size=512, max_epoch_num=passes + 1,
+                  min_epoch_num=passes + 1,
+                  step_interval=10 ** 9)      # no mid-epoch eval sweeps
+        res = train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
+                         verbose=False)
+        rates = [len(ds) / s for s in res["epoch_seconds"][1:]]
     return rates
 
 

@@ -991,11 +991,13 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
             if verbose:
                 print("resuming training from epoch {} (step {})".format(
                     start_epoch, global_step))
+    epoch_seconds: list[float] = []
     for epoch in range(start_epoch, train_cfg.max_epoch_num):
         curr_best_accuracy_epoch = 0.0
         no_best_model = True
         tlosses: list[float] = []
         tic = time.time()
+        epoch_t0 = tic
         # exactly steps_per_epoch iterations on every host (hosts' shards
         # can differ by a row; collectives require identical step counts)
         def _epoch_batches():
@@ -1096,6 +1098,7 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                         or (i + 1) == steps_per_epoch:
                     _eval_boundary(i + 1)
         epochs_run = epoch + 1
+        epoch_seconds.append(time.time() - epoch_t0)
         if state_path is not None and pid == 0:
             save_train_state(state_path, params, opt_state, epoch + 1,
                              global_step, curr_best_accuracy)
@@ -1108,4 +1111,8 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         print("[main] train costs {:.1f} seconds, best accuracy: {}".format(
             time.time() - t_start, curr_best_accuracy))
     return {"best_accuracy": curr_best_accuracy, "best_ckpt": best_ckpt,
-            "epochs_run": epochs_run, "params": jax.device_get(params)}
+            "epochs_run": epochs_run, "params": jax.device_get(params),
+            # wall per epoch (training dispatches + eval boundaries, not
+            # dataset upload/compile): epoch 0 pays the compiles, later
+            # entries are the steady-state rate bench.py reports
+            "epoch_seconds": epoch_seconds}
