@@ -1047,11 +1047,12 @@ class CallModsEngine:
                 and npz_files is None and os.path.isfile(input_path)):
             return self._run_fast_tsv(input_path, result_path, is_gzip,
                                       target)
-        if npz_files is not None:
+        if npz_files is not None and not getattr(self, "_warned_v1", False):
             # v1 (wire_ver 0) reaches here: DEPRECATED for inference.
             # Its per-row sampleinfo Python strings cap the plane ~30%
             # below TSV/packed (BENCH r2-r4); it stays the training/
-            # tools container only.
+            # tools container only. Warn once per engine.
+            self._warned_v1 = True
             print("[warn] v1 .npz feature batches are DEPRECATED as a "
                   "call_mods input (slow per-row string decode): "
                   "regenerate with extract --w_format npz_packed (or "
