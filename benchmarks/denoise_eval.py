@@ -107,7 +107,8 @@ def main() -> None:
     truth_before = purity(meta["train_tsv"])
 
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
-        [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+        [REPO] + [p for p in os.environ.get("PYTHONPATH", "")
+                  .split(os.pathsep) if p]))
     t0 = time.time()
     cmd = [sys.executable, "-m", "deepsignal_plant_tpu", "denoise",
            "--train_file", noisy,

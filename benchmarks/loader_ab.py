@@ -99,7 +99,7 @@ def load_packed_raw(path: str):
         z["centers"], z["codes"], z["base_means"], z["base_stds"],
         z["base_signal_lens"], z["signals"],
         z["labels"].astype(np.int32),
-        int(np.asarray(z["kmer_len"]).reshape(-1)[0]))
+        int(np.asarray(z.get("kmer_len", 13)).reshape(-1)[0]))
 
 
 def run_engine(engine, path: str, out: str) -> float:

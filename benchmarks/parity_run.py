@@ -207,8 +207,8 @@ def main() -> None:
     ref_env.pop("JAX_PLATFORMS", None)
     ours_env = dict(os.environ,
                     PYTHONPATH=os.pathsep.join(
-                        [REPO] + os.environ.get("PYTHONPATH", "").split(
-                            os.pathsep)))
+                        [REPO] + [p for p in os.environ.get(
+                            "PYTHONPATH", "").split(os.pathsep) if p]))
     py = sys.executable
     np_ = str(args.nproc)
     timings: dict[str, float] = {}

@@ -45,11 +45,21 @@ DEFAULT_OUT = os.path.join(REPO, "benchmarks", ".trained_fixture")
 #: bump when the fixture recipe changes (cache invalidation)
 FIXTURE_VERSION = 2
 
+#: meta keys whose paths must exist for a cached fixture to be valid
+_ARTIFACT_KEYS = ("fasta", "eval_fast5_dir", "eval_features",
+                  "torch_ckpt", "npz_ckpt", "train_tsv", "valid_tsv")
+
+
+def _meta_valid(meta: dict) -> bool:
+    return meta.get("version") == FIXTURE_VERSION and all(
+        os.path.exists(meta.get(k, "")) for k in _ARTIFACT_KEYS)
+
 
 def _extract(fast5_dir: str, fasta: str, out_tsv: str, methy_label: int,
              motifs: str, nproc: int = 4) -> None:
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
-        [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+        [REPO] + [p for p in os.environ.get("PYTHONPATH", "")
+                  .split(os.pathsep) if p]))
     cmd = [sys.executable, "-m", "deepsignal_plant_tpu", "extract",
            "--fast5_dir", fast5_dir, "--write_path", out_tsv,
            "--reference_path", fasta, "--motifs", motifs,
@@ -72,10 +82,7 @@ def build_fixture(out_dir: str = DEFAULT_OUT, seed: int = 1234,
     if not force and os.path.isfile(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("version") == FIXTURE_VERSION and all(
-                os.path.exists(meta[k]) for k in
-                ("fasta", "eval_fast5_dir", "eval_features", "torch_ckpt",
-                 "npz_ckpt", "train_tsv", "valid_tsv")):
+        if _meta_valid(meta):
             return meta
 
     import numpy as np
@@ -220,13 +227,11 @@ def ensure_fixture(out_dir: str = DEFAULT_OUT, cpu: bool = True) -> dict:
             meta = json.load(fh)
         # same artifact-existence check as build_fixture: a partially
         # deleted fixture dir must trigger a rebuild, not dangling paths
-        if meta.get("version") == FIXTURE_VERSION and all(
-                os.path.exists(meta[k]) for k in
-                ("fasta", "eval_fast5_dir", "eval_features", "torch_ckpt",
-                 "npz_ckpt", "train_tsv", "valid_tsv")):
+        if _meta_valid(meta):
             return meta
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
-        [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+        [REPO] + [p for p in os.environ.get("PYTHONPATH", "")
+                  .split(os.pathsep) if p]))
     if cpu:
         env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, os.path.abspath(__file__),

@@ -75,14 +75,19 @@ def get_native_lib():
         # a stale .so may predate the current ABI: fastparse._configure
         # sets argtypes for EVERY exported symbol unconditionally, so a
         # library missing any of them would crash the first native call
-        # with AttributeError instead of falling back to numpy. Probe the
-        # newest symbol; on a miss, disable the native path entirely.
-        if not hasattr(_lib, "dsp_rect_compat"):
+        # with AttributeError instead of falling back to numpy. Run the
+        # real _configure as the probe — it covers exactly the symbol
+        # set the code will use, so this can't drift when new exports
+        # are added (round-4 review).
+        try:
+            from ..utils.fastparse import _configure
+            _configure(_lib)
+        except AttributeError as exc:
             import sys
             sys.stderr.write(
                 "[warn] existing libdsp_native.so is too old for this "
-                "version (missing symbols) and no toolchain can rebuild "
-                "it — native fast paths disabled (numpy fallbacks)\n")
+                "version ({}) and no toolchain can rebuild it — native "
+                "fast paths disabled (numpy fallbacks)\n".format(exc))
             _lib = None
     if _lib is not None:
         # the native parse path allocates large per-block numpy buffers;

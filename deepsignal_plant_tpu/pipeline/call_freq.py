@@ -442,9 +442,24 @@ def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
     if mode == "never":
         return list(mods_files), False
     from ..parallel.multihost import allgather_bytes
-    ident = "\n".join("{}\t{}".format(os.path.abspath(f),
-                                      os.path.getsize(f))
-                      for f in sorted(mods_files))
+
+    def _fingerprint(f: str) -> str:
+        # size + head/tail sample hash: same-path files with EQUAL sizes
+        # but different content (per-host local shards written to the
+        # same path) must not pass the shared-list check — sharding that
+        # "shared" list would drop every host's local rows but host 0's
+        import hashlib
+        size = os.path.getsize(f)
+        h = hashlib.sha256()
+        with open(f, "rb") as fh:
+            h.update(fh.read(65536))
+            if size > 131072:
+                fh.seek(-65536, os.SEEK_END)
+            h.update(fh.read(65536))
+        return "{}\t{}\t{}".format(os.path.abspath(f), size,
+                                   h.hexdigest()[:16])
+
+    ident = "\n".join(_fingerprint(f) for f in sorted(mods_files))
     payloads = allgather_bytes(ident.encode())
     sets = [set(p.decode().splitlines()) if p else set() for p in payloads]
     if all(s == sets[0] for s in sets):
@@ -452,12 +467,13 @@ def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
         print("pod mode: shared input list; this host aggregates {} of {} "
               "file(s)".format(len(out), len(mods_files)))
         return out, True
-    # Disjointness is judged on PATHS alone: the (path, size) pairs above
+    # Disjointness is judged on PATHS alone: the full fingerprints above
     # must match exactly for the shared-shard route, but the same path
-    # observed with two different sizes (stale NFS attribute cache, a
-    # file still flushing) is NOT two disjoint files — treating it as
-    # such would hand the full list to every host and silently multiply
-    # that file's counts by process_count.
+    # observed with two different sizes/contents (stale NFS attribute
+    # cache, a file still flushing, per-host local files at one path) is
+    # NOT two disjoint files — treating it as such would hand the full
+    # list to every host and silently multiply that file's counts by
+    # process_count.
     path_sets = [set(line.split("\t", 1)[0] for line in s) for s in sets]
     if sum(len(s) for s in path_sets) == len(set().union(*path_sets)):
         print("pod mode: disjoint per-host inputs; this host aggregates "
@@ -465,10 +481,10 @@ def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
         return list(mods_files), False
     raise ValueError(
         "pod call_freq: input file lists neither match exactly across "
-        "hosts (same paths AND sizes) nor are pairwise disjoint — e.g. a "
-        "partially overlapping partition, or one shared file observed "
-        "with different sizes on two hosts (stale NFS cache / still "
-        "being written). Refusing to guess the partition (counts would "
+        "hosts (same paths, sizes, and content samples) nor are pairwise "
+        "disjoint — e.g. a partially overlapping partition, one shared "
+        "file observed mid-write / through a stale NFS cache, or "
+        "per-host LOCAL files living at the same path. Refusing to guess the partition (counts would "
         "be dropped or double-counted). Pass --pod_shard_inputs always "
         "(shared filesystem) or never (disjoint per-host inputs) to "
         "assert the layout.")

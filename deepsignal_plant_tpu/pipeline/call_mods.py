@@ -395,7 +395,8 @@ class CallModsEngine:
 
     def _resolve_target(self, input_path: str) -> int:
         """Auto device_batch: next power of two covering the estimated row
-        count, clamped to [AUTO_MIN_BATCH, the attachment-aware max (AUTO_MAX_BATCH_REMOTE 4096 / _DIRECT 32768)] — tiny inputs
+        count, clamped to [AUTO_MIN_BATCH, the attachment-aware
+        AUTO_MAX_BATCH_REMOTE 4096 / _DIRECT 32768] — tiny inputs
         skip full-width padding, big inputs get the latency-amortizing
         width. Explicit --device_batch always wins."""
         if not self._auto_batch:
@@ -560,13 +561,15 @@ class CallModsEngine:
         density*n base-rows per site vs the per-site plane's seq_len:
         byte parity at density = seq_len/n. A user staging npz_packed
         for an 8-chip host behind a REMOTE-ATTACHED link would otherwise
-        silently ship ~8x bases — the engine converts packed->per-site
-        on host instead (to_raw_block), which also keeps transfer_dtype
-        semantics. On DIRECT-attached multi-device hosts the tightening
-        does not apply: PCIe/ICI makes wire bytes ~free there, and the
-        packed step's real win on those rigs is skipping the host-side
-        13x window materialization (_build_packed_step's comment) — the
-        resource that actually binds."""
+        silently ship ~8x bases — blocks past the threshold route to
+        the per-site step instead (host window gather, batch sharded
+        P(axis); _run_fast_packed's take_persite), per BLOCK, so dense
+        blocks on a small remote mesh (density < seq_len/n) still get
+        the dedup win. On DIRECT-attached multi-device hosts the
+        tightening does not apply: PCIe/ICI makes wire bytes ~free
+        there, and the packed step's real win on those rigs is skipping
+        the host-side 13x window materialization (_build_packed_step's
+        comment) — the resource that actually binds."""
         if self.call_cfg.packed_wire == "force":
             return float("inf")
         if self.call_cfg.packed_wire == "off":
@@ -609,29 +612,25 @@ class CallModsEngine:
             AsyncWriter(result_path, is_gzip).close()
             return CallStats()
         thr = self.packed_density_threshold()
-        if thr < self.PACKED_MAX_BASES_PER_SITE:
-            # packed wire disabled (--packed_wire off, thr 0), or a
-            # REMOTE multi-device mesh (thr tightened to seq_len/n): the
-            # packed step replicates its base arrays per device, so even
-            # a MATERIALIZED block would ship n*seq_len base-rows per
-            # site there — strictly worse than the per-site step, whose
-            # batch shards P(axis) and ships seq_len rows per site total.
-            # The whole stream takes the per-site plane; the route
-            # depends only on the mesh (never on block-0 data, the
-            # round-3 flaw). Practically no plant motif is dense enough
-            # (density < seq_len/n) for packed to win on such meshes.
+        if thr == 0.0:
+            # packed wire disabled (--packed_wire off): per-site plane
             return self._run_fast(
                 (pb.to_raw_block() for pb in chain([first], it)),
                 result_path, is_gzip, target)
-        # per-BLOCK density routing (round-3 verdict: block 0 used to
-        # decide the plane for the whole run): dense blocks keep the
-        # deduplicated base axis; sparse blocks (the dedup loses on the
-        # wire past ~seq_len bases/site) materialize their windows but
-        # flow through the SAME packed device step, so a mixed or
-        # unrepresentative stream never flips the run and output bytes
-        # are independent of the per-block choice.
-        stream = (pb if pb.n_bases <= thr * pb.n else pb.materialize()
-                  for pb in chain([first], it))
+        # Per-BLOCK density routing (round-3 verdict: block 0 used to
+        # decide the plane for the whole run). Each block picks the
+        # cheaper wire for THIS mesh: dense blocks (density <= thr) keep
+        # the deduplicated base axis + on-device window gather (ships
+        # density — or density*n on replicated multi-device meshes —
+        # base-rows per site); sparse blocks gather their windows on
+        # host and ride the per-site step (batch sharded P(axis),
+        # seq_len rows per site regardless of mesh size). Both steps'
+        # dispatches interleave in one loop — batches are just
+        # route-homogeneous — so a mixed or unrepresentative stream
+        # never flips the run, and output bytes are independent of the
+        # per-block choice (same f16 window values into the same
+        # forward, gathered on device or on host).
+        stream = chain([first], it)
 
         nb = (seq_len - 1) // 2
         # Per-batch base-axis widths from a pow2 menu: each batch pads its
@@ -647,11 +646,17 @@ class CallModsEngine:
         t0 = time.time()
         writer = AsyncWriter(result_path, is_gzip)
 
+        def is_dense(pb) -> bool:
+            return pb.n_bases <= thr * pb.n
+
         def gen_batches():
-            """Yield ((codes, means, stds, lens, rect, centers), segments,
-            labels, n_valid); batches close when either the site target or
-            the base cap fills. centers stay valid under padding (pad
-            value nb gathers a real — discarded — window)."""
+            """Yield route-homogeneous batches:
+            ("packed", (codes, means, stds, lens, rect, centers), segs,
+            labels, n_valid) or ("persite", Batch, segs, labels,
+            n_valid). A batch closes when the site target fills, the
+            base cap fills (packed route), or the next block's route
+            differs. centers stay valid under padding (pad value nb
+            gathers a real — discarded — window)."""
             fifo: deque = deque()     # [pb, consumed_sites]
             pending = 0
             exhausted = False
@@ -666,13 +671,13 @@ class CallModsEngine:
                     fifo.append([pb, 0])
                     pending += pb.n
 
-            def take():
+            def take_packed():
                 nonlocal pending
                 segs = []
                 cols = {k: [] for k in ("codes", "means", "stds", "lens",
                                         "rect", "centers", "labels")}
                 ns = nbase = 0
-                while fifo and ns < target:
+                while fifo and ns < target and is_dense(fifo[0][0]):
                     ent = fifo[0]
                     pb, lo = ent
                     budget = nb_max - nbase
@@ -722,20 +727,63 @@ class CallModsEngine:
                 if ns < target:
                     centers = np.pad(centers, (0, target - ns),
                                      constant_values=nb)
-                return ((codes, means, stds, lens, rect, centers), segs,
+                return ("packed",
+                        (codes, means, stds, lens, rect, centers), segs,
                         labels, ns)
+
+            def take_persite():
+                nonlocal pending
+                segs = []
+                cols = {k: [] for k in ("kmer", "means", "stds", "lens",
+                                        "rect", "labels")}
+                ns = 0
+                while fifo and ns < target and not is_dense(fifo[0][0]):
+                    ent = fifo[0]
+                    pb, lo = ent
+                    hi = min(pb.n, lo + (target - ns))
+                    win = pb.window_index(lo, hi)
+                    cols["kmer"].append(pb.codes[win])
+                    cols["means"].append(pb.means[win])
+                    cols["stds"].append(pb.stds[win])
+                    cols["lens"].append(pb.lens[win])
+                    cols["rect"].append(pb.rect[win])
+                    cols["labels"].append(pb.labels[lo:hi])
+                    segs.append((pb, lo, hi))
+                    ns += hi - lo
+                    pending -= hi - lo
+                    if hi == pb.n:
+                        fifo.popleft()
+                    else:
+                        ent[1] = hi
+
+                def cat(k):
+                    p = cols[k]
+                    a = p[0] if len(p) == 1 else np.concatenate(p)
+                    if ns < target:
+                        a = np.pad(a, [(0, target - ns)] +
+                                   [(0, 0)] * (a.ndim - 1))
+                    return a
+                batch = Batch(kmer=cat("kmer"), base_means=cat("means"),
+                              base_stds=cat("stds"),
+                              base_signal_lens=cat("lens"),
+                              signals=cat("rect"))
+                labels = (cols["labels"][0] if len(cols["labels"]) == 1
+                          else np.concatenate(cols["labels"]))
+                return ("persite", batch, segs, labels, ns)
 
             while True:
                 fill()
                 if not fifo:
                     return
-                yield take()
+                yield (take_packed() if is_dense(fifo[0][0])
+                       else take_persite())
 
         def _dispatch(item):
-            arrays, segs, labels, nv = item
+            route, payload, segs, labels, nv = item
             with PROFILER.stage("dispatch", nv):
-                return (_start_fetch(self._predict_packed(arrays)), segs,
-                        labels, nv)
+                probs = (self._predict_packed(payload)
+                         if route == "packed" else self._predict(payload))
+                return _start_fetch(probs), segs, labels, nv
 
         for probs, segs, labels, nv in bounded_thread_map(
                 _dispatch, gen_batches(),

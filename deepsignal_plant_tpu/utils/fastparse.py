@@ -532,40 +532,6 @@ class PackedFeatureBlock:
                                self.stds[win], self.lens[win],
                                self.rect[win], self.labels)
 
-    def materialize(self) -> "PackedFeatureBlock":
-        """Equivalent packed block with windows made explicit (no dedup):
-        base axis = per-site windows back to back, centers at
-        nb + i*kmer_len. Sparse blocks routed through this ship per-site
-        bytes (dedup would LOSE on them) while still flowing through the
-        same packed device step and batch assembler as dense blocks —
-        per-BLOCK density routing in call_mods._run_fast_packed, replacing
-        the round-3 whole-run plane flip decided by block 0's density.
-        The device gather reads identical window values either way, so
-        output bytes do not depend on which form a block took."""
-        L = self.kmer_len
-        nb = (L - 1) // 2
-        centers = np.arange(self.n, dtype=np.int32) * np.int32(L) + \
-            np.int32(nb)
-        if self.src is not None:
-            rb = self.src       # windows already materialized (TSV path)
-            S = rb.signals.shape[2]
-            return PackedFeatureBlock(
-                self.raw, self.row_starts, self.info_ends, centers,
-                np.ascontiguousarray(rb.kmer).reshape(-1),
-                np.ascontiguousarray(rb.means).reshape(-1),
-                np.ascontiguousarray(rb.stds).reshape(-1),
-                np.ascontiguousarray(rb.slens).reshape(-1),
-                np.ascontiguousarray(rb.signals).reshape(-1, S),
-                self.labels, L, src=rb)
-        win = self.window_index()
-        return PackedFeatureBlock(
-            self.raw, self.row_starts, self.info_ends, centers,
-            self.codes[win].reshape(-1), self.means[win].reshape(-1),
-            self.stds[win].reshape(-1), self.lens[win].reshape(-1),
-            self.rect[win].reshape(-1, self.rect.shape[1]),
-            self.labels, L)
-
-
 def pack_raw_block(rb: RawFeatureBlock,
                    kmer_len: int | None = None) -> PackedFeatureBlock:
     """Rebuild the read-packed wire from parsed per-site rows (the TSV ->

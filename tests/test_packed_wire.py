@@ -501,9 +501,11 @@ def test_sparse_first_block_does_not_flip_run(tmp_path, feats_fixture,
     """VERDICT r3 item 7: routing is per BLOCK, not per run. A sparse
     first block (density > threshold) used to flip the ENTIRE run to the
     host-window plane and size the static base cap from block 0; now it
-    alone materializes its windows while the dense rest of the stream
-    keeps the deduplicated base axis — and the output is byte-identical
-    to the all-dedup (force) and per-site (off) planes either way."""
+    alone rides the per-site step (host window gather, batch sharded)
+    while the dense rest of the stream keeps the deduplicated base axis
+    on the packed step, dispatches interleaved in one loop — and the
+    output is byte-identical to the all-dedup (force) and per-site
+    (off) planes either way."""
     import deepsignal_plant_tpu.utils.fastparse as fp
     from deepsignal_plant_tpu.utils.fastparse import native_available
     if not native_available():
@@ -528,22 +530,20 @@ def test_sparse_first_block_does_not_flip_run(tmp_path, feats_fixture,
 
     auto = _make_engine(tmp_path, name="a.npz", packed_wire="auto")
     assert auto.packed_density_threshold() == pytest.approx(12.0)
-    counts = {"mat": 0, "packed": 0}
-    orig_mat = fp.PackedFeatureBlock.materialize
-    monkeypatch.setattr(
-        fp.PackedFeatureBlock, "materialize",
-        lambda self: (counts.__setitem__("mat", counts["mat"] + 1)
-                      or orig_mat(self)))
+    counts = {"persite": 0, "packed": 0}
     orig_p = auto._predict_packed
     auto._predict_packed = lambda *a, **k: (
         counts.__setitem__("packed", counts["packed"] + 1)
         or orig_p(*a, **k))
+    orig_s = auto._predict
+    auto._predict = lambda *a, **k: (
+        counts.__setitem__("persite", counts["persite"] + 1)
+        or orig_s(*a, **k))
     out_auto = str(tmp_path / "mixed_auto.tsv")
     st = auto.run_features_file(str(pdir), out_auto)
     assert st.sites == len(idx) + 2 * len(rows)
-    assert counts["mat"] == 1      # ONLY the sparse block materialized
+    assert counts["persite"] > 0   # the sparse block: per-site step
     assert counts["packed"] > 0    # dense stream stayed on-device gather
-    monkeypatch.undo()
 
     forced = _make_engine(tmp_path, name="b.npz", packed_wire="force")
     out_forced = str(tmp_path / "mixed_forced.tsv")
