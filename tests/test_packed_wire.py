@@ -553,3 +553,57 @@ def test_sparse_first_block_does_not_flip_run(tmp_path, feats_fixture,
     off.run_features_file(str(pdir), out_off)
     assert open(out_auto).read() == open(out_forced).read()
     assert open(out_auto).read() == open(out_off).read()
+
+
+def test_remote_small_mesh_keeps_packed_for_dense(tmp_path, feats_fixture,
+                                                  monkeypatch):
+    """r4 second-review fix: on a REMOTE 2-device mesh the threshold is
+    seq_len/2 = 6.5, which this dense fixture (~3-4 bases/site) does NOT
+    exceed — per-block routing must KEEP the deduplicated packed wire
+    (density*n = ~7 base-rows/site still beats the per-site step's 13),
+    where the earlier whole-stream reroute gave the dedup win away."""
+    import jax
+
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    from deepsignal_plant_tpu.pipeline import call_mods as cm
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pdir = tmp_path / "packed"
+    pdir.mkdir()
+    pb = features_to_packed(feats_list)
+    save_packed_npz(str(pdir / "000.npz"), pb)
+    density = pb.n_bases / pb.n
+
+    monkeypatch.setattr(cm, "mesh_is_remote", lambda mesh: True)
+    import deepsignal_plant_tpu.models.convert  # noqa: F401 (ckpt deps)
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    cfg = ModelConfig(hidden_size=32, dropout_rate=0.0)
+    ckpt = str(tmp_path / "m2.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(5), cfg), cfg)
+    eng = CallModsEngine(ckpt, cfg,
+                         CallConfig(device_batch=64,
+                                    transfer_dtype="float16",
+                                    packed_wire="auto"),
+                         mesh=make_mesh(jax.devices()[:2]))
+    thresh = eng.packed_density_threshold()
+    assert thresh == pytest.approx(6.5)
+    assert density < thresh
+    calls = {"packed": 0, "persite": 0}
+    orig_p = eng._predict_packed
+    eng._predict_packed = lambda *a, **k: (
+        calls.__setitem__("packed", calls["packed"] + 1)
+        or orig_p(*a, **k))
+    orig_s = eng._predict
+    eng._predict = lambda *a, **k: (
+        calls.__setitem__("persite", calls["persite"] + 1)
+        or orig_s(*a, **k))
+    out = str(tmp_path / "r2.tsv")
+    st = eng.run_features_file(str(pdir), out)
+    assert st.sites == len(rows)
+    assert calls["packed"] > 0     # dedup kept on the small remote mesh
+    assert calls["persite"] == 0
