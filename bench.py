@@ -327,7 +327,11 @@ def measure_train_resident_samples_s(passes: int = 5) -> list:
     from deepsignal_plant_tpu.pipeline.train import make_train_chunk
     from deepsignal_plant_tpu.utils.jaxinit import (resolve_compute_dtype,
                                                     resolve_recurrence)
-    K, B = 50, 2048
+    # B=512 is the measured optimum of the resident chunk (the
+    # reference's own default batch): interleaved sweep medians 182.4k /
+    # 198.0k / 175.9k / 143.7k / 132.3k / 124.1k samples/s at B = 256 /
+    # 512 / 1024 / 2048 / 4096 / 8192 (docs/BENCH.md round-4 sweep)
+    K, B = 200, 512
     N = K * B
     rng = np.random.default_rng(0)
     up = jax.jit(lambda x: x)
