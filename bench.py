@@ -94,9 +94,16 @@ def build_engine(ckpt_path: str):
                         os.environ.get("BENCH_COMPUTE_DTYPE", "auto")),
                     recurrence=resolve_recurrence(
                         "auto", allow_multi_device=True)),
+        # dispatch_workers: inherit the engine default (8 after the
+        # round-4 sweep) unless the env overrides — the old hard-coded
+        # BENCH_DISPATCH_WORKERS fallback of 4 silently pinned every
+        # BENCH_r02-r04 artifact to the round-2 tuning while the CLI
+        # default moved to 6 and then 8 (~+13% left on the floor)
         CallConfig(device_batch=DEVICE_BATCH,
-                   dispatch_workers=int(os.environ.get(
-                       "BENCH_DISPATCH_WORKERS", "4"))))
+                   **({"dispatch_workers":
+                       int(os.environ["BENCH_DISPATCH_WORKERS"])}
+                      if os.environ.get("BENCH_DISPATCH_WORKERS")
+                      else {})))
 
 
 def measure_passes(engine, features_path: str, warm_rows: int,
@@ -314,10 +321,10 @@ def measure_resident_sites_s(ckpt_path: str, features_path: str,
 def measure_train_resident_samples_s(passes: int = 5) -> list:
     """Steady-state resident-chunk training rate (samples/s/chip): K
     train steps per dispatch over data already in HBM, params mutating
-    every dispatch (the tunnel cannot memoize). This is the plane
-    docs/BENCH.md headlines (bf16-pallas 145.8k) — now measured
-    round-over-round in the driver artifact instead of only in a one-off
-    session (VERDICT r3 weak 3)."""
+    every dispatch (the tunnel cannot memoize). Now measured
+    round-over-round in the driver artifact at the swept optimum B=512
+    (~198k samples/s, docs/BENCH.md round-4 training-chunk sweep)
+    instead of only in one-off sessions (VERDICT r3 weak 3)."""
     import jax
 
     from deepsignal_plant_tpu.config import ModelConfig

@@ -66,6 +66,8 @@ for r in range(ROUNDS):
         eng = engines[b]
         eng.run_features_file(features, out)
         prof = eng.last_resident_profile
+        if not prof["compute_s"]:
+            continue            # degenerate input (no segments)
         rate = prof["rows"] / prof["compute_s"]
         rates[b].append(rate)
         print(f"round {r} b={b}: {rate:,.0f} sites/s compute "
@@ -73,6 +75,9 @@ for r in range(ROUNDS):
               flush=True)
 
 for b in ARMS:
+    if not rates[b]:
+        print(f"b={b}: no passes")
+        continue
     print(f"b={b}: median {statistics.median(rates[b]):,.0f} "
           f"best {max(rates[b]):,.0f} "
           f"all {[round(x) for x in rates[b]]}")
