@@ -178,6 +178,12 @@ def main() -> None:
             "best_valid_accuracy", "train_rows", "eval_rows", "seed")},
             "backend": backend, "timings_s": timings,
             "resolved": resolved, "gates": gates}, indent=2), "```", ""]
+    if os.path.exists(args.out) and "addendum" in open(args.out).read():
+        # the committed report carries manually appended addenda (e.g.
+        # the end-to-end accuracy section) — don't silently destroy them
+        args.out += ".new"
+        print(f"existing report has addenda; writing {args.out} instead "
+              f"(merge by hand)")
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines))
     print(f"report written to {args.out}")
