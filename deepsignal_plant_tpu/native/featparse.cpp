@@ -1116,10 +1116,16 @@ uint32_t mt_next(uint32_t* mt, uint32_t* idx) {
 }
 
 // _randbelow_with_getrandbits: k = n.bit_length() rejection sampling,
-// getrandbits(k<=32) = genrand_uint32() >> (32-k)
+// getrandbits(k<=32) = genrand_uint32() >> (32-k). Only valid for
+// n < 2^32: CPython's getrandbits(k>32) consumes multiple 32-bit words
+// and a (32-k) shift here would be negative (UB). Callers must bound n
+// (dsp_mt_sample_sorted returns -1 past the bound so the Python wrapper
+// falls back to random.sample); the clamp below is a second line of
+// defense, never a correct stream.
 int64_t mt_randbelow(uint32_t* mt, uint32_t* idx, int64_t n) {
     int k = 0;
     for (int64_t v = n; v; v >>= 1) ++k;
+    if (k > 32) return n - 1;  // unreachable via guarded entry points
     for (;;) {
         const int64_t r = int64_t(mt_next(mt, idx) >> (32 - k));
         if (r < n) return r;
@@ -1161,6 +1167,9 @@ void dsp_mt_seed(uint32_t* state, const uint32_t* key, int64_t klen) {
 int32_t dsp_mt_sample_sorted(uint32_t* state, int64_t n, int64_t k,
                              int64_t* out) {
     if (k < 0 || n < 0 || k > n) return -1;
+    // mt_randbelow matches CPython only for n < 2^32 (single getrandbits
+    // word); larger event counts must take the Python random.sample path
+    if (n > int64_t(0xffffffffll)) return -1;
     uint32_t* mt = state;
     uint32_t* idx = state + MT_N;
     int64_t setsize = 21;

@@ -419,6 +419,37 @@ def collect_mods_files(input_paths: list[str],
     return mods_files
 
 
+def _pod_input_fingerprint(f: str) -> str:
+    """Content fingerprint for the pod-mode shared-list cross-check.
+
+    size + sampled content hash: same-path files with EQUAL sizes but
+    different content (per-host local shards written to the same path)
+    must not pass the shared-list check — sharding that "shared" list
+    would drop every host's local rows but host 0's. Small files hash
+    whole; larger ones hash head + tail + strided interior chunks
+    (ADVICE r4: head/tail alone left same-size files differing only in
+    the middle indistinguishable). Still O(600 KiB) of IO per file
+    regardless of size."""
+    import hashlib
+    size = os.path.getsize(f)
+    h = hashlib.sha256()
+    chunk = 65536
+    with open(f, "rb") as fh:
+        if size <= 8 * chunk:               # <= 512 KiB: hash whole
+            for blk in iter(lambda: fh.read(chunk), b""):
+                h.update(blk)
+        else:
+            h.update(fh.read(chunk))                       # head
+            # 6 interior chunks at even strides through the middle
+            for i in range(1, 7):
+                fh.seek(chunk + (size - 2 * chunk) * i // 7)
+                h.update(fh.read(chunk))
+            fh.seek(-chunk, os.SEEK_END)                   # tail
+            h.update(fh.read(chunk))
+    return "{}\t{}\t{}".format(os.path.abspath(f), size,
+                               h.hexdigest()[:16])
+
+
 def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
         list[str], bool]:
     """Resolve the per-host input list in pod mode -> (files, shared_fs).
@@ -443,23 +474,7 @@ def _pod_resolve_inputs(mods_files: list[str], mode: str) -> tuple[
         return list(mods_files), False
     from ..parallel.multihost import allgather_bytes
 
-    def _fingerprint(f: str) -> str:
-        # size + head/tail sample hash: same-path files with EQUAL sizes
-        # but different content (per-host local shards written to the
-        # same path) must not pass the shared-list check — sharding that
-        # "shared" list would drop every host's local rows but host 0's
-        import hashlib
-        size = os.path.getsize(f)
-        h = hashlib.sha256()
-        with open(f, "rb") as fh:
-            h.update(fh.read(65536))
-            if size > 131072:
-                fh.seek(-65536, os.SEEK_END)
-            h.update(fh.read(65536))
-        return "{}\t{}\t{}".format(os.path.abspath(f), size,
-                                   h.hexdigest()[:16])
-
-    ident = "\n".join(_fingerprint(f) for f in sorted(mods_files))
+    ident = "\n".join(_pod_input_fingerprint(f) for f in sorted(mods_files))
     payloads = allgather_bytes(ident.encode())
     sets = [set(p.decode().splitlines()) if p else set() for p in payloads]
     if all(s == sets[0] for s in sets):

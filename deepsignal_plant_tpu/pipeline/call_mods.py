@@ -627,9 +627,16 @@ class CallModsEngine:
         # seq_len rows per site regardless of mesh size). Both steps'
         # dispatches interleave in one loop — batches are just
         # route-homogeneous — so a mixed or unrepresentative stream
-        # never flips the run, and output bytes are independent of the
-        # per-block choice (same f16 window values into the same
-        # forward, gathered on device or on host).
+        # never flips the run. Under float16/float32 transfer, output
+        # bytes are independent of the per-block choice (same window
+        # values into the same forward, gathered on device or on host).
+        # Under --wire_dtype int8 the routes may differ in the ~1e-3
+        # band: the packed route quantizes the deduplicated base slice
+        # (per-batch amax over bases, including gap bases no window
+        # gathers) while the per-site route quantizes gathered windows,
+        # and batch boundaries differ per route — so per-batch scales,
+        # and hence probs, can differ between auto/force/off (pinned by
+        # the int8 arm of test_sparse_first_block_does_not_flip_run).
         stream = chain([first], it)
 
         nb = (seq_len - 1) // 2

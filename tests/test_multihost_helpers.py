@@ -234,3 +234,42 @@ def test_call_freq_pod_mode_whole_genome_shards_files(tmp_path,
         nproc=1, device_agg=False))
     # host 0 of 2 must aggregate only ITS shard, not both files
     assert seen == ["calls.host0.tsv"]
+
+
+def test_pod_input_fingerprint_sees_interior_diffs(tmp_path):
+    """ADVICE r4: same-size files with identical head/tail but different
+    MIDDLES must fingerprint differently (head/tail-only sampling let
+    them pass the shared-list check and get sharded, dropping rows)."""
+    from deepsignal_plant_tpu.pipeline.call_freq import _pod_input_fingerprint
+
+    size = 1 << 20  # 1 MiB: well past the whole-file-hash cutoff
+    base = bytearray(b"x" * size)
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    a.write_bytes(bytes(base))
+    mid = bytearray(base)
+    # differs ONLY deep in the interior, at an offset inside the 3rd
+    # strided sample chunk (the old head/tail-only fingerprint read
+    # nothing between 64 KiB and size-64 KiB)
+    chunk = 65536
+    mid[chunk + (size - 2 * chunk) * 3 // 7 + 100] = ord("y")
+    b.write_bytes(bytes(mid))
+
+    fa = _pod_input_fingerprint(str(a))
+    fb = _pod_input_fingerprint(str(b))
+    # strip the path component; compare size+hash only
+    assert fa.split("\t", 1)[1] != fb.split("\t", 1)[1]
+
+    # identical contents at different paths -> same size+hash
+    c = tmp_path / "c.tsv"
+    c.write_bytes(bytes(base))
+    fc = _pod_input_fingerprint(str(c))
+    assert fa.split("\t", 1)[1] == fc.split("\t", 1)[1]
+
+    # small files hash whole: any single-byte diff is seen
+    s1 = tmp_path / "s1.tsv"
+    s2 = tmp_path / "s2.tsv"
+    s1.write_bytes(b"q" * 1000)
+    s2.write_bytes(b"q" * 999 + b"r")
+    assert (_pod_input_fingerprint(str(s1)).split("\t", 1)[1]
+            != _pod_input_fingerprint(str(s2)).split("\t", 1)[1])

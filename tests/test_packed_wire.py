@@ -555,6 +555,52 @@ def test_sparse_first_block_does_not_flip_run(tmp_path, feats_fixture,
     assert open(out_auto).read() == open(out_off).read()
 
 
+def test_mixed_routing_int8_band(tmp_path, feats_fixture):
+    """int8 arm of the route-identity contract (ADVICE r4): under
+    --wire_dtype int8 the packed route quantizes the deduplicated base
+    slice (per-batch amax over bases incl. gap bases) while the per-site
+    route quantizes gathered windows, and batch boundaries differ per
+    route — so auto/force/off are NOT byte-identical. The pinned
+    contract: identical site keys in identical order, probs within the
+    int8 quantization band, prob columns self-consistent."""
+    from deepsignal_plant_tpu.utils.fastparse import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    feats_list, rows = feats_fixture
+    pb = features_to_packed(feats_list)
+    idx = np.arange(0, pb.n, 15)
+    sparse = __import__("deepsignal_plant_tpu.utils.fastparse",
+                        fromlist=["PackedFeatureBlock"]).PackedFeatureBlock(
+        pb.raw, pb.row_starts[idx], pb.info_ends[idx], pb.centers[idx],
+        pb.codes, pb.means, pb.stds, pb.lens, pb.rect, pb.labels[idx],
+        pb.kmer_len)
+    pdir = tmp_path / "mixed8"
+    pdir.mkdir()
+    save_packed_npz(str(pdir / "000.npz"), sparse)
+    save_packed_npz(str(pdir / "001.npz"), pb)
+
+    outs = {}
+    for wire in ("auto", "force", "off"):
+        eng = _make_engine(tmp_path, name=f"i8_{wire}.npz",
+                           transfer_dtype="int8", packed_wire=wire)
+        out = str(tmp_path / f"mixed_i8_{wire}.tsv")
+        eng.run_features_file(str(pdir), out)
+        lines = open(out).read().splitlines()
+        keys = [l.split("\t")[:6] for l in lines]
+        probs = np.array([[float(l.split("\t")[6]), float(l.split("\t")[7])]
+                          for l in lines])
+        outs[wire] = (keys, probs)
+        assert np.all(probs >= 0.0) and np.all(probs <= 1.0)
+        assert np.allclose(probs.sum(axis=1), 1.0, atol=2e-3)
+
+    k_auto, p_auto = outs["auto"]
+    for wire in ("force", "off"):
+        k, p = outs[wire]
+        assert k == k_auto                       # same sites, same order
+        # probs differ only within the int8 per-batch-scale band
+        assert float(np.abs(p - p_auto).max()) < 0.05
+
+
 def test_remote_small_mesh_keeps_packed_for_dense(tmp_path, feats_fixture,
                                                   monkeypatch):
     """r4 second-review fix: on a REMOTE 2-device mesh the threshold is
