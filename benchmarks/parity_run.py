@@ -175,6 +175,12 @@ def main() -> None:
                          "is strong evidence (VERDICT r3 item 1), unlike "
                          "--synthetic's random-init weights where the "
                          "reference's own self-agreement is ~77%")
+    ap.add_argument("--fetch", action="store_true",
+                    help="resolve the PUBLISHED real data (4000 A. "
+                         "thaliana reads + arabnrice2-1 ckpt) via "
+                         "benchmarks/fetch_real_data.py — checksum-"
+                         "pinned download into benchmarks/.real_data, "
+                         "or a graceful SKIP (exit 0) offline")
     ap.add_argument("--n_reads", type=int, default=40)
     ap.add_argument("--read_len", type=int, default=3000)
     ap.add_argument("--motifs", default="CG")
@@ -184,7 +190,29 @@ def main() -> None:
 
     tmp_ctx = tempfile.TemporaryDirectory()
     tmp = tmp_ctx.name
-    if args.trained:
+    if args.fetch:
+        import fetch_real_data as frd
+        try:
+            paths = frd.fetch(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".real_data"))
+        except SystemExit as e:
+            if e.code == frd.EXIT_OFFLINE:
+                print("parity_run --fetch: real data unavailable offline "
+                      "— SKIPPING (the synthetic/--trained gates remain "
+                      "the offline evidence; see docs/PARITY_RUN.md)")
+                return
+            raise
+        missing = {"fast5_dir", "fasta", "torch_ckpt"} - set(paths)
+        if missing:
+            print("parity_run --fetch: assets fetched but {} not located "
+                  "after unpack — inspect benchmarks/.real_data"
+                  .format(sorted(missing)))
+            return
+        f5dir, fasta, ckpt = (paths["fast5_dir"], paths["fasta"],
+                              paths["torch_ckpt"])
+        if args.motifs == "CG":
+            args.motifs = "C"   # the published run calls all C contexts
+    elif args.trained:
         from trained_ckpt import ensure_fixture
         meta = ensure_fixture()
         f5dir, fasta, ckpt = (meta["eval_fast5_dir"], meta["fasta"],

@@ -180,3 +180,41 @@ def test_auto_device_batch_sizing(tmp_path, rng):
     st = eng.run_features_file(feat, out)
     assert st.sites == 40
     assert len(open(out).read().splitlines()) == 40
+
+
+def test_fetch_real_data_offline_paths(tmp_path, monkeypatch, capsys):
+    """VERDICT r4 item 6: the real-data fetch is one command when online
+    and a graceful, DISTINCT skip offline. check-only never touches the
+    network; verification failure is a different exit code."""
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    import fetch_real_data as frd
+
+    # missing assets + check_only -> EXIT_OFFLINE, no network calls
+    def boom(*a, **k):
+        raise AssertionError("check-only must not touch the network")
+    monkeypatch.setattr(frd, "download_gdrive", boom)
+    with pytest.raises(SystemExit) as ei:
+        frd.fetch(str(tmp_path), check_only=True)
+    assert ei.value.code == frd.EXIT_OFFLINE
+
+    # a fetch attempt with no egress -> EXIT_OFFLINE too
+    import urllib.error
+
+    def offline(*a, **k):
+        raise urllib.error.URLError("no egress")
+    monkeypatch.setattr(frd, "download_gdrive", offline)
+    with pytest.raises(SystemExit) as ei2:
+        frd.fetch(str(tmp_path))
+    assert ei2.value.code == frd.EXIT_OFFLINE
+
+    # pinned asset with wrong bytes -> VERIFY FAIL (not the skip path)
+    name = next(iter(frd.ASSETS))
+    (tmp_path / name).write_bytes(b"corrupt")
+    monkeypatch.setattr(frd, "load_lock",
+                        lambda: {name: {"sha256": "0" * 64}})
+    with pytest.raises(SystemExit) as ei3:
+        frd.fetch(str(tmp_path), check_only=True)
+    assert "VERIFY FAIL" in str(ei3.value)
