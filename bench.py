@@ -284,6 +284,23 @@ def measure_reference_e2e(features_path: str) -> float:
     return rate
 
 
+def _mfu_pct(sites_per_s: float) -> float:
+    """Model FLOP utilization of the flagship forward at the measured
+    chip-bound rate, against the chip's dense bf16 peak (the inference
+    engine computes in bf16 on TPU). Peak table by device_kind; unknown
+    kinds assume v5e (197 Tbf16F/s) — the rig's chip."""
+    import jax
+
+    from deepsignal_plant_tpu.config import ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import forward_flops_per_site
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+    flops = forward_flops_per_site(ModelConfig())
+    return round(sites_per_s * flops / peak * 100, 2)
+
+
 def measure_resident_sites_s(ckpt_path: str, features_path: str,
                              passes: int = 5) -> tuple[list, list]:
     """The device-resident inference plane: upload once per segment, one
@@ -644,6 +661,12 @@ def main() -> None:
             if res_compute else None),
         "resident_e2e_median": (round(statistics.median(res_e2e), 1)
                                 if res_e2e else None),
+        # FLOPs-based model FLOP utilization at the measured chip-bound
+        # rate (VERDICT r4 item 2): analytic forward matmul FLOPs/site
+        # (models/bilstm.forward_flops_per_site) x resident sites/s
+        # over the chip's bf16 peak
+        "mfu_pct": _mfu_pct(statistics.median(res_compute))
+        if res_compute else None,
         "extract_rows_s": (round(statistics.median(extract_rates), 1)
                            if extract_rates else None),
         "extract_passes": [round(r, 1) for r in extract_rates],

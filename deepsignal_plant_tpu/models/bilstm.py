@@ -92,10 +92,74 @@ def init_params(key: jax.Array, cfg: ModelConfig,
     return params
 
 
+# A/B kill switch for the fully-fused inference kernels (pallas
+# recurrence only): benchmarks/fused_infer_ab.py flips this to compare
+# against the round-4 einsum+recurrence-kernel path
+_FUSED_ENABLED = True
+
+
 def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _forward_fused_tm(params: Params, batch: Batch, cfg: ModelConfig
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Inference forward over the fully-fused time-major kernels
+    (ops/pallas_fused.py). Only the raw (B, T, F<=16) inputs transpose;
+    everything to the readout runs time-major, branch fc layers apply
+    row-split on the (fwd, bwd) halves so no concat materializes."""
+    from ..ops.pallas_fused import bilstm_stack_fused_tm
+    cdt = jnp.dtype(cfg.compute_dtype)
+    L = cfg.seq_len
+
+    def branch_fc(pair, fc, H):
+        # relu(cat(f, b) @ W + b) == relu(f @ W[:H] + b_ @ W[H:] + b)
+        w = fc["w"].astype(cdt)
+        f, b_ = pair
+        return jax.nn.relu(f @ w[:H] + b_ @ w[H:]
+                           + fc["b"].astype(cdt))
+
+    out_seq = out_signal = None
+    if cfg.module != "signal_bilstm":
+        feats = [batch.base_means.reshape(-1, L, 1),
+                 batch.base_stds.reshape(-1, L, 1)]
+        if cfg.is_signallen:
+            feats.append(batch.base_signal_lens.reshape(-1, L, 1))
+        if cfg.is_base:
+            feats = [params["embed"][batch.kmer.astype(jnp.int32)]] + feats
+        x_seq = jnp.concatenate([f.astype(cdt) for f in feats], axis=2)
+        pair = bilstm_stack_fused_tm(jnp.moveaxis(x_seq, 0, 1),
+                                     params["lstm_seq"], cfg.nhid_seq,
+                                     compute_dtype=cdt)
+        out_seq = branch_fc(pair, params["fc_seq"], cfg.nhid_seq)
+
+    if cfg.module != "seq_bilstm":
+        x_sig = jnp.moveaxis(batch.signals.astype(cdt), 0, 1)
+        pair = bilstm_stack_fused_tm(x_sig, params["lstm_signal"],
+                                     cfg.nhid_signal, compute_dtype=cdt)
+        out_signal = branch_fc(pair, params["fc_signal"], cfg.nhid_signal)
+
+    if cfg.module == "seq_bilstm":
+        comb_in = out_seq
+    elif cfg.module == "signal_bilstm":
+        comb_in = out_signal
+    else:
+        # the comb entry consumes the two branch outputs via row-split
+        # projection — the branch concat never materializes either
+        comb_in = (out_seq, out_signal)
+    ys_f, ys_b = bilstm_stack_fused_tm(comb_in, params["lstm_comb"],
+                                       cfg.hidden_size, compute_dtype=cdt,
+                                       last_layer_sequence=False)
+    out = jnp.concatenate([ys_f[0], ys_b[0]], axis=-1)    # (B, 2H)
+
+    out = out @ params["fc1"]["w"].astype(cdt) + params["fc1"]["b"].astype(cdt)
+    out = jax.nn.relu(out)
+    logits = out @ params["fc2"]["w"].astype(cdt) \
+        + params["fc2"]["b"].astype(cdt)
+    logits = logits.astype(jnp.float32)
+    return logits, jax.nn.softmax(logits, axis=1)
 
 
 def forward(params: Params, batch: Batch, cfg: ModelConfig,
@@ -109,8 +173,15 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
     # pallas carries a fused custom-VJP backward in both f32 and bf16
     # (bf16 storage/matmuls, f32 gate math and dW accumulation, f32 cell
     # states), so both inference and training honor cfg.recurrence at
-    # either compute dtype
+    # either compute dtype. Inference additionally upgrades "pallas" to
+    # the round-5 FULLY-fused time-major layer kernels (input projection
+    # computed inside the recurrence: the (T,2,B,4H) xproj tensor and
+    # every inter-layer concat/flip/transpose never touch HBM —
+    # ops/pallas_fused.py); train keeps the residual-saving trainable
+    # pair in ops/pallas_lstm.py.
     impl = cfg.recurrence
+    if impl == "pallas" and not train and _FUSED_ENABLED:
+        return _forward_fused_tm(params, batch, cfg)
 
     out_seq = out_signal = None
     if cfg.module != "signal_bilstm":
@@ -160,6 +231,39 @@ def forward(params: Params, batch: Batch, cfg: ModelConfig,
         + params["fc2"]["b"].astype(cdt)
     logits = logits.astype(jnp.float32)
     return logits, jax.nn.softmax(logits, axis=1)
+
+
+def forward_flops_per_site(cfg: ModelConfig) -> float:
+    """Analytic forward FLOPs per site (matmul MACs x2; elementwise and
+    embedding lookups excluded — they are <1% of the dot-product work).
+    Drives the bench's MFU metric: mfu = sites/s x flops_per_site /
+    chip_peak_flops."""
+    T = cfg.seq_len
+
+    def bilstm(in_size: int, H: int, n_layers: int) -> float:
+        total = 0.0
+        for li in range(n_layers):
+            F = in_size if li == 0 else 2 * H
+            # per dir per step: (F + H) x 4H MACs; x2 dirs x2 FLOP/MAC
+            total += 2 * 2 * T * (F + H) * 4 * H
+        return total
+
+    flops = 0.0
+    if cfg.module != "signal_bilstm":
+        flops += bilstm(cfg.seq_input_size, cfg.nhid_seq,
+                        cfg.num_layers_branch)
+        flops += 2 * T * (2 * cfg.nhid_seq) * cfg.nhid_seq     # fc_seq
+    if cfg.module != "seq_bilstm":
+        flops += bilstm(cfg.signal_len, cfg.nhid_signal,
+                        cfg.num_layers_branch)
+        flops += 2 * T * (2 * cfg.nhid_signal) * cfg.nhid_signal
+    comb_in = cfg.hidden_size if cfg.module == "both_bilstm" \
+        else 2 * (cfg.nhid_seq if cfg.module == "seq_bilstm"
+                  else cfg.nhid_signal)
+    flops += bilstm(comb_in, cfg.hidden_size, cfg.num_layers_comb)
+    flops += 2 * (2 * cfg.hidden_size) * cfg.hidden_size       # fc1
+    flops += 2 * cfg.hidden_size * cfg.num_classes             # fc2
+    return flops
 
 
 class ModelBiLSTM:
