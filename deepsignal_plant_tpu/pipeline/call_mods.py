@@ -19,7 +19,9 @@ TPU-native pipeline (one process per host, no mp queues):
 """
 from __future__ import annotations
 
+import sys
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import jax
@@ -121,14 +123,67 @@ class CallStats:
     # call_modifications.py:171-173; its report print is commented out at
     # :257-258, so we report the exact global equivalent instead)
     label_correct: int = 0
+    # dispatch-stall annotation (VERDICT r4 item 5): over the tunneled
+    # backend a weather storm can freeze one dispatch for minutes and
+    # silently poison a whole run's sites/s (BENCH_r04 tsv_passes[6] =
+    # 28k in a 280k run). The engine's watchdog counts dispatches whose
+    # device round trip exceeded the stall threshold and the total
+    # excess seconds, so callers (bench.py) can tell a storm session
+    # from a regression instead of absorbing it into a median.
+    stall_events: int = 0
+    stall_seconds: float = 0.0
 
     @property
     def sites_per_s(self) -> float:
         return self.sites / self.seconds if self.seconds else 0.0
 
     @property
+    def stalled(self) -> bool:
+        return self.stall_events > 0
+
+    @property
     def label_accuracy(self) -> float:
         return self.label_correct / self.sites if self.sites else 0.0
+
+
+class StallWatchdog:
+    """Per-run dispatch timer: flags device round trips that blow past
+    max(abs_floor_s, ratio x running median). Thread-safe enough for the
+    dispatch pool (GIL-atomic appends; the median is advisory)."""
+
+    def __init__(self, abs_floor_s: float = 5.0, ratio: float = 8.0):
+        self.abs_floor_s = abs_floor_s
+        self.ratio = ratio
+        self.durations: list[float] = []
+        self.stall_events = 0
+        self.stall_seconds = 0.0
+
+    def threshold(self) -> float:
+        d = self.durations
+        if len(d) >= 4:
+            med = sorted(d)[len(d) // 2]
+            return max(self.abs_floor_s, self.ratio * med)
+        return max(self.abs_floor_s, 30.0)   # cold: compiles are slow
+
+    @contextmanager
+    def track(self):
+        thr = self.threshold()
+        t0 = time.time()
+        yield
+        dt = time.time() - t0
+        self.durations.append(dt)
+        if dt > thr:
+            self.stall_events += 1
+            self.stall_seconds += dt - thr
+            sys.stderr.write(
+                "[warn] dispatch stall: one device round trip took "
+                "{:.1f}s (threshold {:.1f}s) — tunnel/backend storm, "
+                "not a workload property\n".format(dt, thr))
+
+    def fill(self, stats: "CallStats") -> "CallStats":
+        stats.stall_events = self.stall_events
+        stats.stall_seconds = round(self.stall_seconds, 3)
+        return stats
 
 
 def _estimate_rows(input_path: str) -> int | None:
@@ -518,9 +573,11 @@ class CallModsEngine:
             if pending:
                 yield take(pending, target)
 
+        wd = StallWatchdog()
+
         def _dispatch(item):
             batch, segs, labels, nv = item
-            with PROFILER.stage("dispatch", nv):
+            with PROFILER.stage("dispatch", nv), wd.track():
                 return _start_fetch(self._predict(batch)), segs, labels, nv
 
         for probs, segs, labels, nv in bounded_thread_map(
@@ -543,6 +600,7 @@ class CallModsEngine:
             stats.label_correct += int((called == (labels == 1)).sum())
         writer.close()
         stats.seconds = time.time() - t0
+        wd.fill(stats)
         return stats
 
     #: beyond this many bases per site the window dedup no longer pays on
@@ -785,9 +843,11 @@ class CallModsEngine:
                 yield (take_packed() if is_dense(fifo[0][0])
                        else take_persite())
 
+        wd = StallWatchdog()
+
         def _dispatch(item):
             route, payload, segs, labels, nv = item
-            with PROFILER.stage("dispatch", nv):
+            with PROFILER.stage("dispatch", nv), wd.track():
                 probs = (self._predict_packed(payload)
                          if route == "packed" else self._predict(payload))
                 return _start_fetch(probs), segs, labels, nv
@@ -814,6 +874,7 @@ class CallModsEngine:
             stats.label_correct += int((called == (labels == 1)).sum())
         writer.close()
         stats.seconds = time.time() - t0
+        wd.fill(stats)
         return stats
 
     #: resident-plane scan length cap: one dispatch covers up to
@@ -959,10 +1020,11 @@ class CallModsEngine:
             profile["upload_s"] += time.time() - tu
             return dev, segs, labels, nv
 
+        wd = StallWatchdog()
         for dev, segs, labels, nv in bounded_thread_map(
                 _upload, gen_segments(), workers=2, depth=2):
             tc = time.time()
-            with PROFILER.stage("dispatch", nv):
+            with PROFILER.stage("dispatch", nv), wd.track():
                 # resolve the step attribute inside the retry closure:
                 # the pallas->scan fallback swaps it via _rebuild_steps
                 probs = self._run_with_fallback(
@@ -989,6 +1051,7 @@ class CallModsEngine:
             stats.label_correct += int((called == (labels == 1)).sum())
         writer.close()
         stats.seconds = time.time() - t0
+        wd.fill(stats)
         profile["wall_s"] = stats.seconds
         self.last_resident_profile = profile
         return stats
@@ -1128,8 +1191,10 @@ class CallModsEngine:
         # transfer/RPC latency, not compute, bounds remote-attached TPUs);
         # results come back in order and are formatted on the main thread
         # while later steps are in flight.
+        wd = StallWatchdog()
+
         def _dispatch(pb):
-            with PROFILER.stage("dispatch", pb.n_valid):
+            with PROFILER.stage("dispatch", pb.n_valid), wd.track():
                 return _start_fetch(self.predict_probs(pb.features)), pb
 
         for probs, pb in bounded_thread_map(
@@ -1159,6 +1224,7 @@ class CallModsEngine:
                 (called == (fb.labels[:n_valid] == 1)).sum())
         writer.close()
         stats.seconds = time.time() - t0
+        wd.fill(stats)
         return stats
 
 

@@ -1,4 +1,6 @@
 """Regression tests for the round-1 code-review findings."""
+import os
+
 import numpy as np
 import pytest
 
@@ -94,3 +96,59 @@ def test_make_mesh_uses_local_devices():
     from deepsignal_plant_tpu.parallel.mesh import make_mesh
     mesh = make_mesh()
     assert mesh.devices.size == len(jax.local_devices())
+
+
+def test_stall_watchdog_flags_and_fills():
+    """VERDICT r4 item 5: the dispatch watchdog flags round trips past
+    max(floor, ratio x running median) and fills CallStats."""
+    from deepsignal_plant_tpu.pipeline.call_mods import (CallStats,
+                                                         StallWatchdog)
+    wd = StallWatchdog(abs_floor_s=0.01, ratio=8.0)
+    # cold threshold is lenient (compiles): max(floor, 30)
+    assert wd.threshold() >= 30.0
+    for _ in range(5):
+        with wd.track():
+            pass                       # ~0s dispatches
+    # warm now: median ~0 -> threshold = abs floor
+    assert wd.threshold() == pytest.approx(0.01)
+    import time as _t
+    with wd.track():
+        _t.sleep(0.05)                 # stall: 5x the floor
+    assert wd.stall_events == 1
+    assert wd.stall_seconds > 0.0
+    st = wd.fill(CallStats(sites=10, seconds=1.0))
+    assert st.stalled and st.stall_events == 1
+
+    # clean runs stay unflagged
+    wd2 = StallWatchdog(abs_floor_s=5.0)
+    for _ in range(6):
+        with wd2.track():
+            pass
+    st2 = wd2.fill(CallStats())
+    assert not st2.stalled and st2.stall_seconds == 0.0
+
+
+def test_engine_run_reports_stall_fields(tmp_path):
+    """End-to-end: a normal engine run returns CallStats with the stall
+    fields present and zero (no storm on CPU)."""
+    import jax
+    import numpy as np
+
+    from deepsignal_plant_tpu.config import CallConfig, ModelConfig
+    from deepsignal_plant_tpu.models.bilstm import init_params
+    from deepsignal_plant_tpu.models.convert import save_checkpoint
+    from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
+    sys_path_tests = os.path.join(os.path.dirname(__file__))
+    import sys
+    sys.path.insert(0, sys_path_tests)
+    from make_synthetic import synth_feature_rows
+    rows = synth_feature_rows(np.random.default_rng(5), 4, 10)
+    feat = tmp_path / "f.tsv"
+    feat.write_text("\n".join(rows) + "\n")
+    cfg = ModelConfig(hidden_size=16, dropout_rate=0.0)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, init_params(jax.random.PRNGKey(0), cfg), cfg)
+    eng = CallModsEngine(ckpt, cfg, CallConfig(device_batch=16))
+    st = eng.run_features_file(str(feat), str(tmp_path / "o.tsv"))
+    assert st.sites == 40
+    assert st.stall_events == 0 and not st.stalled
