@@ -432,17 +432,16 @@ def measure_extract_rows_s(passes: int = 5) -> list:
 
 
 def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
-    """Device-resident training throughput (samples/s/chip): per-EPOCH
-    rates from train_loop's own internal epoch timings (epoch_seconds),
-    skipping epoch 1 (compiles + first uploads). The round-3/4 protocol
-    differenced the wall-clocks of a 1-epoch and a 4-epoch RUN, but
-    run-level fixed costs grew to ~26 s under tunnel weather while 3
-    marginal epochs cost ~1.4 s — the difference drowned in run-to-run
-    noise (rates spread 33-50%, occasionally <= 0). Internal timings
-    see only the training dispatches + eval boundaries."""
+    """Larger-than-HBM training throughput (samples/s/chip): the
+    chunked-resident SPILL plane (VERDICT r4 item 4) on a fixture forced
+    past the resident budget — double-buffered slab uploads + scan-chunk
+    training, replacing the per-step host-fed fallback this metric
+    measured through round 4 (73k samples/s in BENCH_r04). Per-EPOCH
+    rates from train_loop's internal epoch timings (epoch_seconds),
+    skipping epoch 1 (compiles + first uploads)."""
+    import deepsignal_plant_tpu.pipeline.train as T
     from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
     from deepsignal_plant_tpu.io.dataset import FeatureDataset
-    from deepsignal_plant_tpu.pipeline.train import train_loop
     from deepsignal_plant_tpu.utils.jaxinit import resolve_compute_dtype
 
     n_rows = min(N_ROWS, 32768)
@@ -453,18 +452,82 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
                 if i >= n_rows:
                     break
                 wf.write(line)
+        vsub = os.path.join(td, "valid.tsv")
+        with open(sub) as rf, open(vsub, "w") as wf:
+            for i, line in enumerate(rf):
+                if i >= 2048:
+                    break
+                wf.write(line)
         ds = FeatureDataset.from_file(sub)
-        vds = FeatureDataset.from_file(sub)  # tiny eval at epoch end only
+        vds = FeatureDataset.from_file(vsub)  # eval at epoch end only
         mcfg = ModelConfig(dropout_rate=0.5,
                            compute_dtype=resolve_compute_dtype("auto"))
 
-        kw = dict(batch_size=512, max_epoch_num=passes + 1,
-                  min_epoch_num=passes + 1,
-                  step_interval=10 ** 9)      # no mid-epoch eval sweeps
-        res = train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
-                         verbose=False)
+        # force the spill plane: budget < train+valid (so full-resident
+        # cannot engage) but >= 4x valid; slabs get (budget - 2*valid)/3
+        # bytes -> ~4 slabs per epoch on this fixture
+        budget = int(T.dataset_nbytes(ds) * 0.8)
+        assert T.dataset_nbytes(vds) * 4 <= budget
+        saved = T.RESIDENT_MAX_BYTES
+        T.RESIDENT_MAX_BYTES = budget
+        try:
+            kw = dict(batch_size=512, max_epoch_num=passes + 1,
+                      min_epoch_num=passes + 1,
+                      step_interval=10 ** 9)  # no mid-epoch eval sweeps
+            res = T.train_loop(mcfg, TrainConfig(**kw), ds, vds, None,
+                               verbose=False)
+        finally:
+            T.RESIDENT_MAX_BYTES = saved
         rates = [len(ds) / s for s in res["epoch_seconds"][1:]]
     return rates
+
+
+def measure_denoise_samples_s(features_path: str, passes: int = 5) -> list:
+    """Denoise throughput (VERDICT r4 item 8): one cross-rank round on
+    the resident plane — train a fresh model on one half, score the
+    other — which is the unit the denoise subcommand repeats up to 60
+    times (SURVEY §3.6 calls it the most compute-hungry subcommand;
+    reference denoise.py:28-173). Rate = (train rows x epochs + scored
+    rows) / wall of one train_then_score call; first call (compiles +
+    uploads) excluded, then ``passes`` timed calls."""
+    import jax
+
+    from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
+    from deepsignal_plant_tpu.io.dataset import FeatureDataset
+    from deepsignal_plant_tpu.pipeline.denoise import CrossRankTrainer
+    from deepsignal_plant_tpu.utils.jaxinit import resolve_compute_dtype
+
+    n_rows = min(N_ROWS, 32768)
+    with tempfile.TemporaryDirectory() as td:
+        half_a = os.path.join(td, "a.tsv")
+        half_b = os.path.join(td, "b.tsv")
+        with open(features_path) as rf, open(half_a, "w") as wa, \
+                open(half_b, "w") as wb:
+            for i, line in enumerate(rf):
+                if i >= n_rows:
+                    break
+                (wa if i % 2 == 0 else wb).write(line)
+        ds_a = FeatureDataset.from_file(half_a)
+        ds_b = FeatureDataset.from_file(half_b)
+        mcfg = ModelConfig(dropout_rate=0.5,
+                           compute_dtype=resolve_compute_dtype("auto"))
+        trainer = CrossRankTrainer(
+            mcfg, TrainConfig(batch_size=512, step_interval=10 ** 9))
+        trainer.RESIDENT_MIN_ROWS = 0   # bench fixture < production floor
+        epoch_num = 2
+        samples = len(ds_a) * epoch_num + len(ds_b)
+
+        def one_round(seed: int) -> float:
+            t0 = time.time()
+            scores = trainer.train_then_score(ds_a, ds_b, seed=seed,
+                                              epoch_num=epoch_num,
+                                              step_interval=10 ** 9)
+            jax.block_until_ready(scores)
+            np.asarray(scores)          # true barrier over the relay
+            return samples / (time.time() - t0)
+
+        one_round(0)                    # warm: compiles + uploads
+        return [one_round(s + 1) for s in range(passes)]
 
 
 def _probe_backend(timeout_s: int = 240) -> bool:
@@ -618,6 +681,12 @@ def main() -> None:
             print(f"# resident-train bench failed: {exc}", file=sys.stderr)
             train_res_rates = []
 
+        try:
+            denoise_rates = measure_denoise_samples_s(features_path)
+        except Exception as exc:
+            print(f"# denoise bench failed: {exc}", file=sys.stderr)
+            denoise_rates = []
+
     import statistics
 
     def split_passes(passes):
@@ -711,6 +780,15 @@ def main() -> None:
             round(statistics.median(train_res_rates), 1)
             if train_res_rates else None),
         "train_resident_passes": [round(r, 1) for r in train_res_rates],
+        # one cross-rank denoise round on the resident plane (train one
+        # half 2 epochs + score the other); see measure_denoise_samples_s
+        "denoise_samples_s": (round(statistics.median(denoise_rates), 1)
+                              if denoise_rates else None),
+        "denoise_passes": [round(r, 1) for r in denoise_rates],
+        "denoise_spread_pct": (
+            round((max(denoise_rates) - min(denoise_rates))
+                  / statistics.median(denoise_rates) * 100, 1)
+            if denoise_rates else None),
     }
     print(json.dumps(result))
 

@@ -943,6 +943,67 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                       len(train_ds), len(valid_ds), ndev,
                       train_cfg.step_interval))
 
+    # chunked-resident (spill) plane, VERDICT r4 item 4: a single-device
+    # in-memory dataset TOO BIG for HBM streams through it in slabs —
+    # each slab is uploaded once (double-buffered: the next slab's
+    # transfer overlaps the current slab's scan dispatches) and trains
+    # with the same one-dispatch-per-interval chunks as the resident
+    # plane. Shuffling is two-level (slab order + within-slab
+    # permutation, both from the run's host rng stream) — the same
+    # block-shuffle semantics the host-fed path already applies to
+    # streaming datasets. Replaces the per-step host-fed fallback
+    # (~73k samples/s in BENCH_r04) for any dataset size.
+    resident_spill = (not resident and not resident_sharded
+                      and train_cfg.device_resident != "never"
+                      and not multihost and sharding is None
+                      and hasattr(train_ds, "batch_at")
+                      and hasattr(valid_ds, "batch_at")
+                      and dataset_nbytes(valid_ds) * 4
+                      <= RESIDENT_MAX_BYTES)
+    if resident_spill:
+        dvalid, lvalid = device_put_dataset(valid_ds)
+        steps_eval_sp = max(1, int(np.ceil(len(valid_ds) / batch_size)))
+        eval_chunk_sp = make_eval_chunk(model_cfg, class_weights,
+                                        batch_size, steps_eval_sp,
+                                        len(valid_ds))
+        evaluate_fn = _resident_eval_fn(
+            lambda params: eval_chunk_sp(params, dvalid, lvalid))
+        # slab sizing: current + prefetched next slab + valid + model/
+        # activations must fit the budget -> each slab gets ~1/3 of what
+        # remains after the valid set; whole multiples of batch_size so
+        # only the last slab's last step is ragged
+        bytes_per_row = max(1, dataset_nbytes(train_ds) // len(train_ds))
+        slab_budget = max(batch_size * bytes_per_row,
+                          (RESIDENT_MAX_BYTES
+                           - 2 * dataset_nbytes(valid_ds)) // 3)
+        slab_rows = min(len(train_ds),
+                        max(batch_size, int(slab_budget // bytes_per_row)))
+        slab_rows -= slab_rows % batch_size
+        slab_rows = max(batch_size, slab_rows)
+        n_slabs = -(-len(train_ds) // slab_rows)
+        _chunk_cache_sp: dict = {}
+
+        def _train_chunk_sp(k: int, slab_n: int):
+            key_ = (k, slab_n)
+            if key_ not in _chunk_cache_sp:
+                _chunk_cache_sp[key_] = make_train_chunk(
+                    model_cfg, tx, class_weights, train_cfg.clip_grad, k,
+                    batch_size, slab_n)
+            return _chunk_cache_sp[key_]
+
+        def _upload_slab(si: int):
+            lo = si * slab_rows
+            hi = min(lo + slab_rows, len(train_ds))
+            b, l = train_ds.batch_at(np.arange(lo, hi))
+            return to_device((b, l)), hi - lo
+
+        if verbose:
+            print("chunked-resident (spill) data plane: {} train rows "
+                  "in {} slab(s) of <= {} rows, {} valid rows in HBM, "
+                  "{} steps/dispatch".format(
+                      len(train_ds), n_slabs, slab_rows, len(valid_ds),
+                      train_cfg.step_interval))
+
     if verbose:
         print("total_step: {}".format(steps_per_epoch))
     curr_best_accuracy = 0.0
@@ -1083,6 +1144,45 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 s0 += k
                 tlosses.extend(np.asarray(losses).tolist())
                 _eval_boundary(s0)
+        elif resident_spill:
+            # slab order reshuffles every epoch; slab si+1's upload runs
+            # on a single prefetch thread while slab si trains. Eval
+            # cadence matches the host path: every step_interval steps
+            # of the EPOCH (carry tracks the remainder across slabs).
+            from concurrent.futures import ThreadPoolExecutor
+            slab_order = rng_np.permutation(n_slabs)
+            step_in_epoch = 0
+            carry = 0
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(_upload_slab, int(slab_order[0]))
+                for oi in range(n_slabs):
+                    (dtrain_sp, ltrain_sp), slab_n = fut.result()
+                    if oi + 1 < n_slabs:
+                        fut = pool.submit(_upload_slab,
+                                          int(slab_order[oi + 1]))
+                    steps_slab = -(-slab_n // batch_size)
+                    perm = to_device(pad_epoch_perm(
+                        rng_np.permutation(slab_n), steps_slab,
+                        batch_size))
+                    s0 = 0
+                    while s0 < steps_slab:
+                        k = min(train_cfg.step_interval - carry,
+                                steps_slab - s0)
+                        params, opt_state, losses = _train_chunk_sp(
+                            k, slab_n)(params, opt_state, dtrain_sp,
+                                       ltrain_sp, perm, s0, global_step,
+                                       key)
+                        global_step += k
+                        s0 += k
+                        step_in_epoch += k
+                        carry += k
+                        tlosses.extend(np.asarray(losses).tolist())
+                        if carry >= train_cfg.step_interval:
+                            carry = 0
+                            _eval_boundary(step_in_epoch)
+                    del dtrain_sp, ltrain_sp, perm   # free HBM slab
+            if carry:
+                _eval_boundary(step_in_epoch)
         else:
             for i, (batch, labels, n_valid) in enumerate(_epoch_batches()):
                 mask = np.zeros(batch_size, np.float32)

@@ -183,3 +183,54 @@ def test_resident_sharded_matches_host_no_dropout(tmp_path):
                     jax.tree.leaves(r_sh["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_spill_plane_engages_and_trains(tmp_path, single_device_mesh,
+                                        monkeypatch, capsys):
+    """VERDICT r4 item 4: a dataset bigger than the HBM budget takes the
+    chunked-resident (spill) plane — double-buffered slab uploads, scan
+    chunks per slab — instead of the per-step host-fed fallback."""
+    rng = np.random.default_rng(71)
+    ds = _dataset(tmp_path, rng, 600, "big.npz")
+    vds = _dataset(tmp_path, rng, 96, "v.npz")
+    # budget: valid fits (x4), train+valid does NOT -> spill; slabs
+    # sized so several slabs exist
+    budget = T.dataset_nbytes(vds) * 4 + 100
+    assert T.dataset_nbytes(ds) + T.dataset_nbytes(vds) > budget
+    monkeypatch.setattr(T, "RESIDENT_MAX_BYTES", budget)
+
+    mcfg = ModelConfig(hidden_size=32, dropout_rate=0.5)
+    res = T.train_loop(
+        mcfg, TrainConfig(device_resident="auto", batch_size=48,
+                          max_epoch_num=2, min_epoch_num=2,
+                          step_interval=3), ds, vds, None, verbose=True)
+    out = capsys.readouterr().out
+    assert "chunked-resident (spill) data plane" in out
+    assert "slab(s)" in out
+    # trained: losses recorded, params finite
+    assert len(res["epoch_seconds"]) == 2
+    for leaf in jax.tree.leaves(res["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_spill_loss_decreases_like_host(tmp_path, single_device_mesh,
+                                        monkeypatch):
+    """Spill training learns the synthetic separable task to the same
+    ballpark accuracy as the host-fed path (shuffle semantics differ —
+    two-level block shuffle — so parity is statistical, not bitwise)."""
+    rng = np.random.default_rng(72)
+    ds = _dataset(tmp_path, rng, 480, "bt.npz")
+    vds = _dataset(tmp_path, rng, 96, "bv.npz")
+    kw = dict(batch_size=48, max_epoch_num=2, min_epoch_num=2,
+              step_interval=5, seed=3)
+
+    r_host = _run(ds, vds, "never", **kw)
+
+    budget = T.dataset_nbytes(vds) * 4 + 100
+    monkeypatch.setattr(T, "RESIDENT_MAX_BYTES", budget)
+    r_spill = _run(ds, vds, "auto", **kw)
+
+    acc_host = r_host["best_accuracy"]
+    acc_spill = r_spill["best_accuracy"]
+    assert acc_spill > 0.8, acc_spill              # separable fixture
+    assert abs(acc_spill - acc_host) < 0.15, (acc_spill, acc_host)
