@@ -442,7 +442,8 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
     import deepsignal_plant_tpu.pipeline.train as T
     from deepsignal_plant_tpu.config import ModelConfig, TrainConfig
     from deepsignal_plant_tpu.io.dataset import FeatureDataset
-    from deepsignal_plant_tpu.utils.jaxinit import resolve_compute_dtype
+    from deepsignal_plant_tpu.utils.jaxinit import (resolve_compute_dtype,
+                                                    resolve_recurrence)
 
     n_rows = min(N_ROWS, 32768)
     with tempfile.TemporaryDirectory() as td:
@@ -461,7 +462,9 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
         ds = FeatureDataset.from_file(sub)
         vds = FeatureDataset.from_file(vsub)  # eval at epoch end only
         mcfg = ModelConfig(dropout_rate=0.5,
-                           compute_dtype=resolve_compute_dtype("auto"))
+                           compute_dtype=resolve_compute_dtype("auto"),
+                           recurrence=resolve_recurrence(
+                               "auto", allow_multi_device=True))
 
         # force the spill plane: budget < train+valid (so full-resident
         # cannot engage) but >= 4x valid; slabs get (budget - 2*valid)/3
@@ -509,8 +512,11 @@ def measure_denoise_samples_s(features_path: str, passes: int = 5) -> list:
                 (wa if i % 2 == 0 else wb).write(line)
         ds_a = FeatureDataset.from_file(half_a)
         ds_b = FeatureDataset.from_file(half_b)
+        from deepsignal_plant_tpu.utils.jaxinit import resolve_recurrence
         mcfg = ModelConfig(dropout_rate=0.5,
-                           compute_dtype=resolve_compute_dtype("auto"))
+                           compute_dtype=resolve_compute_dtype("auto"),
+                           recurrence=resolve_recurrence(
+                               "auto", allow_multi_device=True))
         trainer = CrossRankTrainer(
             mcfg, TrainConfig(batch_size=512, step_interval=10 ** 9))
         trainer.RESIDENT_MIN_ROWS = 0   # bench fixture < production floor

@@ -299,7 +299,8 @@ def _resident_eval_fn(run_chunk):
 def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
                      class_weights: np.ndarray, clip_grad: float,
                      k_steps: int, batch_size: int, n_rows: int,
-                     acc_interval: int | None = None):
+                     acc_interval: int | None = None,
+                     dequant: bool = False):
     """``k_steps`` train steps in ONE dispatch: a jitted lax.scan whose
     body gathers batch ``t`` from the device-resident data by the epoch
     permutation (padded to steps*B; the tail step masks its padding).
@@ -314,12 +315,22 @@ def make_train_chunk(cfg: ModelConfig, tx: optax.GradientTransformation,
     K, B, N = k_steps, batch_size, n_rows
 
     def chunk(params, opt_state, data, labels_all, perm, epoch_step0,
-              global_step0, key):
+              global_step0, key, scales=None):
         def body(carry, t):
             params, opt_state = carry
             pos = epoch_step0 + t
             idx = jax.lax.dynamic_slice(perm, (pos * B,), (B,))
             batch = Batch(*(a[idx] for a in data))
+            if dequant:
+                # int8 spill wire: per-slab symmetric scales multiply
+                # back after the (cheap, B-row) gather — mirrors the
+                # inference engine's quantized step (call_mods._step_q)
+                batch = Batch(
+                    batch.kmer,
+                    batch.base_means.astype(jnp.float32) * scales[0],
+                    batch.base_stds.astype(jnp.float32) * scales[1],
+                    batch.base_signal_lens.astype(jnp.float32),
+                    batch.signals.astype(jnp.float32) * scales[2])
             labels = labels_all[idx]
             nv = jnp.clip(N - pos * B, 0, B)
             mask = (jnp.arange(B) < nv).astype(jnp.float32)
@@ -983,19 +994,73 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         n_slabs = -(-len(train_ds) // slab_rows)
         _chunk_cache_sp: dict = {}
 
+        # slab wire: re-uploads recur EVERY epoch (unlike the one-time
+        # resident upload), and on remote-attached links the transfer —
+        # not the chip — bounds the plane. int8 (the inference engine's
+        # remote wire: symmetric per-slab scales, dequant after the
+        # B-row gather on device) ships ~5.3x fewer bytes than f32;
+        # values are 6-decimal-rounded extractor outputs and forward
+        # computes in bf16 on TPU regardless, so the added noise is
+        # amax/254 per field. f16 fallback without the native quantizer
+        # (the numpy path holds the GIL; see call_mods).
+        from ..utils.fastparse import native_available
+        spill_int8 = (os.environ.get("DSP_TRAIN_SPILL_WIRE", "auto")
+                      in ("auto", "int8")) and native_available()
+
         def _train_chunk_sp(k: int, slab_n: int):
             key_ = (k, slab_n)
             if key_ not in _chunk_cache_sp:
                 _chunk_cache_sp[key_] = make_train_chunk(
                     model_cfg, tx, class_weights, train_cfg.clip_grad, k,
-                    batch_size, slab_n)
+                    batch_size, slab_n, dequant=spill_int8)
             return _chunk_cache_sp[key_]
 
-        def _upload_slab(si: int):
+        # slab wires are content-static across epochs (only the order
+        # and within-slab perms reshuffle): quantize once, cache on host
+        # up to a byte cap, re-upload per epoch
+        _slab_wire_cache: dict = {}
+        _slab_cache_cap = int(os.environ.get(
+            "DSP_SPILL_HOST_CACHE_BYTES", 4 << 30))
+
+        def _slab_wire(si: int):
+            hit = _slab_wire_cache.get(si)
+            if hit is not None:
+                return hit
             lo = si * slab_rows
             hi = min(lo + slab_rows, len(train_ds))
             b, l = train_ds.batch_at(np.arange(lo, hi))
-            return to_device((b, l)), hi - lo
+            if spill_int8:
+                from .call_mods import quantize_for_wire
+                wire, scales = quantize_for_wire(b)
+            else:
+                scales = None
+                wire = Batch(kmer=np.asarray(b.kmer, np.int8),
+                             base_means=np.asarray(b.base_means,
+                                                   np.float16),
+                             base_stds=np.asarray(b.base_stds,
+                                                  np.float16),
+                             base_signal_lens=np.asarray(
+                                 b.base_signal_lens, np.float16),
+                             signals=np.asarray(b.signals, np.float16))
+            out = (wire, np.asarray(l, np.int8), scales, hi - lo)
+            used = sum(sum(a.nbytes for a in c[0]) + c[1].nbytes
+                       for c in _slab_wire_cache.values())
+            if used + sum(a.nbytes for a in wire) <= _slab_cache_cap:
+                _slab_wire_cache[si] = out
+            return out
+
+        def _upload_slab(si: int):
+            wire, l, scales, n_sl = _slab_wire(si)
+            dev = to_device((wire, l))
+            return dev, scales, n_sl
+
+        # cross-epoch prefetch state: the executor persists over the
+        # whole run so the NEXT epoch's first slab uploads while the
+        # current epoch's last slab trains (the first slab of every
+        # epoch was otherwise a serial upload stall). Idle threads join
+        # at interpreter exit; slab refs die with this closure.
+        _sp_state: dict = {"pool": None, "fut": None, "fut_si": None,
+                           "next_order": None}
 
         if verbose:
             print("chunked-resident (spill) data plane: {} train rows "
@@ -1150,37 +1215,73 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
             # cadence matches the host path: every step_interval steps
             # of the EPOCH (carry tracks the remainder across slabs).
             from concurrent.futures import ThreadPoolExecutor
-            slab_order = rng_np.permutation(n_slabs)
+            if _sp_state["pool"] is None:
+                _sp_state["pool"] = ThreadPoolExecutor(max_workers=1)
+            pool = _sp_state["pool"]
+            if _sp_state["next_order"] is not None:
+                slab_order = _sp_state.pop("next_order")
+            else:
+                slab_order = rng_np.permutation(n_slabs)
             step_in_epoch = 0
             carry = 0
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(_upload_slab, int(slab_order[0]))
-                for oi in range(n_slabs):
-                    (dtrain_sp, ltrain_sp), slab_n = fut.result()
-                    if oi + 1 < n_slabs:
-                        fut = pool.submit(_upload_slab,
-                                          int(slab_order[oi + 1]))
-                    steps_slab = -(-slab_n // batch_size)
-                    perm = to_device(pad_epoch_perm(
-                        rng_np.permutation(slab_n), steps_slab,
-                        batch_size))
-                    s0 = 0
-                    while s0 < steps_slab:
-                        k = min(train_cfg.step_interval - carry,
-                                steps_slab - s0)
-                        params, opt_state, losses = _train_chunk_sp(
-                            k, slab_n)(params, opt_state, dtrain_sp,
-                                       ltrain_sp, perm, s0, global_step,
-                                       key)
-                        global_step += k
-                        s0 += k
-                        step_in_epoch += k
-                        carry += k
-                        tlosses.extend(np.asarray(losses).tolist())
-                        if carry >= train_cfg.step_interval:
-                            carry = 0
-                            _eval_boundary(step_in_epoch)
-                    del dtrain_sp, ltrain_sp, perm   # free HBM slab
+            pending_losses: list = []
+
+            def _drain_losses():
+                # loss fetches are deferred to eval boundaries: a
+                # per-chunk np.asarray would force one device round
+                # trip per slab and serialize the upload/compute
+                # overlap. Concatenate on HOST — a device
+                # jnp.concatenate eagerly compiles one executable per
+                # distinct ordering of the slab loss shapes (4 slabs ->
+                # up to 4 one-off ~300ms relay compiles, measured as 4
+                # slow epochs before steady state)
+                if pending_losses:
+                    tlosses.extend(np.concatenate(
+                        [np.asarray(x) for x in pending_losses]).tolist())
+                    pending_losses.clear()
+
+            if _sp_state["fut"] is None or \
+                    _sp_state["fut_si"] != int(slab_order[0]):
+                _sp_state["fut"] = pool.submit(_upload_slab,
+                                               int(slab_order[0]))
+            for oi in range(n_slabs):
+                (dtrain_sp, ltrain_sp), scales_sp, slab_n = \
+                    _sp_state["fut"].result()
+                if oi + 1 < n_slabs:
+                    nxt = int(slab_order[oi + 1])
+                else:
+                    # cross-epoch: prefetch the NEXT epoch's first slab
+                    # while this epoch's last slab trains (its order is
+                    # drawn now, consumed at the next epoch's entry)
+                    _sp_state["next_order"] = rng_np.permutation(n_slabs)
+                    nxt = int(_sp_state["next_order"][0])
+                _sp_state["fut"] = pool.submit(_upload_slab, nxt)
+                _sp_state["fut_si"] = nxt
+                steps_slab = -(-slab_n // batch_size)
+                # perm rides the dispatch as a numpy arg (the jit
+                # fast path) — no separate upload round trip
+                perm = pad_epoch_perm(
+                    rng_np.permutation(slab_n), steps_slab,
+                    batch_size)
+                s0 = 0
+                while s0 < steps_slab:
+                    k = min(train_cfg.step_interval - carry,
+                            steps_slab - s0)
+                    params, opt_state, losses = _train_chunk_sp(
+                        k, slab_n)(params, opt_state, dtrain_sp,
+                                   ltrain_sp, perm, s0, global_step,
+                                   key, scales_sp)
+                    global_step += k
+                    s0 += k
+                    step_in_epoch += k
+                    carry += k
+                    pending_losses.append(losses)
+                    if carry >= train_cfg.step_interval:
+                        carry = 0
+                        _drain_losses()
+                        _eval_boundary(step_in_epoch)
+                del dtrain_sp, ltrain_sp, perm   # free HBM slab
+            _drain_losses()
             if carry:
                 _eval_boundary(step_in_epoch)
         else:
