@@ -77,15 +77,18 @@ class CallConfig:
     device_batch: int | None = None
     f5_batch_size: int = 30
     num_parse_workers: int | None = None  # None = auto (cores, <=4)
-    dispatch_workers: int = 8     # concurrent jit dispatches (overlaps
+    dispatch_workers: int = 16    # concurrent jit dispatches (overlaps
                                   # per-call transfer latency). Interleaved
                                   # sweeps on the remote-attached v5e:
                                   # 2->4 +45% (r2), 4->6 +38% with the
-                                  # 4096 auto batch (r3); after the r4
-                                  # loader/routing changes 6->8 measured
-                                  # +6% (medians 311k/330k/333k at
-                                  # 6/8/10, benchmarks/workers_ab.py) —
-                                  # 10 adds nothing on a 4-core host.
+                                  # 4096 auto batch (r3), 6->8 +6% (r4).
+                                  # r5: the fused kernels cut per-batch
+                                  # compute 2.2x, so more in-flight
+                                  # round trips pay again — 8->16
+                                  # measured medians 191k->296k
+                                  # (storm-noisy session; 24/32 within
+                                  # noise of 16, benchmarks/
+                                  # workers_ab.py round-5 sweeps).
     # wire format host->device: "float16" halves transfer bytes (the model
     # computes in compute_dtype regardless); "float32" for exact parity;
     # "int8" quantizes means/stds/signals with per-batch scales dequantized
