@@ -398,7 +398,13 @@ def measure_train_resident_samples_s(passes: int = 5) -> list:
 def measure_extract_rows_s(passes: int = 5) -> list:
     """Host-side extraction throughput (rows/s): pooled packed-wire
     extraction over a synthetic tombo fast5 dir — the fused flagship
-    path's binding stage. Pure host CPU; no device involved."""
+    path's binding stage. Pure host CPU; no device involved.
+
+    Fixture sized so the ~2 s pool spawn actually amortizes: at 64
+    reads (~128k sites) the metric read ~51k rows/s while a SINGLE
+    extraction process runs ~220k rows/s steady (profiled r5) — the
+    artifact was measuring process-pool spawn, not extraction. 256
+    reads (~512k sites) puts spawn under ~25% of the pass."""
     import make_synthetic as ms
     from deepsignal_plant_tpu.pipeline.extract import (ExtractContext,
                                                        ExtractOptions,
@@ -408,10 +414,9 @@ def measure_extract_rows_s(passes: int = 5) -> list:
     with tempfile.TemporaryDirectory() as td:
         genome = ms.synth_genome(rng, {"chr1": 80000, "chr2": 80000})
         f5dir = os.path.join(td, "fast5s")
-        # C motif (1/4 density) + 8k-base reads: ~128k sites/pass so the
-        # ~2 s pool spawn amortizes and the canary reads steady-state
-        ms.synth_fast5_dir(f5dir, genome, rng, n_reads=64, read_len=8000,
-                           max_event_len=25)
+        # C motif (1/4 density) + 8k-base reads
+        ms.synth_fast5_dir(f5dir, genome, rng, n_reads=256,
+                           read_len=8000, max_event_len=25)
         ctx = ExtractContext.build(ExtractOptions(motifs="C"))
         # throwaway pass: file-cache + native-lib warm (the cold first
         # pass ran ~35% low and alone dominated the reported spread)
