@@ -512,9 +512,9 @@ def measure_train_samples_s(features_path: str, passes: int = 5) -> list:
                            recurrence=resolve_recurrence(
                                "auto", allow_multi_device=True))
 
-        # force the spill plane: budget < train+valid (so full-resident
-        # cannot engage) but >= 4x valid; slabs get (budget - 2*valid)/3
-        # bytes -> ~4 slabs per epoch on this fixture
+        # force the spill plane: budget < train+valid f32 (so
+        # full-resident cannot engage) but >= 4x valid; wire-aware slab
+        # sizing then yields >= 2 int8 slabs per epoch on this fixture
         budget = int(T.dataset_nbytes(ds) * 0.8)
         assert T.dataset_nbytes(vds) * 4 <= budget
         saved = T.RESIDENT_MAX_BYTES

@@ -53,6 +53,40 @@ EXIT_VERIFY_FAIL = 2
 EXIT_OFFLINE = 3
 
 
+def _verify_fail(msg: str) -> "SystemExit":
+    """SystemExit with the DOCUMENTED verify-failure status (2). A bare
+    SystemExit("msg") would exit 1 and collapse into the generic-failure
+    bucket wrappers branch on."""
+    print("VERIFY FAIL: " + msg, file=sys.stderr)
+    return SystemExit(EXIT_VERIFY_FAIL)
+
+
+def content_looks_valid(name: str, path: str) -> str | None:
+    """Magic-byte + size sanity BEFORE trusting bytes enough to pin
+    them: Google Drive serves quota/virus-scan interstitials as HTML
+    with status 200, and trust-on-first-use would otherwise permanently
+    pin the garbage. Returns an error string, or None when plausible."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        head = fh.read(512)
+    low = head.lstrip().lower()
+    if low.startswith(b"<!doctype") or low.startswith(b"<html"):
+        return "is an HTML page (Drive quota/interstitial), not data"
+    kind = ASSETS.get(name, {}).get("kind")
+    if kind == "tarball":
+        if not head.startswith(b"\x1f\x8b"):
+            return "not gzip data (bad magic)"
+        if size < (1 << 20):
+            return "implausibly small for the 4000-read tarball"
+    elif kind == "ckpt":
+        # torch checkpoints are zip archives (new format) or pickles
+        if not (head.startswith(b"PK\x03\x04") or head[:1] == b"\x80"):
+            return "not a torch checkpoint (neither zip nor pickle)"
+        if size < (1 << 20):
+            return "implausibly small for a 120M-param checkpoint"
+    return None
+
+
 def sha256_file(path: str, chunk: int = 1 << 20) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as fh:
@@ -125,12 +159,29 @@ def check_assets(dest: str) -> tuple[list[str], list[str], list[str]]:
             if sha256_file(path) == lock[name]["sha256"]:
                 verified.append(name)
             else:
-                raise SystemExit(
-                    "VERIFY FAIL: {} does not match pinned sha256 {}"
+                raise _verify_fail(
+                    "{} does not match pinned sha256 {}"
                     .format(name, lock[name]["sha256"]))
         else:
             unpinned.append(name)
     return verified, unpinned, missing
+
+
+def pin_present(dest: str, names: list[str]) -> None:
+    """Pin assets already on disk (e.g. copied out-of-band onto a
+    zero-egress rig) after a content sanity check — without this,
+    nothing but a fresh download could ever create the lockfile."""
+    lock = load_lock()
+    for name in names:
+        path = os.path.join(dest, name)
+        err = content_looks_valid(name, path)
+        if err:
+            raise _verify_fail("{} {}".format(name, err))
+        lock[name] = {"sha256": sha256_file(path),
+                      "gdrive_id": ASSETS[name]["gdrive_id"]}
+        print("pinned {} sha256={} (commit {})".format(
+            name, lock[name]["sha256"][:16], os.path.basename(LOCKFILE)))
+    save_lock(lock)
 
 
 def unpack(dest: str) -> dict:
@@ -166,9 +217,10 @@ def fetch(dest: str, check_only: bool = False) -> dict:
         if missing:
             print("MISSING: " + ", ".join(missing))
             raise SystemExit(EXIT_OFFLINE)
-        for n in unpinned:
-            print("[warn] {} present but not in {} — run a full fetch "
-                  "once to pin it".format(n, os.path.basename(LOCKFILE)))
+        if unpinned:
+            # present-but-unpinned (copied out-of-band): sanity-check
+            # and pin NOW — a "full fetch" only hashes what it downloads
+            pin_present(dest, unpinned)
         return unpack(dest)
 
     lock = load_lock()
@@ -181,11 +233,16 @@ def fetch(dest: str, check_only: bool = False) -> dict:
             print("SKIP: no network egress ({}) — real-data parity "
                   "cannot run on this rig; re-run when online".format(e))
             raise SystemExit(EXIT_OFFLINE)
+        err = content_looks_valid(name, path)
+        if err:
+            raise _verify_fail(
+                "downloaded {} {} — refusing to pin/keep it"
+                .format(name, err))
         digest = sha256_file(path)
         if name in lock and lock[name]["sha256"] != digest:
-            raise SystemExit(
-                "VERIFY FAIL: fresh download of {} has sha256 {} != "
-                "pinned {}".format(name, digest, lock[name]["sha256"]))
+            raise _verify_fail(
+                "fresh download of {} has sha256 {} != pinned {}"
+                .format(name, digest, lock[name]["sha256"]))
         if name not in lock:
             lock[name] = {"sha256": digest,
                           "gdrive_id": ASSETS[name]["gdrive_id"]}

@@ -257,10 +257,11 @@ def forward_flops_per_site(cfg: ModelConfig) -> float:
         flops += bilstm(cfg.signal_len, cfg.nhid_signal,
                         cfg.num_layers_branch)
         flops += 2 * T * (2 * cfg.nhid_signal) * cfg.nhid_signal
-    comb_in = cfg.hidden_size if cfg.module == "both_bilstm" \
-        else 2 * (cfg.nhid_seq if cfg.module == "seq_bilstm"
-                  else cfg.nhid_signal)
-    flops += bilstm(comb_in, cfg.hidden_size, cfg.num_layers_comb)
+    # comb layer 0 input is cfg.hidden_size for EVERY module variant:
+    # both = nhid_seq + nhid_signal = H; branch-only = that branch's fc
+    # output, whose width is nhid_* = H (config.py:44-55, init_params
+    # above builds lstm_comb[0] with in_size=cfg.hidden_size)
+    flops += bilstm(cfg.hidden_size, cfg.hidden_size, cfg.num_layers_comb)
     flops += 2 * (2 * cfg.hidden_size) * cfg.hidden_size       # fc1
     flops += 2 * cfg.hidden_size * cfg.num_classes             # fc2
     return flops

@@ -979,11 +979,40 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                                         len(valid_ds))
         evaluate_fn = _resident_eval_fn(
             lambda params: eval_chunk_sp(params, dvalid, lvalid))
+        # slab wire: re-uploads recur EVERY epoch (unlike the one-time
+        # resident upload), and on remote-attached links the transfer —
+        # not the chip — bounds the plane. int8 (the inference engine's
+        # remote wire: symmetric per-slab scales, dequant after the
+        # B-row gather on device) ships ~5.3x fewer bytes than f32;
+        # values are 6-decimal-rounded extractor outputs and forward
+        # computes in bf16 on TPU regardless, so the added noise is
+        # amax/254 per field. Auto mirrors the engine's attachment
+        # policy (call_mods.resolve_transfer_dtype): int8 only behind a
+        # remote link — on directly-attached chips the transfer is
+        # ~free, so skip the quantization noise and ship f16.
+        from ..utils.fastparse import native_available
+        from .call_mods import mesh_is_remote
+        _wire_req = os.environ.get("DSP_TRAIN_SPILL_WIRE", "auto")
+        if _wire_req == "int8" and not native_available():
+            raise ValueError(
+                "DSP_TRAIN_SPILL_WIRE=int8 needs the native quantizer "
+                "(the numpy path holds the GIL and is slower than f16); "
+                "build libdsp_native or use float16")
+        spill_int8 = (_wire_req == "int8"
+                      or (_wire_req == "auto" and native_available()
+                          and mesh_is_remote(mesh)))
         # slab sizing: current + prefetched next slab + valid + model/
         # activations must fit the budget -> each slab gets ~1/3 of what
         # remains after the valid set; whole multiples of batch_size so
-        # only the last slab's last step is ragged
-        bytes_per_row = max(1, dataset_nbytes(train_ds) // len(train_ds))
+        # only the last slab's last step is ragged. Sized in WIRE bytes
+        # (what actually lands in HBM), not the host f32 footprint —
+        # f32 sizing made int8 slabs ~4x smaller than the budget allows
+        # and quadrupled per-epoch upload round trips (review r5).
+        L, S = model_cfg.seq_len, model_cfg.signal_len
+        if spill_int8:      # int8 kmer/means/stds/signals + f16 lens
+            bytes_per_row = L * (1 + 1 + 1 + 2 + S) + 1
+        else:               # int8 kmer + f16 floats
+            bytes_per_row = L * (1 + 2 + 2 + 2 + 2 * S) + 1
         slab_budget = max(batch_size * bytes_per_row,
                           (RESIDENT_MAX_BYTES
                            - 2 * dataset_nbytes(valid_ds)) // 3)
@@ -993,19 +1022,6 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         slab_rows = max(batch_size, slab_rows)
         n_slabs = -(-len(train_ds) // slab_rows)
         _chunk_cache_sp: dict = {}
-
-        # slab wire: re-uploads recur EVERY epoch (unlike the one-time
-        # resident upload), and on remote-attached links the transfer —
-        # not the chip — bounds the plane. int8 (the inference engine's
-        # remote wire: symmetric per-slab scales, dequant after the
-        # B-row gather on device) ships ~5.3x fewer bytes than f32;
-        # values are 6-decimal-rounded extractor outputs and forward
-        # computes in bf16 on TPU regardless, so the added noise is
-        # amax/254 per field. f16 fallback without the native quantizer
-        # (the numpy path holds the GIL; see call_mods).
-        from ..utils.fastparse import native_available
-        spill_int8 = (os.environ.get("DSP_TRAIN_SPILL_WIRE", "auto")
-                      in ("auto", "int8")) and native_available()
 
         def _train_chunk_sp(k: int, slab_n: int):
             key_ = (k, slab_n)
@@ -1249,14 +1265,20 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     _sp_state["fut"].result()
                 if oi + 1 < n_slabs:
                     nxt = int(slab_order[oi + 1])
-                else:
+                elif epoch + 1 < train_cfg.max_epoch_num:
                     # cross-epoch: prefetch the NEXT epoch's first slab
                     # while this epoch's last slab trains (its order is
-                    # drawn now, consumed at the next epoch's entry)
+                    # drawn now, consumed at the next epoch's entry);
+                    # skipped after the final epoch — nothing consumes it
                     _sp_state["next_order"] = rng_np.permutation(n_slabs)
                     nxt = int(_sp_state["next_order"][0])
-                _sp_state["fut"] = pool.submit(_upload_slab, nxt)
-                _sp_state["fut_si"] = nxt
+                else:
+                    nxt = None
+                if nxt is not None:
+                    _sp_state["fut"] = pool.submit(_upload_slab, nxt)
+                    _sp_state["fut_si"] = nxt
+                else:
+                    _sp_state["fut"] = _sp_state["fut_si"] = None
                 steps_slab = -(-slab_n // batch_size)
                 # perm rides the dispatch as a numpy arg (the jit
                 # fast path) — no separate upload round trip
@@ -1265,8 +1287,13 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     batch_size)
                 s0 = 0
                 while s0 < steps_slab:
-                    k = min(train_cfg.step_interval - carry,
-                            steps_slab - s0)
+                    # chunk lengths ignore the eval carry so the jit
+                    # cache stays at <= 2 keys per slab shape (a
+                    # carry-ragged k cycled through O(step_interval)
+                    # distinct scan compiles, ~300ms each over the
+                    # relay); eval fires at the first chunk boundary
+                    # past the interval instead of exactly on it
+                    k = min(train_cfg.step_interval, steps_slab - s0)
                     params, opt_state, losses = _train_chunk_sp(
                         k, slab_n)(params, opt_state, dtrain_sp,
                                    ltrain_sp, perm, s0, global_step,

@@ -210,11 +210,34 @@ def test_fetch_real_data_offline_paths(tmp_path, monkeypatch, capsys):
         frd.fetch(str(tmp_path))
     assert ei2.value.code == frd.EXIT_OFFLINE
 
-    # pinned asset with wrong bytes -> VERIFY FAIL (not the skip path)
+    # pinned asset with wrong bytes -> the DOCUMENTED verify exit (2),
+    # distinct from offline (3) and from generic failure (1)
     name = next(iter(frd.ASSETS))
-    (tmp_path / name).write_bytes(b"corrupt")
+    for n in frd.ASSETS:
+        (tmp_path / n).write_bytes(b"corrupt")
     monkeypatch.setattr(frd, "load_lock",
                         lambda: {name: {"sha256": "0" * 64}})
     with pytest.raises(SystemExit) as ei3:
         frd.fetch(str(tmp_path), check_only=True)
-    assert "VERIFY FAIL" in str(ei3.value)
+    assert ei3.value.code == frd.EXIT_VERIFY_FAIL
+
+    # present-but-unpinned HTML interstitial must NOT get pinned
+    monkeypatch.setattr(frd, "load_lock", lambda: {})
+    saved = {}
+    monkeypatch.setattr(frd, "save_lock", saved.update)
+    for n in frd.ASSETS:
+        (tmp_path / n).write_bytes(
+            b"<!DOCTYPE html><html>quota exceeded</html>")
+    with pytest.raises(SystemExit) as ei4:
+        frd.fetch(str(tmp_path), check_only=True)
+    assert ei4.value.code == frd.EXIT_VERIFY_FAIL
+    assert not saved
+
+    # plausible out-of-band assets DO pin (magic bytes + size pass)
+    ck = [n for n in frd.ASSETS if frd.ASSETS[n]["kind"] == "ckpt"][0]
+    tb = [n for n in frd.ASSETS if frd.ASSETS[n]["kind"] == "tarball"][0]
+    (tmp_path / ck).write_bytes(b"PK\x03\x04" + b"\x00" * (1 << 20))
+    (tmp_path / tb).write_bytes(b"\x1f\x8b\x08" + b"\x00" * (1 << 20))
+    monkeypatch.setattr(frd, "unpack", lambda d: {})  # fake tar: skip
+    frd.fetch(str(tmp_path), check_only=True)
+    assert set(saved) == set(frd.ASSETS)

@@ -200,6 +200,9 @@ def test_spill_plane_engages_and_trains(tmp_path, single_device_mesh,
     monkeypatch.setattr(T, "RESIDENT_MAX_BYTES", budget)
 
     mcfg = ModelConfig(hidden_size=32, dropout_rate=0.5)
+    # force the int8 slab wire (auto only selects it on remote-attached
+    # links, mirroring the engine policy — CPU test rigs get f16)
+    monkeypatch.setenv("DSP_TRAIN_SPILL_WIRE", "int8")
     res = T.train_loop(
         mcfg, TrainConfig(device_resident="auto", batch_size=48,
                           max_epoch_num=2, min_epoch_num=2,
