@@ -78,12 +78,33 @@ for r in range(ROUNDS):
         print(f"round {r} b={b}: {st.sites_per_s:,.0f} sites/s "
               f"({st.seconds:.2f}s)", flush=True)
 
-# correctness cross-check: every arm must call every site identically
-ref_rows = sorted(open(outs[ARMS[0]]).readlines())
+# correctness cross-check. Byte identity across BATCH SIZES only holds
+# for f16/f32 wires; the int8 wire quantizes with per-batch amax
+# scales, so different batch compositions differ in the ~1.5e-4 prob
+# band (measured r5: zero call flips) — compare keys + flips + |dP|.
+ref_lines = sorted(open(outs[ARMS[0]]).readlines())
+wire = engines[ARMS[0]].call_cfg.transfer_dtype
 for b in ARMS[1:]:
-    assert sorted(open(outs[b]).readlines()) == ref_rows, \
-        f"device_batch={b} output differs from device_batch={ARMS[0]}"
-print(f"outputs identical across arms ({len(ref_rows)} rows)")
+    lines = sorted(open(outs[b]).readlines())
+    if wire in ("float16", "float32"):
+        assert lines == ref_lines, \
+            f"device_batch={b} output differs from device_batch={ARMS[0]}"
+    else:
+        import numpy as _np
+        ka = [ln.split("\t")[:6] for ln in ref_lines]
+        kb = [ln.split("\t")[:6] for ln in lines]
+        assert ka == kb, f"device_batch={b} site keys differ"
+        pa = _np.array([[float(ln.split("\t")[6]), float(ln.split("\t")[7])]
+                        for ln in ref_lines])
+        pb = _np.array([[float(ln.split("\t")[6]), float(ln.split("\t")[7])]
+                        for ln in lines])
+        flips = int(((pa[:, 1] > pa[:, 0]) != (pb[:, 1] > pb[:, 0])).sum())
+        dp = float(_np.abs(pa - pb).max())
+        assert flips == 0 and dp < 2e-3, (flips, dp)
+        print(f"b={b}: int8 per-batch-scale band vs {ARMS[0]}: "
+              f"max|dP|={dp:.2e}, 0 flips")
+print(f"outputs consistent across arms ({len(ref_lines)} rows, "
+      f"wire={wire})")
 
 for b in ARMS:
     print(f"b={b}: median {statistics.median(rates[b]):,.0f} "
