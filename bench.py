@@ -317,24 +317,36 @@ def measure_resident_sites_s(ckpt_path: str, features_path: str,
     from deepsignal_plant_tpu.pipeline.call_mods import CallModsEngine
     from deepsignal_plant_tpu.utils.jaxinit import (resolve_compute_dtype,
                                                     resolve_recurrence)
+    mcfg = ModelConfig(dropout_rate=0.0,
+                       compute_dtype=resolve_compute_dtype(
+                           os.environ.get("BENCH_COMPUTE_DTYPE", "auto")),
+                       recurrence=resolve_recurrence(
+                           "auto", allow_multi_device=True))
+    # ceiling engine: per-site resident (no on-device gather in the scan
+    # body) — the chip-bound compute window, comparable round over round
     engine = CallModsEngine(
-        ckpt_path,
-        ModelConfig(dropout_rate=0.0,
-                    compute_dtype=resolve_compute_dtype(
-                        os.environ.get("BENCH_COMPUTE_DTYPE", "auto")),
-                    recurrence=resolve_recurrence(
-                        "auto", allow_multi_device=True)),
+        ckpt_path, mcfg,
         CallConfig(device_batch=DEVICE_BATCH, device_resident="always",
-                   transfer_dtype="float16"))
+                   transfer_dtype="float16", packed_wire="off"))
+    # e2e engine: production defaults — packed slabs + on-device window
+    # gather (auto density routing) and the resolved transfer dtype
+    # (int8 slabs over the remote tunnel), so resident END-TO-END pays
+    # ~1/8-1/25 of the per-site upload bytes (round-5 packed-resident
+    # plane; the r4 e2e number uploaded 507 B/site f16 windows)
+    e2e_engine = CallModsEngine(
+        ckpt_path, mcfg,
+        CallConfig(device_batch=DEVICE_BATCH, device_resident="always"))
     compute_rates, e2e_rates = [], []
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "out.tsv")
         engine.run_features_file(features_path, out)        # warm compile
+        e2e_engine.run_features_file(features_path, out)
         for _ in range(passes):
             stats = engine.run_features_file(features_path, out)
             prof = engine.last_resident_profile
             if prof["compute_s"]:
                 compute_rates.append(prof["rows"] / prof["compute_s"])
+            stats = e2e_engine.run_features_file(features_path, out)
             e2e_rates.append(stats.sites_per_s)
     return compute_rates, e2e_rates
 

@@ -270,6 +270,13 @@ class CallModsEngine:
         self._step_packed = self._build_packed_step()
         self._step_packed_q = self._build_packed_step(quantized=True)
         self._step_resident = self._build_resident_step()
+        self._step_resident_packed = self._build_resident_packed_step()
+        self._step_resident_packed_q = self._build_resident_packed_step(
+            quantized=True)
+        # run-shaped blob steps (single-transfer packed-resident) are
+        # cached per (k, nb_width, target, S, quant, wire); cleared here
+        # so the pallas->scan fallback rebuilds them too
+        self._resident_blob_cache = {}
 
     def _build_step(self, quantized: bool = False):
         cfg = self.model_cfg
@@ -908,6 +915,68 @@ class CallModsEngine:
             _run, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(None, axis), check_vma=False))
 
+    def _build_resident_packed_step(self, quantized: bool = False):
+        """Resident segment over the read-packed wire: per scan chunk the
+        deduplicated base slab (NB bases) rides HBM instead of the B x
+        seq_len per-site windows, and the kmer windows are gathered ON
+        DEVICE inside the scan body. Cuts the resident upload to
+        ~bases-per-site/seq_len of the per-site bytes — the lever for the
+        resident plane's END-TO-END rate, which is upload-bound on
+        remote-attached links (docs/BENCH.md round-4: resident e2e 72k vs
+        285k streaming; the compute window itself is unchanged ~1M/s).
+        Per-chunk arrays: codes (K, NB) int8, means/stds (K, NB) wire,
+        lens (K, NB) f16, rect (K, NB, S) wire, centers (K, B) int32
+        [, scales (K, 3) f32 when quantized]."""
+        import jax.numpy as jnp
+        cfg = self.model_cfg
+        nb = (cfg.seq_len - 1) // 2
+
+        def _gather_forward(params, codes, means, stds, lens, rect,
+                            centers):
+            win = centers[:, None] + jnp.arange(
+                -nb, nb + 1, dtype=centers.dtype)[None, :]
+            b = Batch(kmer=jnp.take(codes, win, axis=0),
+                      base_means=jnp.take(means, win, axis=0),
+                      base_stds=jnp.take(stds, win, axis=0),
+                      base_signal_lens=jnp.take(lens, win, axis=0),
+                      signals=jnp.take(rect, win, axis=0))
+            return forward(params, b, cfg, train=False)[1]
+
+        if quantized:
+            def _run(params, codes, means, stds, lens, rect, centers,
+                     scales):
+                def body(carry, xs):
+                    cod, m, s, ln, r, c, sc = xs
+                    # dequantize on the deduplicated base axis, per chunk
+                    return carry, _gather_forward(
+                        params, cod, m.astype(jnp.float32) * sc[0],
+                        s.astype(jnp.float32) * sc[1], ln,
+                        r.astype(jnp.float32) * sc[2], c)
+                _, probs = jax.lax.scan(
+                    body, None,
+                    (codes, means, stds, lens, rect, centers, scales))
+                return probs
+        else:
+            def _run(params, codes, means, stds, lens, rect, centers):
+                def body(carry, xs):
+                    return carry, _gather_forward(params, *xs)
+                _, probs = jax.lax.scan(
+                    body, None, (codes, means, stds, lens, rect, centers))
+                return probs
+
+        if self._single:
+            return jax.jit(_run)
+        # slabs replicated, site centers sharded (as _build_packed_step;
+        # packed_density_threshold already tightens routing on remote
+        # multi-device meshes where replication multiplies wire bytes)
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        in_specs = ((P(),) * 6 + (P(None, axis),)
+                    + ((P(),) if quantized else ()))
+        return jax.jit(jax.shard_map(
+            _run, mesh=self.mesh, in_specs=in_specs,
+            out_specs=P(None, axis), check_vma=False))
+
     def _resident_k_chunks(self, est_rows: int | None, target: int) -> int:
         k = 1
         est = est_rows or target
@@ -1056,6 +1125,344 @@ class CallModsEngine:
         self.last_resident_profile = profile
         return stats
 
+    def _run_resident_packed(self, packed_blocks, result_path: str,
+                             is_gzip: bool, target: int,
+                             est_rows: int | None = None) -> CallStats:
+        """Device-resident inference over the read-packed wire: each scan
+        chunk uploads a deduplicated base slab (NB bases) + int32 site
+        centers instead of B x seq_len per-site windows, and the windows
+        are gathered on device inside the resident scan
+        (_build_resident_packed_step). One dispatch per K-chunk segment,
+        probs fetched once — the compute window matches the per-site
+        resident plane; the upload (the binding stage of resident
+        END-TO-END on remote-attached links) shrinks by
+        ~seq_len/bases-per-site, x2 more under int8 slabs.
+
+        Segments are route-homogeneous (the streaming plane's per-block
+        density routing, lifted to chunks): dense blocks ride the packed
+        slab step, sparse blocks (host-gathered windows) ride the
+        per-site resident step; both dispatch from one sequential loop so
+        output row order — and bytes, under f16 transfer — match every
+        other plane (tests/test_resident_packed.py)."""
+        from collections import deque
+        from itertools import chain
+
+        from ..io.batching import bounded_thread_map
+        from ..utils.fastparse import emit_call_rows_arrays
+        from ..utils.prof import PROFILER
+
+        seq_len = self.model_cfg.seq_len
+        nb = (seq_len - 1) // 2
+
+        def checked(pb):
+            if pb.kmer_len != seq_len:
+                raise ValueError(
+                    "packed wire kmer_len {} != model seq_len {}".format(
+                        pb.kmer_len, seq_len))
+            return pb
+
+        it = (checked(pb) for pb in iter(packed_blocks)
+              if pb is not None and pb.n)
+        first = next(it, None)
+        if first is None:
+            AsyncWriter(result_path, is_gzip).close()
+            return CallStats()
+        thr = self.packed_density_threshold()
+        if thr == 0.0:
+            # --packed_wire off: the per-site resident plane
+            return self._run_resident(
+                (pb.to_raw_block() for pb in chain([first], it)),
+                result_path, is_gzip, target, est_rows=est_rows)
+        stream = chain([first], it)
+        k_chunks = self._resident_k_chunks(est_rows, target)
+        # static per-run base-slab width: sized from the first block's
+        # density (denser later blocks just fill fewer sites per chunk —
+        # site-axis padding, never a recompile)
+        dens = max(1.0, first.n_bases / max(1, first.n))
+        want = int(min(dens * 1.25, float(seq_len)) * target) + seq_len
+        nb_width = max(4096, 1 << (want - 1).bit_length())
+        wire = (np.float32 if self.call_cfg.transfer_dtype == "float32"
+                else np.float16)
+        quant = self._quant
+
+        if self._sharding is None:
+            to_dev_rep = to_dev_shard = jax.jit(lambda v: v)
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            to_dev_rep = jax.jit(
+                lambda v: v, out_shardings=NamedSharding(self.mesh, P()))
+            to_dev_shard = jax.jit(
+                lambda v: v,
+                out_shardings=NamedSharding(self.mesh, P(None, axis)))
+
+        stats = CallStats()
+        profile = {"upload_s": 0.0, "compute_s": 0.0, "fetch_s": 0.0,
+                   "rows": 0, "k_chunks": k_chunks, "device_batch": target,
+                   "segments": 0, "nb_width": nb_width, "plane": "packed"}
+        t0 = time.time()
+        writer = AsyncWriter(result_path, is_gzip)
+
+        def is_dense(pb) -> bool:
+            return pb.n_bases <= thr * pb.n
+
+        def gen_segments():
+            """Yield route-homogeneous segments: (route, chunks) with
+            chunks = [(host_arrays, metas)] and metas = (segs, labels,
+            n_valid); segs = [(pb, lo, hi)] in stream order."""
+            fifo: deque = deque()   # [pb, consumed_sites]
+            pending = 0
+            exhausted = False
+
+            def fill():
+                nonlocal pending, exhausted
+                while not exhausted and pending < target:
+                    pb = next(stream, None)
+                    if pb is None:
+                        exhausted = True
+                        return
+                    fifo.append([pb, 0])
+                    pending += pb.n
+
+            def take_packed_chunk():
+                nonlocal pending
+                segs = []
+                cols = {k: [] for k in ("codes", "means", "stds", "lens",
+                                        "rect", "centers", "labels")}
+                ns = nbase = 0
+                while fifo and ns < target and is_dense(fifo[0][0]):
+                    ent = fifo[0]
+                    pb, lo = ent
+                    budget = nb_width - nbase
+                    if budget < seq_len:
+                        break
+                    centers = pb.centers
+                    b0 = int(centers[lo]) - nb
+                    hi = min(pb.n, lo + (target - ns))
+                    cnt = int(np.searchsorted(centers[lo:hi],
+                                              b0 + budget - nb - 1,
+                                              side="right"))
+                    if cnt == 0:
+                        break
+                    hi = lo + cnt
+                    b1 = int(centers[hi - 1]) + nb + 1
+                    cols["codes"].append(pb.codes[b0:b1])
+                    cols["means"].append(pb.means[b0:b1])
+                    cols["stds"].append(pb.stds[b0:b1])
+                    cols["lens"].append(pb.lens[b0:b1])
+                    cols["rect"].append(pb.rect[b0:b1])
+                    cols["centers"].append(centers[lo:hi].astype(np.int32)
+                                           + np.int32(nbase - b0))
+                    cols["labels"].append(pb.labels[lo:hi])
+                    segs.append((pb, lo, hi))
+                    nbase += b1 - b0
+                    ns += hi - lo
+                    pending -= hi - lo
+                    if hi == pb.n:
+                        fifo.popleft()
+                    else:
+                        ent[1] = hi
+
+                def cat(k):
+                    p = cols[k]
+                    return p[0] if len(p) == 1 else np.concatenate(p)
+                codes, means, stds, lens, rect = map(
+                    cat, ("codes", "means", "stds", "lens", "rect"))
+                centers, labels = cat("centers"), cat("labels")
+                pad_b = nb_width - nbase
+                if pad_b:
+                    codes = np.pad(codes, (0, pad_b))
+                    means = np.pad(means, (0, pad_b))
+                    stds = np.pad(stds, (0, pad_b))
+                    lens = np.pad(lens, (0, pad_b))
+                    rect = np.pad(rect, ((0, pad_b), (0, 0)))
+                if ns < target:
+                    centers = np.pad(centers, (0, target - ns),
+                                     constant_values=nb)
+                return ((codes, means, stds, lens, rect, centers),
+                        (segs, labels, ns))
+
+            def take_persite_chunk():
+                nonlocal pending
+                segs = []
+                cols = {k: [] for k in ("kmer", "means", "stds", "lens",
+                                        "rect", "labels")}
+                ns = 0
+                while fifo and ns < target and not is_dense(fifo[0][0]):
+                    ent = fifo[0]
+                    pb, lo = ent
+                    hi = min(pb.n, lo + (target - ns))
+                    win = pb.window_index(lo, hi)
+                    cols["kmer"].append(pb.codes[win])
+                    cols["means"].append(pb.means[win])
+                    cols["stds"].append(pb.stds[win])
+                    cols["lens"].append(pb.lens[win])
+                    cols["rect"].append(pb.rect[win])
+                    cols["labels"].append(pb.labels[lo:hi])
+                    segs.append((pb, lo, hi))
+                    ns += hi - lo
+                    pending -= hi - lo
+                    if hi == pb.n:
+                        fifo.popleft()
+                    else:
+                        ent[1] = hi
+
+                def cat(k):
+                    p = cols[k]
+                    a = p[0] if len(p) == 1 else np.concatenate(p)
+                    if ns < target:
+                        a = np.pad(a, [(0, target - ns)] +
+                                   [(0, 0)] * (a.ndim - 1))
+                    return a
+                arrays = tuple(cat(k) for k in
+                               ("kmer", "means", "stds", "lens", "rect"))
+                labels = (cols["labels"][0] if len(cols["labels"]) == 1
+                          else np.concatenate(cols["labels"]))
+                return (arrays, (segs, labels, ns))
+
+            while True:
+                fill()
+                if not fifo:
+                    return
+                route = ("packed" if is_dense(fifo[0][0]) else "persite")
+                chunks = []
+                while len(chunks) < k_chunks:
+                    fill()
+                    if not fifo:
+                        break
+                    nxt = ("packed" if is_dense(fifo[0][0])
+                           else "persite")
+                    if nxt != route:
+                        break
+                    chunks.append(take_packed_chunk() if route == "packed"
+                                  else take_persite_chunk())
+                if chunks:
+                    yield (route, chunks)
+
+        def _upload(item):
+            route, chunks = item
+            metas = [m for _, m in chunks]
+            host = [a for a, _ in chunks]
+            npad = k_chunks - len(host)
+            tu = time.time()
+            if route == "packed":
+                if npad:
+                    zc = (np.zeros(nb_width, np.int8),
+                          np.zeros(nb_width, wire),
+                          np.zeros(nb_width, np.float16),
+                          np.zeros(nb_width, np.float16),
+                          np.zeros((nb_width, host[0][4].shape[1]), wire),
+                          np.full(target, nb, np.int32))
+                    host = host + [zc] * npad
+                codes = np.stack([h[0] for h in host])
+                lens = np.stack([np.asarray(h[3], np.float16)
+                                 for h in host])
+                centers = np.stack([h[5] for h in host])
+                if quant:
+                    qm, qs, qr, sc = [], [], [], []
+                    for h in host:
+                        m, sm = _quantize_field(h[1])
+                        s, ss = _quantize_field(h[2])
+                        r, sr = _quantize_field(h[4])
+                        qm.append(m)
+                        qs.append(s)
+                        qr.append(r)
+                        sc.append((sm, ss, sr))
+                    dev_host = (codes, np.stack(qm), np.stack(qs), lens,
+                                np.stack(qr), centers,
+                                np.array(sc, np.float32))
+                else:
+                    means = np.stack([np.asarray(h[1], wire)
+                                      for h in host])
+                    stds = np.stack([np.asarray(h[2], wire)
+                                     for h in host])
+                    rect = np.stack([np.asarray(h[4], wire)
+                                     for h in host])
+                    dev_host = (codes, means, stds, lens, rect, centers)
+                if self._sharding is None:
+                    dev = to_dev_rep(dev_host)
+                else:
+                    # centers (index 5) shard over sites; slabs + scales
+                    # replicate
+                    dev = tuple(
+                        (to_dev_shard if i == 5 else to_dev_rep)(a)
+                        for i, a in enumerate(dev_host))
+            else:
+                if npad:
+                    S = host[0][4].shape[-1]
+                    zc = (np.zeros((target, seq_len), np.int8),
+                          np.zeros((target, seq_len), wire),
+                          np.zeros((target, seq_len), wire),
+                          np.zeros((target, seq_len), wire),
+                          np.zeros((target, seq_len, S), wire))
+                    host = host + [zc] * npad
+                dev_host = (
+                    np.stack([np.asarray(h[0], np.int8) for h in host]),
+                    np.stack([np.asarray(h[1], wire) for h in host]),
+                    np.stack([np.asarray(h[2], wire) for h in host]),
+                    np.stack([np.asarray(h[3], wire) for h in host]),
+                    np.stack([np.asarray(h[4], wire) for h in host]))
+                dev = (to_dev_shard(dev_host)
+                       if self._sharding is not None
+                       else to_dev_rep(dev_host))
+            jax.block_until_ready(dev)
+            profile["upload_s"] += time.time() - tu
+            return route, dev, metas
+
+        wd = StallWatchdog()
+        for route, dev, metas in bounded_thread_map(
+                _upload, gen_segments(), workers=2, depth=2):
+            nv = sum(m[2] for m in metas)
+            tc = time.time()
+            with PROFILER.stage("dispatch", nv), wd.track():
+                # resolve step attributes inside the retry closure: the
+                # pallas->scan fallback swaps them via _rebuild_steps
+                if route == "packed":
+                    if quant:
+                        probs = self._run_with_fallback(
+                            lambda d=dev: self._step_resident_packed_q(
+                                self.params, *d))
+                    else:
+                        probs = self._run_with_fallback(
+                            lambda d=dev: self._step_resident_packed(
+                                self.params, *d))
+                else:
+                    probs = self._run_with_fallback(
+                        lambda d=dev: self._step_resident(self.params, *d))
+                jax.block_until_ready(probs)
+            profile["compute_s"] += time.time() - tc
+            tf = time.time()
+            with PROFILER.stage("fetch", nv):
+                probs = np.asarray(probs)
+            profile["fetch_s"] += time.time() - tf
+            profile["rows"] += nv
+            profile["segments"] += 1
+            with PROFILER.stage("format", nv):
+                out = []
+                for k, (segs, labels, ns) in enumerate(metas):
+                    pk = probs[k][:ns]
+                    off = 0
+                    for pb, lo, hi in segs:
+                        kmer = pb.codes[pb.window_index(lo, hi)]
+                        out.append(emit_call_rows_arrays(
+                            pb.raw, pb.row_starts[lo:hi],
+                            pb.info_ends[lo:hi], kmer,
+                            pk[off:off + hi - lo]))
+                        off += hi - lo
+                    called = pk[:, 1] > pk[:, 0]
+                    stats.label_correct += int(
+                        (called == (labels == 1)).sum())
+                writer.write_bytes(b"".join(out))
+            stats.sites += nv
+            stats.batches += 1
+        writer.close()
+        stats.seconds = time.time() - t0
+        wd.fill(stats)
+        profile["wall_s"] = stats.seconds
+        self.last_resident_profile = profile
+        return stats
+
     def _run_features_file_resident(self, input_path: str,
                                     result_path: str, is_gzip: bool,
                                     target: int) -> CallStats:
@@ -1090,19 +1497,35 @@ class CallModsEngine:
         if wire_ver >= 3:
             # 1 loader worker + prefetch (see _run_fast_wire_npz): the
             # raw-zip loader feeds millions of rows/s single-threaded;
-            # pooling it thrashes the GIL
-            blocks = bounded_thread_map(
-                lambda p: load_packed_npz(p).to_raw_block(), npz_files,
-                workers=1, depth=4)
-        elif wire_ver == 2:
+            # pooling it thrashes the GIL. Packed containers stay packed
+            # all the way into HBM (_run_resident_packed gathers windows
+            # on device) — the host-side 13x window materialization this
+            # route used to pay is gone.
+            blocks = bounded_thread_map(load_packed_npz, npz_files,
+                                        workers=1, depth=4)
+            return self._run_resident_packed(blocks, result_path,
+                                             is_gzip, target,
+                                             est_rows=est)
+        if wire_ver == 2:
             blocks = bounded_thread_map(load_wire_npz, npz_files,
                                         workers=1, depth=4)
         elif os.path.isfile(input_path) and not input_path.endswith(".gz"):
-            blocks = bounded_thread_map(
-                lambda raw: parse_raw_feature_block(raw, cfg.seq_len,
-                                                    cfg.signal_len),
-                iter_byte_blocks(input_path, 8 << 20),
-                workers=pw, depth=2 * pw)
+            # TSV -> packed bridge (as _run_fast_tsv): reference TSVs
+            # group rows by read, so the dedup cuts the resident upload
+            # — the binding stage of resident e2e — by ~seq_len/density
+            from ..utils.fastparse import pack_raw_block
+
+            def parse_and_pack(raw):
+                return pack_raw_block(parse_raw_feature_block(
+                    raw, cfg.seq_len, cfg.signal_len))
+
+            blocks = bounded_thread_map(parse_and_pack,
+                                        iter_byte_blocks(input_path,
+                                                         8 << 20),
+                                        workers=pw, depth=2 * pw)
+            return self._run_resident_packed(blocks, result_path,
+                                             is_gzip, target,
+                                             est_rows=est)
         else:
             raise ValueError(
                 "--device_resident serves plain features TSV or wire-"
