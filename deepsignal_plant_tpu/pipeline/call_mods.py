@@ -396,6 +396,23 @@ class CallModsEngine:
         scales = None
         if self._quant:
             batch, scales = quantize_for_wire(batch)
+        if self._single and self.call_cfg.transfer_dtype != "float32":
+            # one blob = one relay transfer per dispatch (vs 5-6 per-arg
+            # transfers); bit-identical values (_persite_blob_step)
+            ft = np.int8 if scales is not None else np.float16
+            parts = [np.asarray(batch.kmer, np.int8),
+                     np.asarray(batch.base_means, ft),
+                     np.asarray(batch.base_stds, ft),
+                     np.asarray(batch.base_signal_lens, np.float16),
+                     np.asarray(batch.signals, ft)]
+            if scales is not None:
+                parts.append(np.asarray(scales, np.float32))
+            blob = self._to_blob(parts)
+            b, L = batch.kmer.shape
+            key = ("ps", b, L, batch.signals.shape[-1],
+                   scales is not None)
+            return self._run_with_fallback(
+                lambda: self._persite_blob_step(key)(self.params, blob))
         if self._sharding is not None:
             batch = jax.device_put(batch, self._sharding)
 
@@ -441,6 +458,16 @@ class CallModsEngine:
             qs, ss = _quantize_field(stds)
             qr, sr = _quantize_field(rect)
             scales = np.array([sm, ss, sr], np.float32)
+            if self._single:
+                blob = self._to_blob(
+                    (np.asarray(codes, np.int8), qm, qs,
+                     np.asarray(lens, np.float16), qr,
+                     np.asarray(centers, np.int32), scales))
+                key = ("pk1", len(codes), len(centers), rect.shape[-1],
+                       True)
+                return self._run_with_fallback(
+                    lambda: self._packed1_blob_step(key)(self.params,
+                                                         blob))
 
             def _run():
                 # resolve the step attribute INSIDE the retry: the
@@ -451,6 +478,18 @@ class CallModsEngine:
                                            lens, qr, centers, scales)
 
             return self._run_with_fallback(_run)
+        if self._single and self.call_cfg.transfer_dtype != "float32":
+            blob = self._to_blob(
+                (np.asarray(codes, np.int8),
+                 np.asarray(means, np.float16),
+                 np.asarray(stds, np.float16),
+                 np.asarray(lens, np.float16),
+                 np.asarray(rect, np.float16),
+                 np.asarray(centers, np.int32)))
+            key = ("pk1", len(codes), len(centers), rect.shape[-1],
+                   False)
+            return self._run_with_fallback(
+                lambda: self._packed1_blob_step(key)(self.params, blob))
         return self._run_with_fallback(
             lambda: self._step_packed(self.params, codes, means, stds,
                                       lens, rect, centers))
@@ -977,6 +1016,185 @@ class CallModsEngine:
             _run, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(None, axis), check_vma=False))
 
+    def _resident_packed_blob_step(self, key):
+        """Single-transfer packed-resident dispatch (single-device path):
+        the whole K-chunk segment rides ONE uint8 blob; static slices +
+        bitcasts unpack it on device inside the jitted step, then the
+        same gather+scan as _build_resident_packed_step runs. The remote
+        tunnel charges ~0.1-0.2 s latency PER TRANSFER regardless of
+        size (measured round 5: a 7-array segment upload cost ~1.1 s for
+        ~3.5 MB), so collapsing the 7 per-segment transfers into one is
+        the resident-e2e lever after the byte dedup.
+
+        key = (k, nb_width, target, S, quant, wire_code) — all static
+        per run; steps cache in _resident_blob_cache, which
+        _rebuild_steps clears so the pallas->scan fallback rebuilds
+        against the swapped recurrence."""
+        step = self._resident_blob_cache.get(key)
+        if step is not None:
+            return step
+        import jax.numpy as jnp
+        k, nbw, b, s, quant, wire_code = key
+        cfg = self.model_cfg
+        nb = (cfg.seq_len - 1) // 2
+        wire_t = {"f2": jnp.float16, "f4": jnp.float32,
+                  "i1": jnp.int8}[wire_code]
+        esz = {"f2": 2, "f4": 4, "i1": 1}[wire_code]
+
+        def cut(blob, off, count, dt, width, shape):
+            seg = blob[off:off + count * width]
+            if width > 1:
+                seg = seg.reshape(count, width)
+            arr = jax.lax.bitcast_convert_type(seg, dt)
+            return arr.reshape(shape), off + count * width
+
+        def _run(params, blob):
+            off = 0
+            codes, off = cut(blob, off, k * nbw, jnp.int8, 1, (k, nbw))
+            means, off = cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
+            stds, off = cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
+            lens, off = cut(blob, off, k * nbw, jnp.float16, 2, (k, nbw))
+            rect, off = cut(blob, off, k * nbw * s, wire_t, esz,
+                            (k, nbw, s))
+            centers, off = cut(blob, off, k * b, jnp.int32, 4, (k, b))
+            xs = [codes, means, stds, lens, rect, centers]
+            if quant:
+                scales, off = cut(blob, off, k * 3, jnp.float32, 4,
+                                  (k, 3))
+                xs.append(scales)
+
+            def gather_fwd(cod, m, st, ln, r, c):
+                win = c[:, None] + jnp.arange(
+                    -nb, nb + 1, dtype=c.dtype)[None, :]
+                bt = Batch(kmer=jnp.take(cod, win, axis=0),
+                           base_means=jnp.take(m, win, axis=0),
+                           base_stds=jnp.take(st, win, axis=0),
+                           base_signal_lens=jnp.take(ln, win, axis=0),
+                           signals=jnp.take(r, win, axis=0))
+                return forward(params, bt, cfg, train=False)[1]
+
+            if quant:
+                def body(carry, x):
+                    cod, m, st, ln, r, c, sc = x
+                    return carry, gather_fwd(
+                        cod, m.astype(jnp.float32) * sc[0],
+                        st.astype(jnp.float32) * sc[1], ln,
+                        r.astype(jnp.float32) * sc[2], c)
+            else:
+                def body(carry, x):
+                    return carry, gather_fwd(*x)
+            _, probs = jax.lax.scan(body, None, tuple(xs))
+            return probs
+
+        step = jax.jit(_run)
+        self._resident_blob_cache[key] = step
+        return step
+
+    def _persite_blob_step(self, key):
+        """Single-transfer per-site dispatch (single-device path): the
+        whole padded Batch rides ONE uint8 blob, unpacked on device by
+        static slices + bitcasts. The streaming planes previously passed
+        5-7 numpy args per dispatch — each arg is a separate relay
+        transfer with a fixed per-transfer cost; collapsing them into
+        one blob removes ~80% of the per-dispatch transfer overhead on
+        remote-attached links. Values are bit-identical (bitcast), so
+        plane outputs don't change. key = ("ps", B, L, S, quant);
+        float32 transfer keeps the multi-array path (its field dtypes
+        are heterogeneous legacy f32)."""
+        step = self._resident_blob_cache.get(key)
+        if step is not None:
+            return step
+        import jax.numpy as jnp
+        _, b, L, s, quant = key
+        cfg = self.model_cfg
+
+        def cut(blob, off, count, dt, width, shape):
+            seg = blob[off:off + count * width]
+            if width > 1:
+                seg = seg.reshape(count, width)
+            arr = jax.lax.bitcast_convert_type(seg, dt)
+            return arr.reshape(shape), off + count * width
+
+        def _run(params, blob):
+            off = 0
+            kmer, off = cut(blob, off, b * L, jnp.int8, 1, (b, L))
+            fw = 1 if quant else 2
+            ft = jnp.int8 if quant else jnp.float16
+            means, off = cut(blob, off, b * L, ft, fw, (b, L))
+            stds, off = cut(blob, off, b * L, ft, fw, (b, L))
+            lens, off = cut(blob, off, b * L, jnp.float16, 2, (b, L))
+            sig, off = cut(blob, off, b * L * s, ft, fw, (b, L, s))
+            if quant:
+                scales, off = cut(blob, off, 3, jnp.float32, 4, (3,))
+                means = means.astype(jnp.float32) * scales[0]
+                stds = stds.astype(jnp.float32) * scales[1]
+                sig = sig.astype(jnp.float32) * scales[2]
+            bt = Batch(kmer=kmer, base_means=means, base_stds=stds,
+                       base_signal_lens=lens, signals=sig)
+            return forward(params, bt, cfg, train=False)[1]
+
+        step = jax.jit(_run)
+        self._resident_blob_cache[key] = step
+        return step
+
+    @staticmethod
+    def _to_blob(arrays) -> np.ndarray:
+        """Concatenate arrays' raw bytes into one contiguous uint8 blob
+        (the jitted blob steps undo this with static slices+bitcasts)."""
+        return np.concatenate(
+            [np.ascontiguousarray(a).view(np.uint8).ravel()
+             for a in arrays])
+
+    def _packed1_blob_step(self, key):
+        """Single-transfer read-packed dispatch for the STREAMING plane
+        (one batch per blob, no scan; returns (B, 2) probs directly).
+        Same rationale as _persite_blob_step: 6-7 per-arg transfers per
+        dispatch collapse into one. key = ("pk1", NB, B, S, quant);
+        NB rides the take_packed pow2 menu, so the cache holds at most
+        a handful of variants (as the multi-array packed step does)."""
+        step = self._resident_blob_cache.get(key)
+        if step is not None:
+            return step
+        import jax.numpy as jnp
+        _, nbw, b, s, quant = key
+        cfg = self.model_cfg
+        nb = (cfg.seq_len - 1) // 2
+
+        def cut(blob, off, count, dt, width, shape):
+            seg = blob[off:off + count * width]
+            if width > 1:
+                seg = seg.reshape(count, width)
+            arr = jax.lax.bitcast_convert_type(seg, dt)
+            return arr.reshape(shape), off + count * width
+
+        def _run(params, blob):
+            off = 0
+            fw = 1 if quant else 2
+            ft = jnp.int8 if quant else jnp.float16
+            codes, off = cut(blob, off, nbw, jnp.int8, 1, (nbw,))
+            means, off = cut(blob, off, nbw, ft, fw, (nbw,))
+            stds, off = cut(blob, off, nbw, ft, fw, (nbw,))
+            lens, off = cut(blob, off, nbw, jnp.float16, 2, (nbw,))
+            rect, off = cut(blob, off, nbw * s, ft, fw, (nbw, s))
+            centers, off = cut(blob, off, b, jnp.int32, 4, (b,))
+            if quant:
+                scales, off = cut(blob, off, 3, jnp.float32, 4, (3,))
+                means = means.astype(jnp.float32) * scales[0]
+                stds = stds.astype(jnp.float32) * scales[1]
+                rect = rect.astype(jnp.float32) * scales[2]
+            win = centers[:, None] + jnp.arange(
+                -nb, nb + 1, dtype=centers.dtype)[None, :]
+            bt = Batch(kmer=jnp.take(codes, win, axis=0),
+                       base_means=jnp.take(means, win, axis=0),
+                       base_stds=jnp.take(stds, win, axis=0),
+                       base_signal_lens=jnp.take(lens, win, axis=0),
+                       signals=jnp.take(rect, win, axis=0))
+            return forward(params, bt, cfg, train=False)[1]
+
+        step = jax.jit(_run)
+        self._resident_blob_cache[key] = step
+        return step
+
     def _resident_k_chunks(self, est_rows: int | None, target: int) -> int:
         k = 1
         est = est_rows or target
@@ -1175,6 +1393,21 @@ class CallModsEngine:
                 result_path, is_gzip, target, est_rows=est_rows)
         stream = chain([first], it)
         k_chunks = self._resident_k_chunks(est_rows, target)
+        if mesh_is_remote(self.mesh):
+            # pipeline the tunnel: aim for >= ~4 segments so uploads of
+            # segment s+1 (prefetch pool) overlap segment s's compute +
+            # fetch — one giant dispatch leaves the whole upload latency
+            # exposed (round-5 measurement: 131k rows as ONE segment
+            # spent 1.1 of 1.8 s wall in upload with zero overlap)
+            while k_chunks > 1 and (est_rows or 0) < 4 * k_chunks * target:
+                k_chunks //= 2
+        # single-device segments ride ONE uint8 blob per upload (the
+        # tunnel charges latency per transfer, not per byte — see
+        # _resident_packed_blob_step); mesh runs keep per-array uploads
+        # so centers can shard while slabs replicate
+        blob_mode = self._single
+        wire_code = ("f4" if self.call_cfg.transfer_dtype == "float32"
+                     else ("i1" if self._quant else "f2"))
         # static per-run base-slab width: sized from the first block's
         # density (denser later blocks just fill fewer sites per chunk —
         # site-axis padding, never a recompile)
@@ -1380,7 +1613,19 @@ class CallModsEngine:
                     rect = np.stack([np.asarray(h[4], wire)
                                      for h in host])
                     dev_host = (codes, means, stds, lens, rect, centers)
-                if self._sharding is None:
+                if blob_mode:
+                    # one contiguous uint8 blob, handed to the jitted
+                    # step as a NUMPY arg: the transfer piggybacks on
+                    # the dispatch (the streaming planes' fast path —
+                    # an explicit identity-jit upload costs ~1 s of
+                    # fixed relay overhead per call regardless of size,
+                    # measured round 5; rig notes in
+                    # .claude/skills/verify). The step's static slices/
+                    # bitcasts undo this layout on device.
+                    dev = np.concatenate(
+                        [np.ascontiguousarray(a).view(np.uint8).ravel()
+                         for a in dev_host])
+                elif self._sharding is None:
                     dev = to_dev_rep(dev_host)
                 else:
                     # centers (index 5) shard over sites; slabs + scales
@@ -1403,22 +1648,37 @@ class CallModsEngine:
                     np.stack([np.asarray(h[2], wire) for h in host]),
                     np.stack([np.asarray(h[3], wire) for h in host]),
                     np.stack([np.asarray(h[4], wire) for h in host]))
+                # single device: numpy straight into the jitted step
+                # (transfer rides the dispatch, as the streaming planes)
                 dev = (to_dev_shard(dev_host)
-                       if self._sharding is not None
-                       else to_dev_rep(dev_host))
+                       if self._sharding is not None else dev_host)
             jax.block_until_ready(dev)
             profile["upload_s"] += time.time() - tu
             return route, dev, metas
 
         wd = StallWatchdog()
-        for route, dev, metas in bounded_thread_map(
-                _upload, gen_segments(), workers=2, depth=2):
+        blob_key = (k_chunks, nb_width, target, first.rect.shape[1],
+                    quant, wire_code)
+
+        def _process(item):
+            """upload -> dispatch -> fetch, all inside the worker: each
+            stage costs a tunnel round trip, and running segments
+            through a small ordered pool overlaps every latency with
+            every other (the streaming planes' design; a sequential
+            dispatch loop left ~0.2 s of exposed RTT per segment —
+            round-5 measurement). Stage seconds are summed across
+            workers, as in the streaming profile."""
+            route, dev, metas = _upload(item)
             nv = sum(m[2] for m in metas)
             tc = time.time()
             with PROFILER.stage("dispatch", nv), wd.track():
                 # resolve step attributes inside the retry closure: the
                 # pallas->scan fallback swaps them via _rebuild_steps
-                if route == "packed":
+                if route == "packed" and blob_mode:
+                    probs = self._run_with_fallback(
+                        lambda d=dev: self._resident_packed_blob_step(
+                            blob_key)(self.params, d))
+                elif route == "packed":
                     if quant:
                         probs = self._run_with_fallback(
                             lambda d=dev: self._step_resident_packed_q(
@@ -1436,6 +1696,15 @@ class CallModsEngine:
             with PROFILER.stage("fetch", nv):
                 probs = np.asarray(probs)
             profile["fetch_s"] += time.time() - tf
+            return probs, metas, nv
+
+        # segment pool width scales with the engine's dispatch budget
+        # (segments are K-chunk heavyweights; half the streaming worker
+        # count keeps the host stacking/quantize stages from thrashing)
+        seg_workers = max(2, min(8, self.call_cfg.dispatch_workers // 2))
+        for probs, metas, nv in bounded_thread_map(
+                _process, gen_segments(), workers=seg_workers,
+                depth=2 * seg_workers):
             profile["rows"] += nv
             profile["segments"] += 1
             with PROFILER.stage("format", nv):

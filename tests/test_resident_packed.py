@@ -190,3 +190,117 @@ def test_resident_packed_multi_segment_padding(dense_env, tmp_path):
     prof = res.last_resident_profile
     assert prof["segments"] >= 2 and prof["k_chunks"] == 2
     assert open(out_r, "rb").read() == open(out_s, "rb").read()
+
+
+@needs_native
+def test_resident_packed_blob_single_device(dense_env, tmp_path):
+    """Single-device engines ship each packed segment as ONE uint8 blob
+    (static on-device slices + bitcasts unpack it); output must stay
+    byte-identical to the multi-array mesh path and to streaming."""
+    import jax
+
+    from deepsignal_plant_tpu.models.convert import load_checkpoint
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    feat, rows, _, ckpt, d = dense_env
+    _p, cfg = load_checkpoint(ckpt)
+    mesh1 = make_mesh(jax.devices()[:1])
+    res = CallModsEngine(
+        ckpt, cfg.with_(dropout_rate=0.0),
+        CallConfig(device_batch=64, transfer_dtype="float16",
+                   packed_wire="force", device_resident="always"),
+        mesh=mesh1)
+    assert res._single
+    stream = CallModsEngine(
+        ckpt, cfg.with_(dropout_rate=0.0),
+        CallConfig(device_batch=64, transfer_dtype="float16",
+                   packed_wire="force"), mesh=mesh1)
+    out_r = str(tmp_path / "r.tsv")
+    out_s = str(tmp_path / "s.tsv")
+    st = res.run_features_file(feat, out_r)
+    stream.run_features_file(feat, out_s)
+    assert st.sites == len(rows)
+    assert res.last_resident_profile["plane"] == "packed"
+    assert res._resident_blob_cache, "blob step never built"
+    assert open(out_r, "rb").read() == open(out_s, "rb").read()
+
+
+@needs_native
+def test_resident_packed_blob_int8(dense_env, tmp_path):
+    """Blob layout under int8 slabs (scales ride the blob tail): calls
+    agree with the f16 blob plane within the quantization band."""
+    import jax
+
+    from deepsignal_plant_tpu.models.convert import load_checkpoint
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    feat, rows, _, ckpt, d = dense_env
+    _p, cfg = load_checkpoint(ckpt)
+    mesh1 = make_mesh(jax.devices()[:1])
+    outs = {}
+    for dt in ("float16", "int8"):
+        eng = CallModsEngine(
+            ckpt, cfg.with_(dropout_rate=0.0),
+            CallConfig(device_batch=64, transfer_dtype=dt,
+                       packed_wire="force", device_resident="always"),
+            mesh=mesh1)
+        eng._quant = dt == "int8"
+        eng._rebuild_steps()
+        out = str(tmp_path / f"b_{dt}.tsv")
+        st = eng.run_features_file(feat, out)
+        assert st.sites == len(rows)
+        assert eng._resident_blob_cache
+        outs[dt] = [ln.split("\t")
+                    for ln in open(out).read().splitlines()]
+    a, b = outs["float16"], outs["int8"]
+    assert [r[:6] for r in a] == [r[:6] for r in b]
+    dp = [abs(float(ra[7]) - float(rb[7])) for ra, rb in zip(a, b)]
+    agree = np.mean([ra[8] == rb[8] for ra, rb in zip(a, b)])
+    assert np.mean(dp) < 5e-3, np.mean(dp)
+    assert agree >= 0.97, agree
+
+
+@needs_native
+def test_streaming_blob_dispatch_byte_identical(dense_env, tmp_path):
+    """Single-device streaming engines dispatch each batch as ONE uint8
+    blob (per-site and packed routes); outputs must stay byte-identical
+    to the multi-array mesh engine on the same inputs."""
+    import jax
+
+    from deepsignal_plant_tpu.models.convert import load_checkpoint
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    feat, rows, _, ckpt, d = dense_env
+    rng = np.random.default_rng(3)
+    sparse = write_feature_file(str(tmp_path / "sparse.tsv"),
+                                synth_feature_rows(rng, 3, 40))
+    _p, cfg = load_checkpoint(ckpt)
+    mesh1 = make_mesh(jax.devices()[:1])
+    for name, src in (("dense", feat), ("sparse", sparse)):
+        outs = {}
+        for tag in ("blob", "args"):
+            eng = CallModsEngine(
+                ckpt, cfg.with_(dropout_rate=0.0),
+                CallConfig(device_batch=64, transfer_dtype="float16"),
+                mesh=mesh1)
+            if tag == "args":
+                # keep the single-device jitted steps but disable the
+                # blob dispatch gate: the classic multi-arg transfers
+                eng._single = False
+            out = str(tmp_path / f"{name}_{tag}.tsv")
+            eng.run_features_file(src, out)
+            outs[tag] = open(out, "rb").read()
+        assert outs["blob"] == outs["args"], name
+    # int8 blob arm stays in the quantization band vs f16 blob
+    outs = {}
+    for dt in ("float16", "int8"):
+        eng = CallModsEngine(
+            ckpt, cfg.with_(dropout_rate=0.0),
+            CallConfig(device_batch=64, transfer_dtype=dt), mesh=mesh1)
+        eng._quant = dt == "int8"
+        eng._rebuild_steps()
+        out = str(tmp_path / f"i8_{dt}.tsv")
+        eng.run_features_file(feat, out)
+        outs[dt] = [ln.split("\t")
+                    for ln in open(out).read().splitlines()]
+    a, b = outs["float16"], outs["int8"]
+    assert [r[:6] for r in a] == [r[:6] for r in b]
+    dp = [abs(float(ra[7]) - float(rb[7])) for ra, rb in zip(a, b)]
+    assert np.mean(dp) < 5e-3, np.mean(dp)
