@@ -1058,16 +1058,62 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                              base_signal_lens=np.asarray(
                                  b.base_signal_lens, np.float16),
                              signals=np.asarray(b.signals, np.float16))
-            out = (wire, np.asarray(l, np.int8), scales, hi - lo)
-            used = sum(sum(a.nbytes for a in c[0]) + c[1].nbytes
-                       for c in _slab_wire_cache.values())
-            if used + sum(a.nbytes for a in wire) <= _slab_cache_cap:
+            # one contiguous blob per slab: the relay charges a fixed
+            # per-transfer fee per jit arg, so 6 per-array transfers
+            # collapse into one (_slab_unpack bitcasts them back on
+            # device; values bit-identical — call_mods blob-dispatch
+            # design, round 5)
+            blob = np.concatenate(
+                [np.ascontiguousarray(a).view(np.uint8).ravel()
+                 for a in (*wire, np.asarray(l, np.int8))])
+            out = (blob, scales, hi - lo)
+            used = sum(c[0].nbytes for c in _slab_wire_cache.values())
+            if used + blob.nbytes <= _slab_cache_cap:
                 _slab_wire_cache[si] = out
             return out
 
+        _unpack_cache: dict = {}
+
+        def _slab_unpack(n_sl: int):
+            """Jitted blob -> ((Batch arrays), labels): passing the
+            numpy blob as the single jit arg rides the fast transfer
+            path AND unpacks on device in the same dispatch. Cached per
+            slab length (2 variants: full + ragged last)."""
+            fn = _unpack_cache.get(n_sl)
+            if fn is not None:
+                return fn
+            L = train_ds.kmer.shape[1]
+            S = train_ds.signals.shape[2]
+            ft = jnp.int8 if spill_int8 else jnp.float16
+            fw = 1 if spill_int8 else 2
+
+            def cut(blob, off, count, dt, width, shape):
+                seg = blob[off:off + count * width]
+                if width > 1:
+                    seg = seg.reshape(count, width)
+                arr = jax.lax.bitcast_convert_type(seg, dt)
+                return arr.reshape(shape), off + count * width
+
+            def _run(blob):
+                off = 0
+                kmer, off = cut(blob, off, n_sl * L, jnp.int8, 1,
+                                (n_sl, L))
+                means, off = cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
+                stds, off = cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
+                lens, off = cut(blob, off, n_sl * L, jnp.float16, 2,
+                                (n_sl, L))
+                sig, off = cut(blob, off, n_sl * L * S, ft, fw,
+                               (n_sl, L, S))
+                lab, off = cut(blob, off, n_sl, jnp.int8, 1, (n_sl,))
+                return Batch(kmer, means, stds, lens, sig), lab
+
+            fn = jax.jit(_run)
+            _unpack_cache[n_sl] = fn
+            return fn
+
         def _upload_slab(si: int):
-            wire, l, scales, n_sl = _slab_wire(si)
-            dev = to_device((wire, l))
+            blob, scales, n_sl = _slab_wire(si)
+            dev = _slab_unpack(n_sl)(blob)
             return dev, scales, n_sl
 
         # cross-epoch prefetch state: the executor persists over the
