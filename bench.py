@@ -39,7 +39,13 @@ if _plat and "cpu" not in _plat:
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 REF_E2E_CACHE = os.path.join(REPO, ".bench_ref_e2e.json")
 N_ROWS = int(os.environ.get("BENCH_ROWS", "131072"))
-DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "4096"))
+# 16384 = the post-blob streaming optimum (round-5 sweep: single-blob
+# dispatch removed the per-transfer fees that made 4096 win in r3-r4);
+# the resident COMPUTE ceiling keeps its own optimum below
+DEVICE_BATCH = int(os.environ.get("BENCH_DEVICE_BATCH", "16384"))
+# resident-plane compute optimum (fused-kernel B-sweep, docs/BENCH.md
+# round 5: 997.6k at 4096 vs 988k/944k at 8192/16384)
+RESIDENT_BATCH = int(os.environ.get("BENCH_RESIDENT_BATCH", "4096"))
 
 
 def _fabricate_read(rng, ri: int, L: int = 3000, S: int = 16) -> dict:
@@ -326,7 +332,8 @@ def measure_resident_sites_s(ckpt_path: str, features_path: str,
     # body) — the chip-bound compute window, comparable round over round
     engine = CallModsEngine(
         ckpt_path, mcfg,
-        CallConfig(device_batch=DEVICE_BATCH, device_resident="always",
+        CallConfig(device_batch=RESIDENT_BATCH,
+                   device_resident="always",
                    transfer_dtype="float16", packed_wire="off"))
     # e2e engine: production defaults — packed slabs + on-device window
     # gather (auto density routing) and the resolved transfer dtype

@@ -219,17 +219,18 @@ class CallModsEngine:
 
     #: auto device_batch search space: powers of two keep the jit shape
     #: cache small across runs; 2048 bounds padding waste on tiny inputs.
-    #: 4096 is the measured sweet spot on the REMOTE-attached rig —
-    #: MORE in-flight dispatch units hide the per-unit round-trip
-    #: latency better than larger units amortize it: interleaved
-    #: same-session sweep (131k rows) measured medians 215k sites/s at
-    #: 32768x4workers, 249k at 16384, 275k at 8192, 318k at 4096x6
-    #: (2048 regressed to ~240k — per-unit fixed costs win again);
-    #: docs/BENCH.md "device_batch sweep, round 3". Direct-attached
-    #: chips have no round-trip to hide, so the auto cap stays at the
-    #: large-batch 32768 there (mirroring resolve_transfer_dtype's
-    #: attachment branch; ADVICE r3).
-    AUTO_MAX_BATCH_REMOTE = 4096
+    #: 16384 is the measured post-blob sweet spot on the REMOTE-attached
+    #: rig: single-blob dispatch (round 5) collapsed the per-dispatch
+    #: transfer fees that made small units win rounds 3-4 (4096 was the
+    #: pre-blob optimum at 318k), so fewer, larger units now amortize
+    #: the remaining fixed costs better — interleaved same-session
+    #: sweeps (131k rows, blob wire) measured medians 298k at 4096,
+    #: 334-341k at 8192, 343-347k (best 374k) at 16384, 314k at 32768;
+    #: docs/BENCH.md "post-blob device_batch sweep, round 5".
+    #: Direct-attached chips have no round-trip to amortize, so the
+    #: auto cap stays at the large-batch 32768 there (mirroring
+    #: resolve_transfer_dtype's attachment branch; ADVICE r3).
+    AUTO_MAX_BATCH_REMOTE = 16384
     AUTO_MAX_BATCH_DIRECT = 32768
     AUTO_MIN_BATCH = 2048
 
