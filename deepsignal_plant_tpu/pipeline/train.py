@@ -220,17 +220,58 @@ def to_device(tree):
     return _jit_identity(tree)
 
 
+_blob_put_cache: dict = {}
+
+
+def blob_put(tree):
+    """Upload a pytree of numpy arrays as ONE uint8 blob: the remote
+    relay charges a fixed fee per jit arg (each leaf = one transfer
+    RPC), so a 6-leaf dataset upload pays 6 fees through to_device but
+    one here. A jitted unpack (static slices + bitcast_convert_type,
+    bit-identical values) splits it on device in the same dispatch.
+    Unpack executables cache per (treedef, shapes, dtypes)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves or not all(
+            isinstance(a, np.ndarray) and a.dtype.kind in "iuf"
+            for a in leaves):
+        return to_device(tree)
+    key = (treedef, tuple((a.shape, a.dtype.str) for a in leaves))
+    fn = _blob_put_cache.get(key)
+    if fn is None:
+        import jax.numpy as jnp
+        specs = [(a.shape, jnp.dtype(a.dtype), a.dtype.itemsize,
+                  int(a.size)) for a in leaves]
+
+        def _run(blob):
+            out = []
+            off = 0
+            for shape, dt, w, count in specs:
+                seg = blob[off:off + count * w]
+                if w > 1:
+                    seg = seg.reshape(count, w)
+                out.append(jax.lax.bitcast_convert_type(
+                    seg, dt).reshape(shape))
+                off += count * w
+            return jax.tree.unflatten(treedef, out)
+
+        fn = jax.jit(_run)
+        _blob_put_cache[key] = fn
+    blob = np.concatenate(
+        [np.ascontiguousarray(a).view(np.uint8).ravel() for a in leaves])
+    return fn(blob)
+
+
 def device_put_dataset(ds) -> tuple[Batch, jax.Array]:
-    """Upload a FeatureDataset's arrays once (see to_device). Memoized on
-    the dataset object: denoise's cross-rank round scores each half with
-    the model trained on the other, so both calls reuse the same two
-    uploads."""
+    """Upload a FeatureDataset's arrays once (one blob transfer — see
+    blob_put). Memoized on the dataset object: denoise's cross-rank
+    round scores each half with the model trained on the other, so both
+    calls reuse the same two uploads."""
     cached = getattr(ds, "_device_cache", None)
     if cached is not None:
         return cached
     batch = Batch(ds.kmer, ds.base_means, ds.base_stds,
                   ds.base_signal_lens, ds.signals)
-    out = to_device((batch, ds.labels))
+    out = blob_put((batch, ds.labels))
     try:
         ds._device_cache = out
     except AttributeError:
