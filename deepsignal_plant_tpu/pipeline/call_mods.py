@@ -103,6 +103,36 @@ def mesh_is_remote(mesh) -> bool:
         return False
 
 
+#: forward compute tile: batches wider than this run the forward in
+#: COMPUTE_TILE-wide chunks inside the jitted step (lax.scan). Two
+#: measured reasons (round 5): (1) 4096 is the MXU compute optimum of
+#: the fused kernels (resident B-sweep: 997.6k at 4096 vs 944k at
+#: 16384); (2) bf16 XLA tiling at 16384-wide forwards diverges enough
+#: to flip confident trained-checkpoint calls (4/4493 flips, e.g. P1
+#: 0.987 -> 0.039) while 2048/4096-wide forwards flip ZERO — chunking
+#: pins the numerics to the 4096-wide program no matter how wide the
+#: dispatch/wire unit grows (docs/BENCH.md round-5 "post-blob sweep").
+COMPUTE_TILE = 4096
+
+
+def forward_tiled(params, b: Batch, cfg):
+    """Inference forward in <= COMPUTE_TILE-wide chunks: wide dispatch
+    units amortize the relay's per-dispatch fees without changing the
+    per-row numerics or leaving the MXU tiling optimum."""
+    n = b.kmer.shape[0]
+    if n <= COMPUTE_TILE or n % COMPUTE_TILE:
+        return forward(params, b, cfg, train=False)[1]
+    k = n // COMPUTE_TILE
+
+    def body(carry, xs):
+        return carry, forward(params, Batch(*xs), cfg, train=False)[1]
+
+    _, probs = jax.lax.scan(
+        body, None,
+        tuple(a.reshape((k, COMPUTE_TILE) + a.shape[1:]) for a in b))
+    return probs.reshape(n, probs.shape[-1])
+
+
 def _start_fetch(arr):
     """Complete the device->host readback inside the dispatch worker
     thread so consecutive round trips overlap each other (and in-flight
@@ -295,11 +325,10 @@ class CallModsEngine:
                     * scales[1],
                     base_signal_lens=batch.base_signal_lens,
                     signals=sig)
-                return forward(params, b, cfg, train=False)[1]
+                return forward_tiled(params, b, cfg)
         else:
             def _step(params, batch: Batch):
-                logits, probs = forward(params, batch, cfg, train=False)
-                return probs
+                return forward_tiled(params, batch, cfg)
 
         if self._single:
             return jax.jit(_step)
@@ -332,7 +361,7 @@ class CallModsEngine:
                       base_stds=jnp.take(stds, win, axis=0),
                       base_signal_lens=jnp.take(lens, win, axis=0),
                       signals=jnp.take(rect, win, axis=0))
-            return forward(params, b, cfg, train=False)[1]
+            return forward_tiled(params, b, cfg)
 
         if quantized:
             def _step(params, codes, means, stds, lens, rect, centers,
@@ -941,7 +970,7 @@ class CallModsEngine:
         def _run(params, kmer, means, stds, lens, signals):
             def body(carry, xs):
                 b = Batch(*xs)
-                return carry, forward(params, b, cfg, train=False)[1]
+                return carry, forward_tiled(params, b, cfg)
             _, probs = jax.lax.scan(
                 body, None, (kmer, means, stds, lens, signals))
             return probs
@@ -980,7 +1009,7 @@ class CallModsEngine:
                       base_stds=jnp.take(stds, win, axis=0),
                       base_signal_lens=jnp.take(lens, win, axis=0),
                       signals=jnp.take(rect, win, axis=0))
-            return forward(params, b, cfg, train=False)[1]
+            return forward_tiled(params, b, cfg)
 
         if quantized:
             def _run(params, codes, means, stds, lens, rect, centers,
@@ -1072,7 +1101,7 @@ class CallModsEngine:
                            base_stds=jnp.take(st, win, axis=0),
                            base_signal_lens=jnp.take(ln, win, axis=0),
                            signals=jnp.take(r, win, axis=0))
-                return forward(params, bt, cfg, train=False)[1]
+                return forward_tiled(params, bt, cfg)
 
             if quant:
                 def body(carry, x):
@@ -1132,7 +1161,7 @@ class CallModsEngine:
                 sig = sig.astype(jnp.float32) * scales[2]
             bt = Batch(kmer=kmer, base_means=means, base_stds=stds,
                        base_signal_lens=lens, signals=sig)
-            return forward(params, bt, cfg, train=False)[1]
+            return forward_tiled(params, bt, cfg)
 
         step = jax.jit(_run)
         self._resident_blob_cache[key] = step
@@ -1190,7 +1219,7 @@ class CallModsEngine:
                        base_stds=jnp.take(stds, win, axis=0),
                        base_signal_lens=jnp.take(lens, win, axis=0),
                        signals=jnp.take(rect, win, axis=0))
-            return forward(params, bt, cfg, train=False)[1]
+            return forward_tiled(params, bt, cfg)
 
         step = jax.jit(_run)
         self._resident_blob_cache[key] = step
