@@ -527,9 +527,10 @@ class CallModsEngine:
     def _resolve_target(self, input_path: str) -> int:
         """Auto device_batch: next power of two covering the estimated row
         count, clamped to [AUTO_MIN_BATCH, the attachment-aware
-        AUTO_MAX_BATCH_REMOTE 4096 / _DIRECT 32768] — tiny inputs
-        skip full-width padding, big inputs get the latency-amortizing
-        width. Explicit --device_batch always wins."""
+        AUTO_MAX_BATCH_REMOTE 16384 / _DIRECT 32768] — tiny inputs
+        skip full-width padding, big inputs get the fee-amortizing
+        width (the forward itself always runs in COMPUTE_TILE-wide
+        chunks — see forward_tiled). Explicit --device_batch wins."""
         if not self._auto_batch:
             return self.device_batch
         est = _estimate_rows(input_path)
@@ -1400,6 +1401,7 @@ class CallModsEngine:
         from ..utils.prof import PROFILER
 
         seq_len = self.model_cfg.seq_len
+        sig_len = self.model_cfg.signal_len
         nb = (seq_len - 1) // 2
 
         def checked(pb):
@@ -1407,6 +1409,15 @@ class CallModsEngine:
                 raise ValueError(
                     "packed wire kmer_len {} != model seq_len {}".format(
                         pb.kmer_len, seq_len))
+            # signal width too: the blob step's static offsets are built
+            # from it — a dir mixing --signal_len extracts would
+            # otherwise mis-slice the blob into plausible garbage
+            # (review r5) instead of failing loudly like the streaming
+            # plane's per-batch shapes do
+            if pb.rect.shape[1] != sig_len:
+                raise ValueError(
+                    "packed wire signal_len {} != model signal_len {}"
+                    .format(pb.rect.shape[1], sig_len))
             return pb
 
         it = (checked(pb) for pb in iter(packed_blocks)
@@ -1448,9 +1459,10 @@ class CallModsEngine:
                 else np.float16)
         quant = self._quant
 
-        if self._sharding is None:
-            to_dev_rep = to_dev_shard = jax.jit(lambda v: v)
-        else:
+        if self._sharding is not None:
+            # mesh runs keep per-array uploads so centers can shard
+            # while slabs replicate; single-device runs never build
+            # these (blob/numpy args ride the dispatch instead)
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             axis = self.mesh.axis_names[0]
@@ -1460,6 +1472,8 @@ class CallModsEngine:
                 lambda v: v,
                 out_shardings=NamedSharding(self.mesh, P(None, axis)))
 
+        import threading
+        prof_lock = threading.Lock()
         stats = CallStats()
         profile = {"upload_s": 0.0, "compute_s": 0.0, "fetch_s": 0.0,
                    "rows": 0, "k_chunks": k_chunks, "device_batch": target,
@@ -1652,11 +1666,7 @@ class CallModsEngine:
                     # measured round 5; rig notes in
                     # .claude/skills/verify). The step's static slices/
                     # bitcasts undo this layout on device.
-                    dev = np.concatenate(
-                        [np.ascontiguousarray(a).view(np.uint8).ravel()
-                         for a in dev_host])
-                elif self._sharding is None:
-                    dev = to_dev_rep(dev_host)
+                    dev = self._to_blob(dev_host)
                 else:
                     # centers (index 5) shard over sites; slabs + scales
                     # replicate
@@ -1683,7 +1693,8 @@ class CallModsEngine:
                 dev = (to_dev_shard(dev_host)
                        if self._sharding is not None else dev_host)
             jax.block_until_ready(dev)
-            profile["upload_s"] += time.time() - tu
+            with prof_lock:   # stage sums race across pool workers
+                profile["upload_s"] += time.time() - tu
             return route, dev, metas
 
         wd = StallWatchdog()
@@ -1721,11 +1732,13 @@ class CallModsEngine:
                     probs = self._run_with_fallback(
                         lambda d=dev: self._step_resident(self.params, *d))
                 jax.block_until_ready(probs)
-            profile["compute_s"] += time.time() - tc
+            with prof_lock:
+                profile["compute_s"] += time.time() - tc
             tf = time.time()
             with PROFILER.stage("fetch", nv):
                 probs = np.asarray(probs)
-            profile["fetch_s"] += time.time() - tf
+            with prof_lock:
+                profile["fetch_s"] += time.time() - tf
             return probs, metas, nv
 
         # segment pool width scales with the engine's dispatch budget

@@ -235,6 +235,12 @@ def blob_put(tree):
             isinstance(a, np.ndarray) and a.dtype.kind in "iuf"
             for a in leaves):
         return to_device(tree)
+    # the concat transiently duplicates the payload on host; past ~1 GB
+    # the per-leaf fees are noise next to the transfer itself, so skip
+    # the copy (review r5: a multi-GB resident dataset would 2x RSS)
+    if sum(a.nbytes for a in leaves) > int(os.environ.get(
+            "DSP_BLOB_PUT_MAX_BYTES", str(1 << 30))):
+        return to_device(tree)
     key = (treedef, tuple((a.shape, a.dtype.str) for a in leaves))
     fn = _blob_put_cache.get(key)
     if fn is None:

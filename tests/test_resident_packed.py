@@ -304,3 +304,23 @@ def test_streaming_blob_dispatch_byte_identical(dense_env, tmp_path):
     assert [r[:6] for r in a] == [r[:6] for r in b]
     dp = [abs(float(ra[7]) - float(rb[7])) for ra, rb in zip(a, b)]
     assert np.mean(dp) < 5e-3, np.mean(dp)
+
+
+@needs_native
+def test_resident_packed_rejects_signal_len_mismatch(dense_env, tmp_path):
+    """A v3 dir mixing --signal_len extracts must fail loudly: the blob
+    step's static offsets are built from the model's signal width, so a
+    mismatched block would otherwise mis-slice into plausible garbage."""
+    from deepsignal_plant_tpu.pipeline.extract import features_to_packed
+    from deepsignal_plant_tpu.utils.formats import save_packed_npz
+    feat, rows, feats_list, ckpt, d = dense_env
+    pdir = tmp_path / "mixed_s"
+    pdir.mkdir()
+    pb = features_to_packed(feats_list)
+    save_packed_npz(str(pdir / "000.npz"), pb)
+    bad = features_to_packed(feats_list)
+    bad.rect = np.concatenate([bad.rect, bad.rect[:, :4]], axis=1)
+    save_packed_npz(str(pdir / "001.npz"), bad)
+    res = _engine(ckpt, device_resident="always")
+    with pytest.raises(ValueError, match="signal_len"):
+        res.run_features_file(str(pdir), str(tmp_path / "x.tsv"))
