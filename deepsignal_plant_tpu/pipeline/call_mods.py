@@ -133,6 +133,112 @@ def forward_tiled(params, b: Batch, cfg):
     return probs.reshape(n, probs.shape[-1])
 
 
+def _blob_cut(blob, off, count, dt, width, shape):
+    """Slice `count` elements of `width` bytes each off a uint8 blob at
+    static offset `off` and bitcast to `dt` — the single unpack codec
+    shared by every blob step (values bit-identical to the source
+    arrays; layout must mirror _to_blob's concatenation order)."""
+    seg = blob[off:off + count * width]
+    if width > 1:
+        seg = seg.reshape(count, width)
+    arr = jax.lax.bitcast_convert_type(seg, dt)
+    return arr.reshape(shape), off + count * width
+
+
+def _take_packed_span(fifo, target, base_budget, seq_len, is_dense):
+    """Consume dense blocks from `fifo` ([PackedFeatureBlock, consumed]
+    deque) into ONE packed unit: up to `target` sites whose covering
+    base span fits `base_budget`. Returns ((codes, means, stds, lens,
+    rect, centers), segs, labels, ns, nbase) with the base axis
+    UNPADDED and centers already rebased to the unit's base axis — the
+    streaming and resident planes share this consumption logic and
+    differ only in how they pad the result (pow2 menu vs static slab
+    width), so the budget/rebase math cannot silently diverge between
+    them (review r5)."""
+    nb = (seq_len - 1) // 2
+    segs = []
+    cols = {k: [] for k in ("codes", "means", "stds", "lens",
+                            "rect", "centers", "labels")}
+    ns = nbase = 0
+    while fifo and ns < target and is_dense(fifo[0][0]):
+        ent = fifo[0]
+        pb, lo = ent
+        budget = base_budget - nbase
+        if budget < seq_len:
+            break
+        centers = pb.centers
+        b0 = int(centers[lo]) - nb
+        hi = min(pb.n, lo + (target - ns))
+        cnt = int(np.searchsorted(centers[lo:hi], b0 + budget - nb - 1,
+                                  side="right"))
+        if cnt == 0:
+            break
+        hi = lo + cnt
+        b1 = int(centers[hi - 1]) + nb + 1
+        cols["codes"].append(pb.codes[b0:b1])
+        cols["means"].append(pb.means[b0:b1])
+        cols["stds"].append(pb.stds[b0:b1])
+        cols["lens"].append(pb.lens[b0:b1])
+        cols["rect"].append(pb.rect[b0:b1])
+        cols["centers"].append(centers[lo:hi].astype(np.int32)
+                               + np.int32(nbase - b0))
+        cols["labels"].append(pb.labels[lo:hi])
+        segs.append((pb, lo, hi))
+        nbase += b1 - b0
+        ns += hi - lo
+        if hi == pb.n:
+            fifo.popleft()
+        else:
+            ent[1] = hi
+
+    def cat(k):
+        p = cols[k]
+        return p[0] if len(p) == 1 else np.concatenate(p)
+    arrays = tuple(cat(k) for k in ("codes", "means", "stds", "lens",
+                                    "rect", "centers"))
+    return arrays, segs, cat("labels"), ns, nbase
+
+
+def _take_persite_span(fifo, target, is_dense):
+    """Consume sparse blocks from `fifo` into one per-site unit of up to
+    `target` rows (host window gather via window_index), row axis padded
+    to `target`. Returns ((kmer, means, stds, lens, rect), segs, labels,
+    ns). Shared by the streaming and resident planes (review r5)."""
+    segs = []
+    cols = {k: [] for k in ("kmer", "means", "stds", "lens", "rect",
+                            "labels")}
+    ns = 0
+    while fifo and ns < target and not is_dense(fifo[0][0]):
+        ent = fifo[0]
+        pb, lo = ent
+        hi = min(pb.n, lo + (target - ns))
+        win = pb.window_index(lo, hi)
+        cols["kmer"].append(pb.codes[win])
+        cols["means"].append(pb.means[win])
+        cols["stds"].append(pb.stds[win])
+        cols["lens"].append(pb.lens[win])
+        cols["rect"].append(pb.rect[win])
+        cols["labels"].append(pb.labels[lo:hi])
+        segs.append((pb, lo, hi))
+        ns += hi - lo
+        if hi == pb.n:
+            fifo.popleft()
+        else:
+            ent[1] = hi
+
+    def cat(k):
+        p = cols[k]
+        a = p[0] if len(p) == 1 else np.concatenate(p)
+        if ns < target:
+            a = np.pad(a, [(0, target - ns)] + [(0, 0)] * (a.ndim - 1))
+        return a
+    arrays = tuple(cat(k) for k in ("kmer", "means", "stds", "lens",
+                                    "rect"))
+    labels = (cols["labels"][0] if len(cols["labels"]) == 1
+              else np.concatenate(cols["labels"]))
+    return arrays, segs, labels, ns
+
+
 def _start_fetch(arr):
     """Complete the device->host readback inside the dispatch worker
     thread so consecutive round trips overlap each other (and in-flight
@@ -738,6 +844,10 @@ class CallModsEngine:
                 raise ValueError(
                     "packed wire kmer_len {} != model seq_len {}".format(
                         pb.kmer_len, seq_len))
+            if pb.rect.shape[1] != self.model_cfg.signal_len:
+                raise ValueError(
+                    "packed wire signal_len {} != model signal_len {}"
+                    .format(pb.rect.shape[1], self.model_cfg.signal_len))
             return pb
 
         it = (checked(pb) for pb in iter(packed_blocks)
@@ -815,50 +925,12 @@ class CallModsEngine:
 
             def take_packed():
                 nonlocal pending
-                segs = []
-                cols = {k: [] for k in ("codes", "means", "stds", "lens",
-                                        "rect", "centers", "labels")}
-                ns = nbase = 0
-                while fifo and ns < target and is_dense(fifo[0][0]):
-                    ent = fifo[0]
-                    pb, lo = ent
-                    budget = nb_max - nbase
-                    if budget < seq_len:
-                        break
-                    centers = pb.centers
-                    b0 = int(centers[lo]) - nb
-                    hi = min(pb.n, lo + (target - ns))
-                    # base budget: centers[j] + nb + 1 - b0 <= budget
-                    cnt = int(np.searchsorted(centers[lo:hi],
-                                              b0 + budget - nb - 1,
-                                              side="right"))
-                    if cnt == 0:
-                        break
-                    hi = lo + cnt
-                    b1 = int(centers[hi - 1]) + nb + 1
-                    cols["codes"].append(pb.codes[b0:b1])
-                    cols["means"].append(pb.means[b0:b1])
-                    cols["stds"].append(pb.stds[b0:b1])
-                    cols["lens"].append(pb.lens[b0:b1])
-                    cols["rect"].append(pb.rect[b0:b1])
-                    cols["centers"].append(centers[lo:hi].astype(np.int32)
-                                           + np.int32(nbase - b0))
-                    cols["labels"].append(pb.labels[lo:hi])
-                    segs.append((pb, lo, hi))
-                    nbase += b1 - b0
-                    ns += hi - lo
-                    pending -= hi - lo
-                    if hi == pb.n:
-                        fifo.popleft()
-                    else:
-                        ent[1] = hi
-
-                def cat(k):
-                    p = cols[k]
-                    return p[0] if len(p) == 1 else np.concatenate(p)
-                codes, means, stds, lens, rect = map(
-                    cat, ("codes", "means", "stds", "lens", "rect"))
-                centers, labels = cat("centers"), cat("labels")
+                # shared consumption core (_take_packed_span); this
+                # plane pads the base axis up the pow2 menu per batch
+                arrays, segs, labels, ns, nbase = _take_packed_span(
+                    fifo, target, nb_max, seq_len, is_dense)
+                pending -= ns
+                codes, means, stds, lens, rect, centers = arrays
                 pad_b = max(4096, 1 << (nbase - 1).bit_length()) - nbase
                 if pad_b:
                     codes = np.pad(codes, (0, pad_b))
@@ -875,43 +947,10 @@ class CallModsEngine:
 
             def take_persite():
                 nonlocal pending
-                segs = []
-                cols = {k: [] for k in ("kmer", "means", "stds", "lens",
-                                        "rect", "labels")}
-                ns = 0
-                while fifo and ns < target and not is_dense(fifo[0][0]):
-                    ent = fifo[0]
-                    pb, lo = ent
-                    hi = min(pb.n, lo + (target - ns))
-                    win = pb.window_index(lo, hi)
-                    cols["kmer"].append(pb.codes[win])
-                    cols["means"].append(pb.means[win])
-                    cols["stds"].append(pb.stds[win])
-                    cols["lens"].append(pb.lens[win])
-                    cols["rect"].append(pb.rect[win])
-                    cols["labels"].append(pb.labels[lo:hi])
-                    segs.append((pb, lo, hi))
-                    ns += hi - lo
-                    pending -= hi - lo
-                    if hi == pb.n:
-                        fifo.popleft()
-                    else:
-                        ent[1] = hi
-
-                def cat(k):
-                    p = cols[k]
-                    a = p[0] if len(p) == 1 else np.concatenate(p)
-                    if ns < target:
-                        a = np.pad(a, [(0, target - ns)] +
-                                   [(0, 0)] * (a.ndim - 1))
-                    return a
-                batch = Batch(kmer=cat("kmer"), base_means=cat("means"),
-                              base_stds=cat("stds"),
-                              base_signal_lens=cat("lens"),
-                              signals=cat("rect"))
-                labels = (cols["labels"][0] if len(cols["labels"]) == 1
-                          else np.concatenate(cols["labels"]))
-                return ("persite", batch, segs, labels, ns)
+                arrays, segs, labels, ns = _take_persite_span(
+                    fifo, target, is_dense)
+                pending -= ns
+                return ("persite", Batch(*arrays), segs, labels, ns)
 
             while True:
                 fill()
@@ -1072,25 +1111,18 @@ class CallModsEngine:
                   "i1": jnp.int8}[wire_code]
         esz = {"f2": 2, "f4": 4, "i1": 1}[wire_code]
 
-        def cut(blob, off, count, dt, width, shape):
-            seg = blob[off:off + count * width]
-            if width > 1:
-                seg = seg.reshape(count, width)
-            arr = jax.lax.bitcast_convert_type(seg, dt)
-            return arr.reshape(shape), off + count * width
-
         def _run(params, blob):
             off = 0
-            codes, off = cut(blob, off, k * nbw, jnp.int8, 1, (k, nbw))
-            means, off = cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
-            stds, off = cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
-            lens, off = cut(blob, off, k * nbw, jnp.float16, 2, (k, nbw))
-            rect, off = cut(blob, off, k * nbw * s, wire_t, esz,
+            codes, off = _blob_cut(blob, off, k * nbw, jnp.int8, 1, (k, nbw))
+            means, off = _blob_cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
+            stds, off = _blob_cut(blob, off, k * nbw, wire_t, esz, (k, nbw))
+            lens, off = _blob_cut(blob, off, k * nbw, jnp.float16, 2, (k, nbw))
+            rect, off = _blob_cut(blob, off, k * nbw * s, wire_t, esz,
                             (k, nbw, s))
-            centers, off = cut(blob, off, k * b, jnp.int32, 4, (k, b))
+            centers, off = _blob_cut(blob, off, k * b, jnp.int32, 4, (k, b))
             xs = [codes, means, stds, lens, rect, centers]
             if quant:
-                scales, off = cut(blob, off, k * 3, jnp.float32, 4,
+                scales, off = _blob_cut(blob, off, k * 3, jnp.float32, 4,
                                   (k, 3))
                 xs.append(scales)
 
@@ -1139,24 +1171,17 @@ class CallModsEngine:
         _, b, L, s, quant = key
         cfg = self.model_cfg
 
-        def cut(blob, off, count, dt, width, shape):
-            seg = blob[off:off + count * width]
-            if width > 1:
-                seg = seg.reshape(count, width)
-            arr = jax.lax.bitcast_convert_type(seg, dt)
-            return arr.reshape(shape), off + count * width
-
         def _run(params, blob):
             off = 0
-            kmer, off = cut(blob, off, b * L, jnp.int8, 1, (b, L))
+            kmer, off = _blob_cut(blob, off, b * L, jnp.int8, 1, (b, L))
             fw = 1 if quant else 2
             ft = jnp.int8 if quant else jnp.float16
-            means, off = cut(blob, off, b * L, ft, fw, (b, L))
-            stds, off = cut(blob, off, b * L, ft, fw, (b, L))
-            lens, off = cut(blob, off, b * L, jnp.float16, 2, (b, L))
-            sig, off = cut(blob, off, b * L * s, ft, fw, (b, L, s))
+            means, off = _blob_cut(blob, off, b * L, ft, fw, (b, L))
+            stds, off = _blob_cut(blob, off, b * L, ft, fw, (b, L))
+            lens, off = _blob_cut(blob, off, b * L, jnp.float16, 2, (b, L))
+            sig, off = _blob_cut(blob, off, b * L * s, ft, fw, (b, L, s))
             if quant:
-                scales, off = cut(blob, off, 3, jnp.float32, 4, (3,))
+                scales, off = _blob_cut(blob, off, 3, jnp.float32, 4, (3,))
                 means = means.astype(jnp.float32) * scales[0]
                 stds = stds.astype(jnp.float32) * scales[1]
                 sig = sig.astype(jnp.float32) * scales[2]
@@ -1191,25 +1216,18 @@ class CallModsEngine:
         cfg = self.model_cfg
         nb = (cfg.seq_len - 1) // 2
 
-        def cut(blob, off, count, dt, width, shape):
-            seg = blob[off:off + count * width]
-            if width > 1:
-                seg = seg.reshape(count, width)
-            arr = jax.lax.bitcast_convert_type(seg, dt)
-            return arr.reshape(shape), off + count * width
-
         def _run(params, blob):
             off = 0
             fw = 1 if quant else 2
             ft = jnp.int8 if quant else jnp.float16
-            codes, off = cut(blob, off, nbw, jnp.int8, 1, (nbw,))
-            means, off = cut(blob, off, nbw, ft, fw, (nbw,))
-            stds, off = cut(blob, off, nbw, ft, fw, (nbw,))
-            lens, off = cut(blob, off, nbw, jnp.float16, 2, (nbw,))
-            rect, off = cut(blob, off, nbw * s, ft, fw, (nbw, s))
-            centers, off = cut(blob, off, b, jnp.int32, 4, (b,))
+            codes, off = _blob_cut(blob, off, nbw, jnp.int8, 1, (nbw,))
+            means, off = _blob_cut(blob, off, nbw, ft, fw, (nbw,))
+            stds, off = _blob_cut(blob, off, nbw, ft, fw, (nbw,))
+            lens, off = _blob_cut(blob, off, nbw, jnp.float16, 2, (nbw,))
+            rect, off = _blob_cut(blob, off, nbw * s, ft, fw, (nbw, s))
+            centers, off = _blob_cut(blob, off, b, jnp.int32, 4, (b,))
             if quant:
-                scales, off = cut(blob, off, 3, jnp.float32, 4, (3,))
+                scales, off = _blob_cut(blob, off, 3, jnp.float32, 4, (3,))
                 means = means.astype(jnp.float32) * scales[0]
                 stds = stds.astype(jnp.float32) * scales[1]
                 rect = rect.astype(jnp.float32) * scales[2]
@@ -1504,49 +1522,12 @@ class CallModsEngine:
 
             def take_packed_chunk():
                 nonlocal pending
-                segs = []
-                cols = {k: [] for k in ("codes", "means", "stds", "lens",
-                                        "rect", "centers", "labels")}
-                ns = nbase = 0
-                while fifo and ns < target and is_dense(fifo[0][0]):
-                    ent = fifo[0]
-                    pb, lo = ent
-                    budget = nb_width - nbase
-                    if budget < seq_len:
-                        break
-                    centers = pb.centers
-                    b0 = int(centers[lo]) - nb
-                    hi = min(pb.n, lo + (target - ns))
-                    cnt = int(np.searchsorted(centers[lo:hi],
-                                              b0 + budget - nb - 1,
-                                              side="right"))
-                    if cnt == 0:
-                        break
-                    hi = lo + cnt
-                    b1 = int(centers[hi - 1]) + nb + 1
-                    cols["codes"].append(pb.codes[b0:b1])
-                    cols["means"].append(pb.means[b0:b1])
-                    cols["stds"].append(pb.stds[b0:b1])
-                    cols["lens"].append(pb.lens[b0:b1])
-                    cols["rect"].append(pb.rect[b0:b1])
-                    cols["centers"].append(centers[lo:hi].astype(np.int32)
-                                           + np.int32(nbase - b0))
-                    cols["labels"].append(pb.labels[lo:hi])
-                    segs.append((pb, lo, hi))
-                    nbase += b1 - b0
-                    ns += hi - lo
-                    pending -= hi - lo
-                    if hi == pb.n:
-                        fifo.popleft()
-                    else:
-                        ent[1] = hi
-
-                def cat(k):
-                    p = cols[k]
-                    return p[0] if len(p) == 1 else np.concatenate(p)
-                codes, means, stds, lens, rect = map(
-                    cat, ("codes", "means", "stds", "lens", "rect"))
-                centers, labels = cat("centers"), cat("labels")
+                # shared consumption core (_take_packed_span); this
+                # plane pads the base axis to the static slab width
+                arrays, segs, labels, ns, nbase = _take_packed_span(
+                    fifo, target, nb_width, seq_len, is_dense)
+                pending -= ns
+                codes, means, stds, lens, rect, centers = arrays
                 pad_b = nb_width - nbase
                 if pad_b:
                     codes = np.pad(codes, (0, pad_b))
@@ -1562,40 +1543,9 @@ class CallModsEngine:
 
             def take_persite_chunk():
                 nonlocal pending
-                segs = []
-                cols = {k: [] for k in ("kmer", "means", "stds", "lens",
-                                        "rect", "labels")}
-                ns = 0
-                while fifo and ns < target and not is_dense(fifo[0][0]):
-                    ent = fifo[0]
-                    pb, lo = ent
-                    hi = min(pb.n, lo + (target - ns))
-                    win = pb.window_index(lo, hi)
-                    cols["kmer"].append(pb.codes[win])
-                    cols["means"].append(pb.means[win])
-                    cols["stds"].append(pb.stds[win])
-                    cols["lens"].append(pb.lens[win])
-                    cols["rect"].append(pb.rect[win])
-                    cols["labels"].append(pb.labels[lo:hi])
-                    segs.append((pb, lo, hi))
-                    ns += hi - lo
-                    pending -= hi - lo
-                    if hi == pb.n:
-                        fifo.popleft()
-                    else:
-                        ent[1] = hi
-
-                def cat(k):
-                    p = cols[k]
-                    a = p[0] if len(p) == 1 else np.concatenate(p)
-                    if ns < target:
-                        a = np.pad(a, [(0, target - ns)] +
-                                   [(0, 0)] * (a.ndim - 1))
-                    return a
-                arrays = tuple(cat(k) for k in
-                               ("kmer", "means", "stds", "lens", "rect"))
-                labels = (cols["labels"][0] if len(cols["labels"]) == 1
-                          else np.concatenate(cols["labels"]))
+                arrays, segs, labels, ns = _take_persite_span(
+                    fifo, target, is_dense)
+                pending -= ns
                 return (arrays, (segs, labels, ns))
 
             while True:

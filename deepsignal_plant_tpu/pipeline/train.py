@@ -249,15 +249,12 @@ def blob_put(tree):
                   int(a.size)) for a in leaves]
 
         def _run(blob):
+            from .call_mods import _blob_cut
             out = []
             off = 0
             for shape, dt, w, count in specs:
-                seg = blob[off:off + count * w]
-                if w > 1:
-                    seg = seg.reshape(count, w)
-                out.append(jax.lax.bitcast_convert_type(
-                    seg, dt).reshape(shape))
-                off += count * w
+                arr, off = _blob_cut(blob, off, count, dt, w, shape)
+                out.append(arr)
             return jax.tree.unflatten(treedef, out)
 
         fn = jax.jit(_run)
@@ -1129,29 +1126,23 @@ def train_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
             fn = _unpack_cache.get(n_sl)
             if fn is not None:
                 return fn
+            from .call_mods import _blob_cut
             L = train_ds.kmer.shape[1]
             S = train_ds.signals.shape[2]
             ft = jnp.int8 if spill_int8 else jnp.float16
             fw = 1 if spill_int8 else 2
 
-            def cut(blob, off, count, dt, width, shape):
-                seg = blob[off:off + count * width]
-                if width > 1:
-                    seg = seg.reshape(count, width)
-                arr = jax.lax.bitcast_convert_type(seg, dt)
-                return arr.reshape(shape), off + count * width
-
             def _run(blob):
                 off = 0
-                kmer, off = cut(blob, off, n_sl * L, jnp.int8, 1,
+                kmer, off = _blob_cut(blob, off, n_sl * L, jnp.int8, 1,
                                 (n_sl, L))
-                means, off = cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
-                stds, off = cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
-                lens, off = cut(blob, off, n_sl * L, jnp.float16, 2,
+                means, off = _blob_cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
+                stds, off = _blob_cut(blob, off, n_sl * L, ft, fw, (n_sl, L))
+                lens, off = _blob_cut(blob, off, n_sl * L, jnp.float16, 2,
                                 (n_sl, L))
-                sig, off = cut(blob, off, n_sl * L * S, ft, fw,
+                sig, off = _blob_cut(blob, off, n_sl * L * S, ft, fw,
                                (n_sl, L, S))
-                lab, off = cut(blob, off, n_sl, jnp.int8, 1, (n_sl,))
+                lab, off = _blob_cut(blob, off, n_sl, jnp.int8, 1, (n_sl,))
                 return Batch(kmer, means, stds, lens, sig), lab
 
             fn = jax.jit(_run)

@@ -324,3 +324,32 @@ def test_resident_packed_rejects_signal_len_mismatch(dense_env, tmp_path):
     res = _engine(ckpt, device_resident="always")
     with pytest.raises(ValueError, match="signal_len"):
         res.run_features_file(str(pdir), str(tmp_path / "x.tsv"))
+
+
+@needs_native
+def test_resident_sparse_single_device(dense_env, tmp_path):
+    """Sparse inputs on a SINGLE-device resident engine ride per-site
+    chunks dispatched as plain numpy args; output matches streaming."""
+    import jax
+
+    from deepsignal_plant_tpu.models.convert import load_checkpoint
+    from deepsignal_plant_tpu.parallel.mesh import make_mesh
+    feat, rows, _, ckpt, d = dense_env
+    rng = np.random.default_rng(8)
+    sparse = write_feature_file(str(tmp_path / "sp.tsv"),
+                                synth_feature_rows(rng, 3, 50))
+    _p, cfg = load_checkpoint(ckpt)
+    mesh1 = make_mesh(jax.devices()[:1])
+    outs = {}
+    for mode in ("never", "always"):
+        eng = CallModsEngine(
+            ckpt, cfg.with_(dropout_rate=0.0),
+            CallConfig(device_batch=32, transfer_dtype="float16",
+                       packed_wire="auto", device_resident=mode),
+            mesh=mesh1)
+        eng.RESIDENT_MAX_CHUNKS = 2
+        out = str(tmp_path / f"sp_{mode}.tsv")
+        st = eng.run_features_file(sparse, out)
+        assert st.sites == 150
+        outs[mode] = open(out, "rb").read()
+    assert outs["never"] == outs["always"]
