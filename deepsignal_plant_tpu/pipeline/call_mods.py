@@ -118,19 +118,30 @@ COMPUTE_TILE = 4096
 def forward_tiled(params, b: Batch, cfg):
     """Inference forward in <= COMPUTE_TILE-wide chunks: wide dispatch
     units amortize the relay's per-dispatch fees without changing the
-    per-row numerics or leaving the MXU tiling optimum."""
+    per-row numerics or leaving the MXU tiling optimum. Non-multiple
+    widths scan the floor(n/tile) prefix and run the ragged tail as one
+    narrow forward — no row ever sees a wider-than-tile program (the
+    measured bf16 flip hazard lives in WIDE forwards; review r5)."""
+    import jax.numpy as jnp
     n = b.kmer.shape[0]
-    if n <= COMPUTE_TILE or n % COMPUTE_TILE:
+    if n <= COMPUTE_TILE:
         return forward(params, b, cfg, train=False)[1]
-    k = n // COMPUTE_TILE
+    k, rem = divmod(n, COMPUTE_TILE)
 
     def body(carry, xs):
         return carry, forward(params, Batch(*xs), cfg, train=False)[1]
 
+    head = n - rem
     _, probs = jax.lax.scan(
         body, None,
-        tuple(a.reshape((k, COMPUTE_TILE) + a.shape[1:]) for a in b))
-    return probs.reshape(n, probs.shape[-1])
+        tuple(a[:head].reshape((k, COMPUTE_TILE) + a.shape[1:])
+              for a in b))
+    probs = probs.reshape(head, probs.shape[-1])
+    if rem:
+        tail = forward(params, Batch(*(a[head:] for a in b)), cfg,
+                       train=False)[1]
+        probs = jnp.concatenate([probs, tail])
+    return probs
 
 
 def _blob_cut(blob, off, count, dt, width, shape):
@@ -143,6 +154,22 @@ def _blob_cut(blob, off, count, dt, width, shape):
         seg = seg.reshape(count, width)
     arr = jax.lax.bitcast_convert_type(seg, dt)
     return arr.reshape(shape), off + count * width
+
+
+def _check_packed_block(pb, seq_len: int, sig_len: int):
+    """Per-block wire-compat validation shared by the streaming and
+    resident packed planes: a dir mixing extract runs of different
+    --seq_len/--signal_len must fail loudly, not gather wrong windows
+    or mis-slice blobs silently."""
+    if pb.kmer_len != seq_len:
+        raise ValueError(
+            "packed wire kmer_len {} != model seq_len {}".format(
+                pb.kmer_len, seq_len))
+    if pb.rect.shape[1] != sig_len:
+        raise ValueError(
+            "packed wire signal_len {} != model signal_len {}".format(
+                pb.rect.shape[1], sig_len))
+    return pb
 
 
 def _take_packed_span(fifo, target, base_budget, seq_len, is_dense):
@@ -836,21 +863,11 @@ class CallModsEngine:
 
         seq_len = self.model_cfg.seq_len
 
-        def checked(pb):
-            # every block, not just the first: a dir mixing extract runs
-            # of different --seq_len would otherwise gather wrong windows
-            # silently
-            if pb.kmer_len != seq_len:
-                raise ValueError(
-                    "packed wire kmer_len {} != model seq_len {}".format(
-                        pb.kmer_len, seq_len))
-            if pb.rect.shape[1] != self.model_cfg.signal_len:
-                raise ValueError(
-                    "packed wire signal_len {} != model signal_len {}"
-                    .format(pb.rect.shape[1], self.model_cfg.signal_len))
-            return pb
-
-        it = (checked(pb) for pb in iter(packed_blocks)
+        # every block, not just the first: a dir mixing extract runs
+        # of different --seq_len/--signal_len must fail loudly
+        sig_len = self.model_cfg.signal_len
+        it = (_check_packed_block(pb, seq_len, sig_len)
+              for pb in iter(packed_blocks)
               if pb is not None and pb.n)
         first = next(it, None)
         if first is None:
@@ -1287,6 +1304,8 @@ class CallModsEngine:
                 lambda v: v,
                 out_shardings=NamedSharding(self.mesh, P(None, axis)))
 
+        import threading
+        prof_lock = threading.Lock()
         stats = CallStats()
         profile = {"upload_s": 0.0, "compute_s": 0.0, "fetch_s": 0.0,
                    "rows": 0, "k_chunks": k_chunks, "device_batch": target,
@@ -1353,7 +1372,8 @@ class CallModsEngine:
             tu = time.time()
             dev = to_dev(host)
             jax.block_until_ready(dev)
-            profile["upload_s"] += time.time() - tu
+            with prof_lock:   # 2 upload workers race the sum
+                profile["upload_s"] += time.time() - tu
             return dev, segs, labels, nv
 
         wd = StallWatchdog()
@@ -1422,23 +1442,8 @@ class CallModsEngine:
         sig_len = self.model_cfg.signal_len
         nb = (seq_len - 1) // 2
 
-        def checked(pb):
-            if pb.kmer_len != seq_len:
-                raise ValueError(
-                    "packed wire kmer_len {} != model seq_len {}".format(
-                        pb.kmer_len, seq_len))
-            # signal width too: the blob step's static offsets are built
-            # from it — a dir mixing --signal_len extracts would
-            # otherwise mis-slice the blob into plausible garbage
-            # (review r5) instead of failing loudly like the streaming
-            # plane's per-batch shapes do
-            if pb.rect.shape[1] != sig_len:
-                raise ValueError(
-                    "packed wire signal_len {} != model signal_len {}"
-                    .format(pb.rect.shape[1], sig_len))
-            return pb
-
-        it = (checked(pb) for pb in iter(packed_blocks)
+        it = (_check_packed_block(pb, seq_len, sig_len)
+              for pb in iter(packed_blocks)
               if pb is not None and pb.n)
         first = next(it, None)
         if first is None:

@@ -233,6 +233,11 @@ def blob_put(tree):
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves or not all(
             isinstance(a, np.ndarray) and a.dtype.kind in "iuf"
+            # 64-bit leaves can't round-trip the uint8 bitcast under
+            # JAX's default x64-off config (the blob packs 8 B/elem but
+            # the bitcast target canonicalizes to 32-bit); the per-leaf
+            # transfer canonicalizes correctly (review r5)
+            and a.dtype.itemsize <= 4
             for a in leaves):
         return to_device(tree)
     # the concat transiently duplicates the payload on host; past ~1 GB

@@ -353,3 +353,27 @@ def test_resident_sparse_single_device(dense_env, tmp_path):
         assert st.sites == 150
         outs[mode] = open(out, "rb").read()
     assert outs["never"] == outs["always"]
+
+
+def test_forward_tiled_ragged_matches_plain(monkeypatch):
+    """forward_tiled with a non-multiple width must cover every row
+    (scan prefix + narrow tail) and match the per-row plain forward."""
+    import jax
+
+    import deepsignal_plant_tpu.pipeline.call_mods as cm
+    from deepsignal_plant_tpu.models.bilstm import (Batch, forward,
+                                                    init_params)
+    cfg = ModelConfig(hidden_size=16, dropout_rate=0.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    n = 21          # tile=8 -> 2 full chunks + ragged 5
+    b = Batch(rng.integers(0, 4, (n, 13)).astype(np.int32),
+              rng.normal(size=(n, 13)).astype(np.float32),
+              np.abs(rng.normal(size=(n, 13))).astype(np.float32),
+              rng.integers(1, 30, (n, 13)).astype(np.float32),
+              rng.normal(size=(n, 13, 16)).astype(np.float32))
+    monkeypatch.setattr(cm, "COMPUTE_TILE", 8)
+    tiled = np.asarray(cm.forward_tiled(params, b, cfg))
+    plain = np.asarray(forward(params, b, cfg, train=False)[1])
+    assert tiled.shape == plain.shape == (n, 2)
+    np.testing.assert_allclose(tiled, plain, atol=1e-6)
