@@ -241,3 +241,13 @@ def test_fetch_real_data_offline_paths(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(frd, "unpack", lambda d: {})  # fake tar: skip
     frd.fetch(str(tmp_path), check_only=True)
     assert set(saved) == set(frd.ASSETS)
+
+
+def test_auto_batch_remote_cap_16384(tmp_path):
+    """The remote auto cap is 16384 post-blob (r5 sweep); direct stays
+    32768. Pinned here so a future cap change is a deliberate edit."""
+    import deepsignal_plant_tpu.pipeline.call_mods as cm
+    assert cm.CallModsEngine.AUTO_MAX_BATCH_REMOTE == 16384
+    assert cm.CallModsEngine.AUTO_MAX_BATCH_DIRECT == 32768
+    # and the forward tile is decoupled from the dispatch width
+    assert cm.COMPUTE_TILE == 4096
