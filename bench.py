@@ -601,6 +601,38 @@ def measure_denoise_samples_s(features_path: str, passes: int = 5) -> list:
         return [one_round(s + 1) for s in range(passes)]
 
 
+def measure_link_probe() -> dict:
+    """Raw link weather snapshot for the artifact: dispatch round-trip
+    latency (tiny payload) and host->device bandwidth (8 MB blobs),
+    measured around the headline phases so a depressed median can be
+    read as tunnel weather vs engine regression without a re-run.
+    Protocol per the rig notes: vary inputs every rep (the relay
+    memoizes identical dispatches) and barrier with a device->host
+    fetch (np.asarray), never block_until_ready alone."""
+    import statistics as st
+
+    import jax
+    f = jax.jit(lambda v: v + 1)
+    np.asarray(f(np.zeros(1, np.float32)))          # warm compile
+    rtts = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        np.asarray(f(np.full(1, float(i), np.float32)))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    g = jax.jit(lambda v: v[:1].astype(np.float32))
+    nbytes = 8 << 20
+    np.asarray(g(np.zeros(nbytes, np.uint8)))       # warm compile
+    bws = []
+    for i in range(3):
+        blob = np.full(nbytes, i, np.uint8)
+        t0 = time.perf_counter()
+        np.asarray(g(blob))
+        dt = time.perf_counter() - t0
+        bws.append(nbytes / dt / 1e6)
+    return {"rtt_ms": round(st.median(rtts), 1),
+            "mbps": round(st.median(bws), 1)}
+
+
 def _probe_backend(timeout_s: int = 240) -> bool:
     """Remote-attached backends can hang INDEFINITELY in init during
     tunnel outages (observed: 1h+ with no exception). Probe device init
@@ -685,6 +717,7 @@ def main() -> None:
         save_checkpoint(ckpt, params, cfg)
 
         engine = build_engine(ckpt)
+        link_pre = measure_link_probe()
         tsv_rates = measure_passes(engine, features_path, DEVICE_BATCH,
                                    budget_s, max_passes)
 
@@ -712,6 +745,7 @@ def main() -> None:
         packed_rates = measure_passes(engine, packed_dir, DEVICE_BATCH,
                                       budget_s / 2, max_passes,
                                       warm_input=packed_warm)
+        link_post = measure_link_probe()
 
         try:
             base_rate = measure_torch_baseline(features_path)
@@ -797,6 +831,8 @@ def main() -> None:
         "value": round(tsv_best, 1),
         "unit": "sites/s",
         "vs_baseline": round(tsv_best / base_rate, 2) if base_rate else None,
+        "link_probe_pre": link_pre,
+        "link_probe_post": link_post,
         "tsv_median": round(tsv_med, 1),
         "tsv_passes": [round(r, 1) for r in tsv_rates],
         # per-pass stall flags from the engine watchdog; medians/spread
